@@ -1,0 +1,201 @@
+"""photon-ml compatible linear-model Avro IO.
+
+Mirrors the reference's model format exactly (schema:
+/root/reference/gdmix-trainer/src/gdmix/models/schemas.py; writer/reader:
+/root/reference/gdmix-trainer/src/gdmix/util/io_utils.py:45-213):
+
+  * record per model: modelId, modelClass, means[NameTermValue], variances, lossFunction
+  * the intercept is the "(INTERCEPT)" NameTermValue and is written FIRST
+  * coefficients with |value| <= sparsity_threshold are dropped (intercept always kept)
+  * on load, the intercept is moved to the END of the dense coefficient vector
+    (fixed-effect layout) or kept sparse (random-effect layout)
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gdmix_tpu.constants import INTERCEPT, LOGISTIC_MODEL_CLASS
+from gdmix_tpu.io import avro
+from gdmix_tpu.io.feature_list import Feature, get_feature_map, read_feature_list
+
+BAYESIAN_LINEAR_MODEL_SCHEMA = {
+    "type": "record",
+    "name": "BayesianLinearModelAvro",
+    "namespace": "com.linkedin.photon.avro.generated",
+    "doc": "a generic schema to describe a Bayesian linear model with means and variances",
+    "fields": [
+        {"name": "modelId", "type": "string"},
+        {"name": "modelClass", "type": ["null", "string"], "default": None},
+        {"name": "means", "type": {"type": "array", "items": {
+            "type": "record", "name": "NameTermValueAvro",
+            "doc": "A tuple of name, term and value. Used as feature or model coefficient",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "term", "type": "string"},
+                {"name": "value", "type": "double"},
+            ]}}},
+        {"name": "variances", "type": ["null", {"type": "array", "items": "NameTermValueAvro"}],
+         "default": None},
+        {"name": "lossFunction", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+@dataclass
+class SparseModel:
+    """A single model in sparse (global-index) form — the random-effect layout.
+
+    theta[0] is the intercept when has_intercept; theta[i+intercept] pairs with
+    unique_global_indices[i]. Mirrors the reference TrainingResult
+    (/root/reference/gdmix-trainer/src/gdmix/models/custom/scipy/job_consumers.py:18).
+    """
+    model_id: str
+    theta: np.ndarray
+    variance: Optional[np.ndarray]
+    unique_global_indices: np.ndarray
+
+
+def gen_one_avro_model(model_id: str, model_class: str,
+                       weight_indices, weight_values, bias,
+                       feature_list: Optional[Sequence[Feature]],
+                       sparsity_threshold: float) -> dict:
+    """Build one photon-ml avro record. Same contract as the reference
+    io_utils.gen_one_avro_model (values may be arrays or (mean, variance) tuples)."""
+    has_bias = bias is not None
+    if isinstance(bias, tuple) and len(bias) == 2 and bias[1] is not None:
+        has_variance = True
+    elif (weight_values is not None and isinstance(weight_values, tuple)
+          and len(weight_values) == 2 and weight_values[1] is not None):
+        has_variance = True
+    else:
+        has_variance = False
+
+    record = {"modelId": model_id, "modelClass": model_class, "means": [],
+              "lossFunction": "", "variances": None}
+    if has_bias:
+        bias_mean = bias[0] if has_variance else bias
+        record["means"].append({"name": INTERCEPT, "term": "", "value": float(bias_mean)})
+    if has_variance:
+        record["variances"] = []
+        if has_bias:
+            record["variances"].append({"name": INTERCEPT, "term": "", "value": float(bias[1])})
+
+    if weight_indices is not None and weight_values is not None:
+        if has_variance:
+            mean, variance = weight_values
+            variance = np.asarray(variance).flatten()
+        else:
+            mean = weight_values
+        mean = np.asarray(mean).flatten()
+        for i, (w_i, w_v) in enumerate(zip(np.asarray(weight_indices).flatten(), mean)):
+            if abs(w_v) > sparsity_threshold:
+                name, term = feature_list[int(w_i)]
+                record["means"].append({"name": name, "term": term, "value": float(w_v)})
+                if has_variance:
+                    record["variances"].append(
+                        {"name": name, "term": term, "value": float(variance[i])})
+    return record
+
+
+def export_linear_model_to_avro(model_ids: Sequence,
+                                list_of_weight_indices,
+                                list_of_weight_values,
+                                biases,
+                                feature_file: Optional[str],
+                                output_file: str,
+                                model_class: str = LOGISTIC_MODEL_CLASS,
+                                sparsity_threshold: float = 1.0e-4) -> int:
+    """Export models in photon-ml avro format (reference io_utils.py:163-212)."""
+    feature_list = read_feature_list(feature_file) if feature_file else None
+    num_models = len(list_of_weight_indices) if biases is None else len(biases)
+
+    def gen_records() -> Iterator[dict]:
+        for i in range(num_models):
+            current_bias = None if biases is None else biases[i]
+            if list_of_weight_indices is None or list_of_weight_values is None \
+                    or feature_list is None:
+                yield gen_one_avro_model(str(model_ids[i]), model_class, None, None,
+                                         current_bias, feature_list, sparsity_threshold)
+            else:
+                yield gen_one_avro_model(str(model_ids[i]), model_class,
+                                         list_of_weight_indices[i], list_of_weight_values[i],
+                                         current_bias, feature_list, sparsity_threshold)
+
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    return avro.write_records(output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, gen_records())
+
+
+def load_linear_models_from_avro(model_file: str, feature_file: Optional[str]
+                                 ) -> Tuple[np.ndarray, ...]:
+    """Load dense fixed-effect-layout models: intercept moved to the END
+    (reference io_utils.py:45-83)."""
+    feature_map = get_feature_map(feature_file) if feature_file else None
+
+    def one(record) -> np.ndarray:
+        num_features = 0 if feature_map is None else len(feature_map)
+        coef = np.zeros(num_features + 1, dtype=np.float64)
+        has_bias = 0
+        for ntv in record["means"]:
+            name, term, value = ntv["name"], ntv["term"], np.float64(ntv["value"])
+            if name == INTERCEPT and term == "":
+                coef[num_features] = value
+                has_bias = 1
+            elif feature_map is not None:
+                idx = feature_map.get((name, term))
+                if idx is not None:
+                    coef[idx] = value
+        return coef[:num_features + has_bias]
+
+    return tuple(one(r) for r in avro.read_records(model_file))
+
+
+def add_dummy_weight(models: Tuple[np.ndarray, ...]) -> Tuple[np.ndarray, ...]:
+    """Prepend a zero dummy weight to intercept-only models (reference io_utils.py:86-99)."""
+    def one(model):
+        coef = np.zeros(2, dtype=np.float64)
+        coef[1] = model[0]
+        return coef
+    return tuple(one(m) for m in models)
+
+
+def load_sparse_models_from_avro(model_file: str, feature_file: Optional[str],
+                                 has_intercept: bool = True) -> Dict[str, SparseModel]:
+    """Load random-effect-layout models keyed by modelId
+    (reference random_effect_lr_lbfgs_model.py:256-309)."""
+    feature2global = get_feature_map(feature_file) if feature_file else None
+    out: Dict[str, SparseModel] = {}
+    for record in avro.read_records(model_file):
+        model_id = record["modelId"]
+        coefs: List[float] = []
+        indices: List[int] = []
+        variance: List[float] = []
+        for idx, ntv in enumerate(record["means"]):
+            coefs.append(np.float64(ntv["value"]))
+            if has_intercept and idx == 0:
+                assert ntv["name"] == INTERCEPT and ntv["term"] == ""
+            else:
+                indices.append(feature2global[(ntv["name"], ntv["term"])])
+        if record.get("variances"):
+            for idx, ntv in enumerate(record["variances"]):
+                variance.append(np.float64(ntv["value"]))
+                if has_intercept and idx == 0:
+                    assert ntv["name"] == INTERCEPT and ntv["term"] == ""
+                else:
+                    assert indices[idx - (1 if has_intercept else 0)] == \
+                        feature2global[(ntv["name"], ntv["term"])]
+        if feature2global is None:
+            # intercept-only model: pad one dummy feature.
+            assert len(indices) == 0
+            coefs.append(np.float64(0.0))
+            indices.append(0)
+        out[model_id] = SparseModel(
+            model_id=model_id,
+            theta=np.array(coefs, dtype=np.float64),
+            variance=np.array(variance, dtype=np.float64) if variance else None,
+            unique_global_indices=np.array(indices, dtype=np.int64))
+    return out

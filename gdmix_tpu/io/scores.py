@@ -1,0 +1,107 @@
+"""Inference/score-file Avro IO.
+
+Schema mirrors the reference's inference output
+(/root/reference/gdmix-trainer/src/gdmix/util/io_utils.py:367-375):
+uid (long), predictionScore (float), label (nullable float), optional weight,
+predictionScorePerCoordinate (float).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from gdmix_tpu.io import avro
+
+
+def inference_output_schema(schema_params, has_label: bool, has_weight: bool,
+                            has_logits_per_coordinate: bool = True) -> dict:
+    fields = [
+        {"name": schema_params.uid_column_name, "type": "long"},
+        {"name": schema_params.prediction_score_column_name, "type": "float"},
+    ]
+    if has_label:
+        fields.append({"name": schema_params.label_column_name,
+                       "type": ["null", "float"], "default": None})
+    if has_weight:
+        fields.append({"name": schema_params.weight_column_name, "type": "float"})
+    if has_logits_per_coordinate:
+        fields.append({"name": schema_params.prediction_score_per_coordinate_column_name,
+                       "type": "float"})
+    return {"name": "validation_result", "type": "record", "fields": fields}
+
+
+def write_scores(output_file: str, schema_params, uids, scores,
+                 scores_per_coordinate=None, labels=None, weights=None) -> int:
+    """Write one score avro file from parallel arrays."""
+    schema = inference_output_schema(
+        schema_params,
+        has_label=labels is not None,
+        has_weight=weights is not None,
+        has_logits_per_coordinate=scores_per_coordinate is not None)
+
+    uids = np.asarray(uids)
+    scores = np.asarray(scores)
+
+    def gen() -> Iterator[dict]:
+        for i in range(len(uids)):
+            rec = {
+                schema_params.uid_column_name: int(uids[i]),
+                schema_params.prediction_score_column_name: float(scores[i]),
+            }
+            if labels is not None:
+                rec[schema_params.label_column_name] = float(labels[i])
+            if weights is not None:
+                rec[schema_params.weight_column_name] = float(weights[i])
+            if scores_per_coordinate is not None:
+                rec[schema_params.prediction_score_per_coordinate_column_name] = \
+                    float(scores_per_coordinate[i])
+            yield rec
+
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    return avro.write_records(output_file, schema, gen())
+
+
+def _score_files(path: str) -> List[str]:
+    if os.path.isdir(path):
+        return sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if f.endswith(".avro") and not f.startswith("."))
+    return [path]
+
+
+def read_scores(path: str, schema_params) -> Dict[str, np.ndarray]:
+    """Read a score dir/file into {column: array} keyed by schema column names.
+    Missing columns are absent from the dict."""
+    uids: List[int] = []
+    scores: List[float] = []
+    per_coord: List[float] = []
+    labels: List[float] = []
+    weights: List[float] = []
+    has_label = has_weight = has_pc = False
+    for f in _score_files(path):
+        for rec in avro.read_records(f):
+            uids.append(rec[schema_params.uid_column_name])
+            scores.append(rec[schema_params.prediction_score_column_name])
+            if schema_params.label_column_name in rec:
+                v = rec[schema_params.label_column_name]
+                labels.append(np.nan if v is None else v)
+                has_label = True
+            if schema_params.weight_column_name and schema_params.weight_column_name in rec:
+                weights.append(rec[schema_params.weight_column_name])
+                has_weight = True
+            if schema_params.prediction_score_per_coordinate_column_name in rec:
+                per_coord.append(rec[schema_params.prediction_score_per_coordinate_column_name])
+                has_pc = True
+    out = {
+        schema_params.uid_column_name: np.asarray(uids, dtype=np.int64),
+        schema_params.prediction_score_column_name: np.asarray(scores, dtype=np.float64),
+    }
+    if has_label:
+        out[schema_params.label_column_name] = np.asarray(labels, dtype=np.float64)
+    if has_weight:
+        out[schema_params.weight_column_name] = np.asarray(weights, dtype=np.float64)
+    if has_pc:
+        out[schema_params.prediction_score_per_coordinate_column_name] = \
+            np.asarray(per_coord, dtype=np.float64)
+    return out
