@@ -1,0 +1,214 @@
+"""Logistic/linear regression objectives on padded-sparse batches.
+
+All functions are pure, jittable, vmappable and dtype-parametric. The math matches
+the reference exactly:
+
+  * numerically stable weighted BCE:  max(z,0) − z·y + log1p(exp(−|z|))
+    (/root/reference/gdmix-trainer/src/gdmix/models/custom/binary_logistic_regression.py:84-110)
+  * fixed-effect objective = SUM of weighted losses + λ·½‖w‖² (bias excluded iff
+    has_intercept and not regularize_bias); the λ-term is divided by num_workers
+    before the all-reduce (fixed_effect_lr_lbfgs_model.py:353-381)
+  * per-entity objective = MEAN: (Σᵢ wᵢ·bceᵢ + λ/2·θᵀθ)/n (binary_logistic_regression.py:102-110)
+  * linear regression uses squared difference (y−z)², not halved
+    (fixed_effect_lr_lbfgs_model.py:357-358)
+
+Sparse features are padded COO per example: (indices[N,K] int32, values[N,K]) where
+padding has value 0.0 (index content is then irrelevant for both X·θ and Xᵀr).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SparseBatch(NamedTuple):
+    """A batch of examples with one sparse feature bag, padded to K nnz/example."""
+    indices: jnp.ndarray   # [N, K] int32, global feature ids (padding: any id)
+    values: jnp.ndarray    # [N, K] float, padding must be 0.0
+    offsets: jnp.ndarray   # [N] float
+    labels: jnp.ndarray    # [N] float (0/1 for LR, real for linear regression)
+    weights: jnp.ndarray   # [N] float, padding rows must be 0.0 (masks them out)
+
+
+def sparse_matvec(theta_w: jnp.ndarray, indices: jnp.ndarray,
+                  values: jnp.ndarray) -> jnp.ndarray:
+    """X·w for padded-COO X: [N] = Σ_k values[n,k] * w[indices[n,k]]."""
+    gathered = jnp.take(theta_w, indices, axis=0)       # [N, K]
+    return jnp.sum(gathered * values, axis=-1)
+
+
+def sparse_rmatvec(indices: jnp.ndarray, values: jnp.ndarray,
+                   residual: jnp.ndarray, num_features: int) -> jnp.ndarray:
+    """Xᵀ·r for padded-COO X: [D] scatter-add of values[n,k]*r[n] at indices[n,k]."""
+    contrib = values * residual[:, None]                # [N, K]
+    flat_idx = indices.reshape(-1)
+    flat_val = contrib.reshape(-1)
+    return jnp.zeros((num_features,), dtype=values.dtype).at[flat_idx].add(flat_val)
+
+
+def stable_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """max(z,0) − z·y + log1p(exp(−|z|)) — the reference's stable form."""
+    return (jnp.maximum(logits, 0) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _l2_mask(d: int, has_intercept: bool, regularize_bias: bool,
+             intercept_at_end: bool, dtype) -> jnp.ndarray:
+    """1.0 where the L2 penalty applies. The intercept is excluded iff
+    has_intercept and not regularize_bias."""
+    mask = jnp.ones((d,), dtype=dtype)
+    if has_intercept and not regularize_bias:
+        pos = d - 1 if intercept_at_end else 0
+        mask = mask.at[pos].set(0.0)
+    return mask
+
+
+def fixed_effect_value_and_grad(x: jnp.ndarray,
+                                batch: SparseBatch,
+                                num_features: int,
+                                *,
+                                has_intercept: bool = True,
+                                regularize_bias: bool = True,
+                                l2_reg_weight: float = 1.0,
+                                model_type: str = "logistic_regression",
+                                num_workers: int = 1,
+                                axis_name: Optional[str] = None):
+    """Fixed-effect objective: Σ over this shard's samples, then psum over workers.
+
+    x layout: [w(num_features), b] if has_intercept else [w] — matching the reference
+    (fixed_effect_lr_lbfgs_model.py:254-258, intercept last).
+    Returns (value, grad); both are the all-reduced totals when axis_name is set.
+    """
+    dtype = x.dtype
+    if has_intercept:
+        w, b = x[:-1], x[-1]
+    else:
+        w, b = x, jnp.zeros((), dtype)
+    z = sparse_matvec(w, batch.indices, batch.values) + batch.offsets + b
+
+    if model_type == "linear_regression":
+        per = (batch.labels - z) ** 2
+        dz = 2.0 * (z - batch.labels)
+    else:
+        per = stable_bce(z, batch.labels)
+        dz = jax.nn.sigmoid(z) - batch.labels
+    value = jnp.sum(batch.weights * per)
+    r = batch.weights * dz
+    grad_w = sparse_rmatvec(batch.indices, batch.values, r, num_features)
+    if has_intercept:
+        grad = jnp.concatenate([grad_w, jnp.sum(r)[None]])
+    else:
+        grad = grad_w
+
+    # L2 (divided by num_workers so the psum reconstitutes it once).
+    mask = _l2_mask(x.shape[0], has_intercept, regularize_bias, True, dtype)
+    scale = jnp.asarray(l2_reg_weight / num_workers, dtype)
+    value = value + 0.5 * scale * jnp.sum(mask * x * x)
+    grad = grad + scale * mask * x
+
+    if axis_name is not None:
+        value = jax.lax.psum(value, axis_name)
+        grad = jax.lax.psum(grad, axis_name)
+    return value, grad
+
+
+def per_entity_value_and_grad(theta: jnp.ndarray,
+                              batch: SparseBatch,
+                              num_features: int,
+                              *,
+                              has_intercept: bool = True,
+                              regularize_bias: bool = False,
+                              l2_reg_weight: float = 0.0,
+                              sample_count: Optional[jnp.ndarray] = None):
+    """Per-entity objective (MEAN form, reference binary_logistic_regression.py:84-131).
+
+    theta layout: [b, w(num_features)] if has_intercept else [w] — intercept FIRST,
+    matching the reference per-entity solver.
+
+    batch rows beyond the entity's true sample count must have weights == 0;
+    sample_count (scalar) is the true n used for the 1/n normalization (defaults to
+    the padded row count).
+    """
+    dtype = theta.dtype
+    n = (jnp.asarray(batch.labels.shape[0], dtype) if sample_count is None
+         else sample_count.astype(dtype))
+    n = jnp.maximum(n, 1.0)
+    if has_intercept:
+        b, w = theta[0], theta[1:]
+    else:
+        b, w = jnp.zeros((), dtype), theta
+    z = sparse_matvec(w, batch.indices, batch.values) + batch.offsets + b
+    per = stable_bce(z, batch.labels)
+    dz = jax.nn.sigmoid(z) - batch.labels
+
+    value = jnp.sum(batch.weights * per)
+    r = batch.weights * dz
+    grad_w = sparse_rmatvec(batch.indices, batch.values, r, num_features)
+    if has_intercept:
+        grad = jnp.concatenate([jnp.sum(r)[None], grad_w])
+    else:
+        grad = grad_w
+
+    mask = _l2_mask(theta.shape[0], has_intercept, regularize_bias, False, dtype)
+    lam = jnp.asarray(l2_reg_weight, dtype)
+    value = (value + 0.5 * lam * jnp.sum(mask * theta * theta)) / n
+    grad = (grad + lam * mask * theta) / n
+    return value, grad
+
+
+def predict_logits(theta: jnp.ndarray, batch: SparseBatch, *,
+                   has_intercept: bool = True,
+                   intercept_at_end: bool = False) -> jnp.ndarray:
+    """Logits including offsets for either coefficient layout."""
+    dtype = theta.dtype
+    if has_intercept:
+        if intercept_at_end:
+            w, b = theta[:-1], theta[-1]
+        else:
+            w, b = theta[1:], theta[0]
+    else:
+        w, b = theta, jnp.zeros((), dtype)
+    return sparse_matvec(w, batch.indices, batch.values) + batch.offsets + b
+
+
+def hessian_diag(theta: jnp.ndarray, batch: SparseBatch, num_features: int, *,
+                 has_intercept: bool = True, intercept_at_end: bool = False
+                 ) -> jnp.ndarray:
+    """diag(XᵀDX) with D = diag(w·ρ(1−ρ)), ρ = σ(logit incl offset).
+
+    λ/ε handling is left to the caller (modes differ between fixed/random effect).
+    """
+    z = predict_logits(theta, batch, has_intercept=has_intercept,
+                       intercept_at_end=intercept_at_end)
+    rho = jax.nn.sigmoid(z)
+    d = rho * (1 - rho) * batch.weights
+    contrib = (batch.values ** 2) * d[:, None]
+    diag_w = jnp.zeros((num_features,), dtype=theta.dtype) \
+        .at[batch.indices.reshape(-1)].add(contrib.reshape(-1))
+    if not has_intercept:
+        return diag_w
+    diag_b = jnp.sum(d)[None]
+    return (jnp.concatenate([diag_w, diag_b]) if intercept_at_end
+            else jnp.concatenate([diag_b, diag_w]))
+
+
+def hessian_full(theta: jnp.ndarray, batch: SparseBatch, num_features: int, *,
+                 has_intercept: bool = True, intercept_at_end: bool = False
+                 ) -> jnp.ndarray:
+    """Full XᵀDX (densified) for FULL-mode variance; fine for small d."""
+    z = predict_logits(theta, batch, has_intercept=has_intercept,
+                       intercept_at_end=intercept_at_end)
+    rho = jax.nn.sigmoid(z)
+    d = rho * (1 - rho) * batch.weights
+    n = batch.labels.shape[0]
+    X = jnp.zeros((n, num_features), dtype=theta.dtype)
+    row = jnp.broadcast_to(jnp.arange(n)[:, None], batch.indices.shape)
+    X = X.at[row.reshape(-1), batch.indices.reshape(-1)].add(batch.values.reshape(-1))
+    if has_intercept:
+        ones = jnp.ones((n, 1), dtype=theta.dtype)
+        X = (jnp.concatenate([X, ones], axis=1) if intercept_at_end
+             else jnp.concatenate([ones, X], axis=1))
+    dX = X * d[:, None]
+    return X.T @ dX

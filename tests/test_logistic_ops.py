@@ -1,0 +1,234 @@
+"""Logistic-objective oracle tests: our padded-sparse JAX objectives vs straight
+numpy implementations of the reference's math (binary_logistic_regression.py,
+fixed_effect_lr_lbfgs_model.py) and end-to-end fits vs scipy fmin_l_bfgs_b."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import fmin_l_bfgs_b
+from scipy.special import expit
+
+from gdmix_tpu.ops.lbfgs import lbfgs
+from gdmix_tpu.ops.logistic import (
+    SparseBatch, fixed_effect_value_and_grad, hessian_diag, hessian_full,
+    per_entity_value_and_grad, predict_logits, sparse_matvec, sparse_rmatvec)
+
+
+def _random_sparse(n=50, d=20, k=5, seed=0):
+    """Random padded-COO batch plus its dense equivalent."""
+    rng = np.random.RandomState(seed)
+    indices = np.zeros((n, k), dtype=np.int32)
+    values = np.zeros((n, k))
+    X = np.zeros((n, d))
+    for i in range(n):
+        nnz = rng.randint(1, k + 1)
+        cols = rng.choice(d, size=nnz, replace=False)
+        vals = rng.randn(nnz)
+        indices[i, :nnz] = cols
+        values[i, :nnz] = vals
+        X[i, cols] = vals
+    y = rng.randint(0, 2, n).astype(np.float64)
+    offsets = 0.5 * rng.randn(n)
+    weights = rng.rand(n) + 0.5
+    return indices, values, X, y, offsets, weights
+
+
+def _batch(indices, values, offsets, labels, weights):
+    return SparseBatch(indices=jnp.asarray(indices), values=jnp.asarray(values),
+                       offsets=jnp.asarray(offsets), labels=jnp.asarray(labels),
+                       weights=jnp.asarray(weights))
+
+
+def test_sparse_matvec_rmatvec():
+    indices, values, X, *_ = _random_sparse()
+    w = np.random.RandomState(1).randn(20)
+    got = sparse_matvec(jnp.asarray(w), jnp.asarray(indices), jnp.asarray(values))
+    np.testing.assert_allclose(np.asarray(got), X @ w, atol=1e-12)
+    r = np.random.RandomState(2).randn(50)
+    got_t = sparse_rmatvec(jnp.asarray(indices), jnp.asarray(values), jnp.asarray(r), 20)
+    np.testing.assert_allclose(np.asarray(got_t), X.T @ r, atol=1e-12)
+
+
+# --- reference per-entity math in numpy (binary_logistic_regression.py) --------
+
+def _ref_pe_loss(theta, X1, y, weights, offsets, lam, regularize_bias, has_intercept):
+    n = X1.shape[0]
+    pred = X1 @ theta + offsets
+    ce = np.maximum(pred, 0) - pred * y + np.log1p(np.exp(-np.abs(pred)))
+    cost = weights * ce
+    if has_intercept and not regularize_bias:
+        reg = (lam / 2.0) * theta[1:] @ theta[1:]
+    else:
+        reg = (lam / 2.0) * theta @ theta
+    return (cost.sum() + reg) / n
+
+
+def _ref_pe_grad(theta, X1, y, weights, offsets, lam, regularize_bias, has_intercept):
+    n = X1.shape[0]
+    p = expit(X1 @ theta + offsets)
+    g = X1.T @ (weights * (p - y)) + lam * theta
+    if has_intercept and not regularize_bias:
+        g[0] -= lam * theta[0]
+    return g / n
+
+
+@pytest.mark.parametrize("lam,reg_bias,intercept", [
+    (0.0, False, True), (1.0, False, True), (1.0, True, True), (2.5, False, False)])
+def test_per_entity_objective_matches_reference(lam, reg_bias, intercept):
+    indices, values, X, y, offsets, weights = _random_sparse()
+    d = 20
+    X1 = np.hstack([np.ones((50, 1)), X]) if intercept else X
+    theta = np.random.RandomState(3).randn(X1.shape[1])
+    batch = _batch(indices, values, offsets, y, weights)
+    v, g = per_entity_value_and_grad(
+        jnp.asarray(theta), batch, d, has_intercept=intercept,
+        regularize_bias=reg_bias, l2_reg_weight=lam)
+    v_ref = _ref_pe_loss(theta, X1, y, weights, offsets, lam, reg_bias, intercept)
+    g_ref = _ref_pe_grad(theta, X1, y, weights, offsets, lam, reg_bias, intercept)
+    np.testing.assert_allclose(float(v), v_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-12)
+
+
+def test_padding_rows_are_inert():
+    """Rows with weight 0 (padding) must not change value/grad/hessian, and
+    sample_count must drive the 1/n normalization."""
+    indices, values, X, y, offsets, weights = _random_sparse(n=30)
+    batch = _batch(indices, values, offsets, y, weights)
+    theta = jnp.asarray(np.random.RandomState(4).randn(21))
+    v0, g0 = per_entity_value_and_grad(theta, batch, 20,
+                                       sample_count=jnp.asarray(30.0))
+    # pad 10 garbage rows with weight 0
+    pad = lambda a, fill: np.concatenate([a, np.full((10,) + a.shape[1:], fill, a.dtype)])
+    batch_p = _batch(pad(indices, 7), pad(values, 0.0), pad(offsets, 99.0),
+                     pad(y, 1.0), pad(weights, 0.0))
+    v1, g1 = per_entity_value_and_grad(theta, batch_p, 20,
+                                       sample_count=jnp.asarray(30.0))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-12)
+
+
+# --- fixed-effect math (fixed_effect_lr_lbfgs_model.py:353-381) ----------------
+
+def _ref_fe_value_grad(x, X, y, offsets, weights, lam, reg_bias, intercept,
+                       model_type, num_workers=1):
+    w, b = (x[:-1], x[-1]) if intercept else (x, 0.0)
+    z = X @ w + offsets + b
+    if model_type == "linear_regression":
+        per = (y - z) ** 2
+        dz = 2 * (z - y)
+    else:
+        per = np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+        dz = expit(z) - y
+    value = np.sum(weights * per)
+    r = weights * dz
+    grad = np.concatenate([X.T @ r, [np.sum(r)]]) if intercept else X.T @ r
+    l2v = 0.5 * (x @ x) if (reg_bias or not intercept) else 0.5 * (x[:-1] @ x[:-1])
+    gmask = np.ones_like(x)
+    if intercept and not reg_bias:
+        gmask[-1] = 0
+    value += l2v * lam / num_workers
+    grad = grad + lam / num_workers * gmask * x
+    return value, grad
+
+
+@pytest.mark.parametrize("model_type", ["logistic_regression", "linear_regression"])
+@pytest.mark.parametrize("intercept,reg_bias", [(True, True), (True, False), (False, True)])
+def test_fixed_effect_objective_matches_reference(model_type, intercept, reg_bias):
+    indices, values, X, y, offsets, weights = _random_sparse(seed=5)
+    if model_type == "linear_regression":
+        y = np.random.RandomState(6).randn(50)
+    dim = 21 if intercept else 20
+    x = np.random.RandomState(7).randn(dim)
+    batch = _batch(indices, values, offsets, y, weights)
+    v, g = fixed_effect_value_and_grad(
+        jnp.asarray(x), batch, 20, has_intercept=intercept,
+        regularize_bias=reg_bias, l2_reg_weight=1.5, model_type=model_type,
+        num_workers=2)
+    v_ref, g_ref = _ref_fe_value_grad(x, X, y, offsets, weights, 1.5, reg_bias,
+                                      intercept, model_type, num_workers=2)
+    np.testing.assert_allclose(float(v), v_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-10)
+
+
+def test_fixed_effect_psum_over_mesh():
+    """Sharded loss+grad with psum must equal the single-chip total."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    indices, values, X, y, offsets, weights = _random_sparse(n=64, seed=8)
+    x = np.random.RandomState(9).randn(21)
+    batch = _batch(indices, values, offsets, y, weights)
+    v_ref, g_ref = fixed_effect_value_and_grad(jnp.asarray(x), batch, 20,
+                                               l2_reg_weight=2.0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard_fn = shard_map(
+        lambda xx, bb: fixed_effect_value_and_grad(
+            xx, bb, 20, l2_reg_weight=2.0, num_workers=8, axis_name="data"),
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+    )
+    v, g = jax.jit(shard_fn)(jnp.asarray(x), batch)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-10)
+
+
+# --- end-to-end fit vs scipy oracle (reference test pattern) -------------------
+
+def test_fit_matches_scipy_reference_trainer():
+    """Solve the per-entity problem with our lbfgs and compare coefficients with a
+    scipy fmin_l_bfgs_b run of the reference's exact objective."""
+    indices, values, X, y, offsets, weights = _random_sparse(n=80, seed=10)
+    X1 = np.hstack([np.ones((80, 1)), X])
+    lam = 1.0
+
+    args = (X1, y, weights, offsets, lam, False, True)
+    x_scipy, _, _ = fmin_l_bfgs_b(
+        _ref_pe_loss, np.zeros(21), fprime=_ref_pe_grad, args=args,
+        m=10, factr=10.0, maxiter=400, pgtol=1e-10)
+
+    batch = _batch(indices, values, offsets, y, weights)
+
+    def fun(theta):
+        return per_entity_value_and_grad(theta, batch, 20, has_intercept=True,
+                                         regularize_bias=False, l2_reg_weight=lam)
+
+    res = lbfgs(fun, jnp.zeros(21), ftol=1e-14, pgtol=1e-10, maxiter=200)
+    np.testing.assert_allclose(np.asarray(res.x), x_scipy, atol=5e-5)
+
+
+# --- variance/Hessian (binary_logistic_regression.py:144-189) ------------------
+
+def test_hessian_diag_and_full():
+    indices, values, X, y, offsets, weights = _random_sparse(seed=11)
+    X1 = np.hstack([np.ones((50, 1)), X])
+    theta = np.random.RandomState(12).randn(21)
+    batch = _batch(indices, values, offsets, y, weights)
+
+    rho = expit(X1 @ theta + offsets)
+    dvec = rho * (1 - rho) * weights
+    dX = X1 * dvec[:, None]
+    H_ref = X1.T @ dX
+
+    H_diag = hessian_diag(jnp.asarray(theta), batch, 20, has_intercept=True,
+                          intercept_at_end=False)
+    np.testing.assert_allclose(np.asarray(H_diag), np.diag(H_ref), atol=1e-10)
+
+    H_full = hessian_full(jnp.asarray(theta), batch, 20, has_intercept=True,
+                          intercept_at_end=False)
+    np.testing.assert_allclose(np.asarray(H_full), H_ref, atol=1e-10)
+
+
+def test_predict_logits_both_layouts():
+    indices, values, X, y, offsets, weights = _random_sparse(seed=13)
+    w = np.random.RandomState(14).randn(20)
+    b = 0.7
+    batch = _batch(indices, values, offsets, y, weights)
+    z_ref = X @ w + offsets + b
+    z_re = predict_logits(jnp.asarray(np.concatenate([[b], w])), batch,
+                          has_intercept=True, intercept_at_end=False)
+    z_fe = predict_logits(jnp.asarray(np.concatenate([w, [b]])), batch,
+                          has_intercept=True, intercept_at_end=True)
+    np.testing.assert_allclose(np.asarray(z_re), z_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(z_fe), z_ref, atol=1e-12)
