@@ -1,0 +1,224 @@
+"""Host-side input pipelines: TFRecord files → columnar numpy → padded device arrays.
+
+Replaces the reference's tf.data graphs (/root/reference/gdmix-trainer/src/gdmix/io/
+input_data_pipeline.py): `read_per_record` ↔ per_record_input_fn (Example records,
+sparse bags as name_indices/name_values pairs), `read_per_entity_grouped` ↔
+per_entity_grouped_input_fn (SequenceExample: context = entity id + per-record
+scalars, sequence = ragged sparse features).
+
+Because the TPU trainer is full-batch, the pipeline materializes whole columns and
+pads the sparse bag to [N, K] COO (K = max nnz, rounded up for lane alignment)
+instead of streaming micro-batches. Padding entries carry value 0.0 and are inert
+in every downstream op (see ops/logistic.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gdmix_tpu.io import proto, tfrecord
+from gdmix_tpu.io.metadata import DatasetMetadata
+from gdmix_tpu.io.shard import shard_input_files
+
+INDICES_SUFFIX = "_indices"
+VALUES_SUFFIX = "_values"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class PerRecordData:
+    """Columnar per-record dataset with one (optional) padded sparse feature bag."""
+    columns: Dict[str, np.ndarray]           # dense scalar columns, each [N]
+    indices: Optional[np.ndarray] = None     # [N, K] int32
+    values: Optional[np.ndarray] = None      # [N, K] float
+    num_samples: int = 0
+
+    def column(self, name: Optional[str], default: Optional[float] = None) -> np.ndarray:
+        if name is not None and name in self.columns:
+            return self.columns[name]
+        if default is None:
+            raise KeyError(name)
+        return np.full(self.num_samples, default, dtype=np.float64)
+
+
+def _pad_ragged(ragged_idx: List[np.ndarray], ragged_val: List[np.ndarray],
+                align: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    n = len(ragged_idx)
+    k = max((len(r) for r in ragged_idx), default=1)
+    k = max(_round_up(max(k, 1), align), align)
+    indices = np.zeros((n, k), dtype=np.int32)
+    values = np.zeros((n, k), dtype=np.float64)
+    for i, (ri, rv) in enumerate(zip(ragged_idx, ragged_val)):
+        m = len(ri)
+        if m:
+            indices[i, :m] = ri
+            values[i, :m] = rv
+    return indices, values
+
+
+def read_per_record(input_path, metadata: DatasetMetadata,
+                    feature_bag: Optional[str] = None,
+                    num_shards: int = 1, shard_index: int = 0,
+                    align: int = 8) -> PerRecordData:
+    """Read a per-record Example dataset into columns + a padded sparse bag.
+
+    All dense scalar features/labels in the metadata become [N] columns; the
+    `feature_bag` sparse tensor becomes padded (indices, values).
+    """
+    files, _ = shard_input_files(input_path, num_shards, shard_index)
+    tensors = metadata.tensors()
+    dense_names = [name for name, t in tensors.items()
+                   if not t.is_sparse and t.dtype not in ("bytes", "string")]
+    string_names = [name for name, t in tensors.items()
+                    if not t.is_sparse and t.dtype in ("bytes", "string")]
+
+    cols: Dict[str, list] = {name: [] for name in dense_names + string_names}
+    ragged_idx: List[np.ndarray] = []
+    ragged_val: List[np.ndarray] = []
+    idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
+    val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
+
+    n = 0
+    for f in files:
+        for payload in tfrecord.read_tfrecords(f):
+            ex = proto.decode_example(payload)
+            for name in dense_names:
+                v = ex.get(name, [])
+                cols[name].append(v[0] if v else 0)
+            for name in string_names:
+                v = ex.get(name, [])
+                cols[name].append(v[0] if v else b"")
+            if feature_bag:
+                ragged_idx.append(np.asarray(ex.get(idx_key, []), dtype=np.int64))
+                ragged_val.append(np.asarray(ex.get(val_key, []), dtype=np.float64))
+            n += 1
+
+    columns: Dict[str, np.ndarray] = {}
+    for name in dense_names:
+        info = tensors[name]
+        columns[name] = np.asarray(cols[name], dtype=info.np_dtype)
+    for name in string_names:
+        columns[name] = np.asarray(cols[name], dtype=object)
+
+    indices = values = None
+    if feature_bag:
+        indices, values = _pad_ragged(ragged_idx, ragged_val, align)
+    return PerRecordData(columns=columns, indices=indices, values=values, num_samples=n)
+
+
+@dataclass
+class EntityGroup:
+    """One entity's records from a grouped (SequenceExample) dataset."""
+    entity_id: str
+    columns: Dict[str, np.ndarray]          # per-record scalar columns, each [n]
+    ragged_indices: List[np.ndarray] = field(default_factory=list)
+    ragged_values: List[np.ndarray] = field(default_factory=list)
+
+    @property
+    def sample_count(self) -> int:
+        return len(next(iter(self.columns.values()))) if self.columns else \
+            len(self.ragged_indices)
+
+
+def read_per_entity_grouped(input_path, metadata: DatasetMetadata,
+                            entity_name: str,
+                            feature_bag: Optional[str] = None,
+                            num_shards: int = 1, shard_index: int = 0
+                            ) -> List[EntityGroup]:
+    """Read a grouped SequenceExample dataset: one record per entity.
+
+    Context carries the scalar entity id plus VarLen per-record columns
+    (uid/weight/offset/label); the sequence carries the ragged sparse feature bag.
+    Mirrors the reference per_entity_grouped_input_fn (input_data_pipeline.py:223-332).
+    """
+    if entity_name not in metadata.feature_names:
+        raise ValueError(f"entity name {entity_name} is not found among the features")
+    files, _ = shard_input_files(input_path, num_shards, shard_index)
+    tensors = metadata.tensors()
+    idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
+    val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
+
+    groups: List[EntityGroup] = []
+    for f in files:
+        for payload in tfrecord.read_tfrecords(f):
+            context, sequence = proto.decode_sequence_example(payload)
+            raw_id = context.get(entity_name, [b""])[0]
+            entity_id = raw_id.decode("utf-8") if isinstance(raw_id, bytes) else str(raw_id)
+            columns: Dict[str, np.ndarray] = {}
+            for name, valuelist in context.items():
+                if name == entity_name:
+                    continue
+                info = tensors.get(name)
+                dtype = info.np_dtype if info is not None else np.float64
+                columns[name] = np.asarray(valuelist, dtype=dtype)
+            g = EntityGroup(entity_id=entity_id, columns=columns)
+            if feature_bag:
+                g.ragged_indices = [np.asarray(r, dtype=np.int64)
+                                    for r in sequence.get(idx_key, [])]
+                g.ragged_values = [np.asarray(r, dtype=np.float64)
+                                   for r in sequence.get(val_key, [])]
+            groups.append(g)
+    return groups
+
+
+def write_per_entity_grouped(output_file: str, groups: Sequence[EntityGroup],
+                             entity_name: str, entity_dtype: str,
+                             feature_bag: Optional[str]) -> int:
+    """Write groups as SequenceExample TFRecords (the DataPartitioner output format)."""
+    idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
+    val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
+
+    def payloads():
+        for g in groups:
+            if entity_dtype in ("bytes", "string"):
+                ctx = {entity_name: [g.entity_id.encode("utf-8")]}
+            else:
+                ctx = {entity_name: [int(g.entity_id)]}
+            for name, arr in g.columns.items():
+                if arr.dtype.kind in "iu":
+                    ctx[name] = [int(v) for v in arr]
+                else:
+                    ctx[name] = [float(v) for v in arr]
+            seq = {}
+            if feature_bag:
+                seq[idx_key] = [[int(v) for v in row] for row in g.ragged_indices]
+                seq[val_key] = [[float(v) for v in row] for row in g.ragged_values]
+            yield proto.encode_sequence_example(ctx, seq)
+
+    return tfrecord.write_tfrecords(output_file, payloads())
+
+
+def write_per_record(output_file: str, metadata: DatasetMetadata,
+                     columns: Dict[str, np.ndarray],
+                     feature_bag: Optional[str] = None,
+                     ragged_indices: Optional[List] = None,
+                     ragged_values: Optional[List] = None) -> int:
+    """Write a per-record Example TFRecord file from columns (tests & data prep)."""
+    n = len(next(iter(columns.values())))
+    tensors = metadata.tensors()
+
+    def payloads():
+        for i in range(n):
+            feats = {}
+            for name, arr in columns.items():
+                v = arr[i]
+                info = tensors.get(name)
+                if info is not None and info.dtype in ("bytes", "string"):
+                    feats[name] = [v if isinstance(v, bytes) else str(v).encode()]
+                elif np.issubdtype(type(v), np.integer) or isinstance(v, int):
+                    feats[name] = [int(v)]
+                else:
+                    feats[name] = [float(v)]
+            if feature_bag:
+                feats[f"{feature_bag}{INDICES_SUFFIX}"] = \
+                    [int(x) for x in ragged_indices[i]]
+                feats[f"{feature_bag}{VALUES_SUFFIX}"] = \
+                    [float(x) for x in ragged_values[i]]
+            yield proto.encode_example(feats)
+
+    return tfrecord.write_tfrecords(output_file, payloads())

@@ -1,0 +1,362 @@
+"""Fixed-effect LR / linear-regression trainer: data-parallel full-batch L-BFGS.
+
+The TPU re-design of the reference FixedEffectLRModelLBFGS
+(/root/reference/gdmix-trainer/src/gdmix/models/custom/fixed_effect_lr_lbfgs_model.py):
+
+  reference                                     here
+  ─────────────────────────────────────────     ───────────────────────────────────
+  TF1 graph, tf.while_loop over an epoch        whole dataset in HBM as padded-COO
+  per scipy funcall                             arrays; lax.scan over chunks
+  collective_ops.all_reduce over gRPC ring      batch sharded over the 1-D mesh;
+                                                XLA inserts ICI all-reduces (GSPMD)
+  scipy fmin_l_bfgs_b on every worker,          one on-device L-BFGS (ops/lbfgs.py)
+  kept in lockstep by determinism               inside a single jit
+  feed_dict placeholder for x                   x is a replicated device array
+
+Semantics preserved: loss = Σ weighted BCE (or squared error) + λ·½‖w‖² with bias
+exclusion; coefficient layout [w..., b]; warm start from avro; coefficient
+thresholding; scoring of train+validation with predictionScore /
+predictionScorePerCoordinate; SIMPLE/FULL training variance; photon-ml avro export.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdmix_tpu import constants
+from gdmix_tpu.io import model_avro, scores as scores_io
+from gdmix_tpu.io.input_pipeline import PerRecordData, read_per_record
+from gdmix_tpu.io.metadata import DatasetMetadata
+from gdmix_tpu.models.api import Model
+from gdmix_tpu.ops.lbfgs import lbfgs
+from gdmix_tpu.ops.logistic import (SparseBatch, fixed_effect_value_and_grad,
+                                    hessian_diag, hessian_full, l2_value_and_grad,
+                                    predict_logits)
+from gdmix_tpu.params import FixedLRParams, Params, from_argv
+from gdmix_tpu.parallel.mesh import (batch_sharding, get_mesh, pad_to_multiple,
+                                     replicated)
+from gdmix_tpu.util.model_utils import threshold_coefficients
+
+logger = logging.getLogger(__name__)
+
+_EPSILON = 1.0e-12
+
+
+class FixedEffectLRModel(Model):
+    """Distributed full-batch LR/linear-regression with on-device L-BFGS."""
+
+    def __init__(self, model_params: FixedLRParams, base_params: Params, mesh=None):
+        self.model_params = model_params
+        self.base_params = base_params
+        self.model_type = base_params.model_type
+        self.metadata_file = model_params.metadata_file
+        self.checkpoint_path = model_params.output_model_dir
+        self.training_data_dir = model_params.training_data_dir
+        self.validation_data_dir = model_params.validation_data_dir
+        self.feature_bag_name = model_params.feature_bag
+        self.feature_file = model_params.feature_file if self.feature_bag_name else None
+        self.offset_column_name = model_params.offset_column_name
+        self.has_intercept = model_params.has_intercept
+        self.is_regularize_bias = model_params.regularize_bias
+        self.l2_reg_weight = model_params.l2_reg_weight
+        self.sparsity_threshold = model_params.sparsity_threshold
+        self.variance_mode = model_params.fixed_effect_variance_mode
+        if self.model_type == constants.LOGISTIC_REGRESSION:
+            self.disable_scoring_after_training = \
+                model_params.disable_fixed_effect_scoring_after_training
+        else:
+            # plain linear regression: no post-train scoring (reference :106-110)
+            self.disable_scoring_after_training = True
+        if self.variance_mode is not None:
+            assert self.model_type == constants.LOGISTIC_REGRESSION
+
+        self.metadata = DatasetMetadata.from_file(self.metadata_file)
+        self.num_features = self.metadata.num_features(self.feature_bag_name)
+        self.dtype = jnp.dtype(model_params.dtype)
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.model_coefficients: Optional[np.ndarray] = None
+        self.variances: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------ data --
+
+    @property
+    def _dim(self) -> int:
+        return self.num_features + 1 if self.has_intercept else self.num_features
+
+    def _device_batch(self, data: PerRecordData, schema_params,
+                      for_training: bool) -> Tuple[SparseBatch, np.ndarray, int]:
+        """Assemble a padded, device-sharded SparseBatch + uids from host columns."""
+        n = data.num_samples
+        md = self.metadata
+        uid = data.column(schema_params.uid_column_name).astype(np.int64)
+        if md.has_label(schema_params.label_column_name):
+            labels = data.column(schema_params.label_column_name).astype(np.float64)
+        else:
+            labels = np.zeros(n)
+        if md.has_feature(schema_params.weight_column_name):
+            weights = data.column(schema_params.weight_column_name).astype(np.float64)
+        else:
+            weights = np.ones(n)
+        if md.has_feature(self.offset_column_name):
+            offsets = data.column(self.offset_column_name).astype(np.float64)
+        else:
+            offsets = np.zeros(n)
+        if self.feature_bag_name:
+            indices, values = data.indices, data.values
+        else:
+            # intercept-only: one dummy zero-valued feature (reference :171-185)
+            indices = np.zeros((n, 8), dtype=np.int32)
+            values = np.zeros((n, 8), dtype=np.float64)
+
+        ndev = len(self.mesh.devices.flatten())
+        n_pad = pad_to_multiple(max(n, 1), ndev * 8)
+
+        def pad(a, fill=0.0):
+            if len(a) == n_pad:
+                return a
+            pad_block = np.full((n_pad - n,) + a.shape[1:], fill, dtype=a.dtype)
+            return np.concatenate([a, pad_block], axis=0)
+
+        dt = self.dtype
+        bsh = batch_sharding(self.mesh)
+        bsh2 = batch_sharding(self.mesh, rank=2)
+        batch = SparseBatch(
+            indices=jax.device_put(pad(indices), bsh2),
+            values=jax.device_put(pad(values).astype(dt), bsh2),
+            offsets=jax.device_put(pad(offsets).astype(dt), bsh),
+            labels=jax.device_put(pad(labels).astype(dt), bsh),
+            weights=jax.device_put(pad(weights).astype(dt), bsh),  # pads → weight 0
+        )
+        return batch, uid, n
+
+    # ------------------------------------------------------------- objective --
+
+    def _objective(self, batch: SparseBatch):
+        """(value, grad) of the global objective. Data-sum via scan over chunks;
+        the λ-term is applied once. With sharded inputs XLA all-reduces the
+        partial sums across the mesh (the gRPC ring of reference :384-390)."""
+        chunk = self.model_params.train_chunk_size
+        num_features = self.num_features
+        kw = dict(has_intercept=self.has_intercept, regularize_bias=True,
+                  l2_reg_weight=0.0, model_type=self.model_type)
+        n = batch.labels.shape[0]
+
+        if chunk and chunk < n:
+            c = pad_to_multiple(n, chunk) // chunk
+            def reshape(a):
+                pad_n = c * chunk - n
+                if pad_n:
+                    filler = jnp.zeros((pad_n,) + a.shape[1:], a.dtype)
+                    a = jnp.concatenate([a, filler], axis=0)
+                return a.reshape((c, chunk) + a.shape[1:])
+            chunked = SparseBatch(*[reshape(a) for a in batch])
+
+            def fun(x):
+                def body(carry, ch):
+                    v, g = carry
+                    cv, cg = fixed_effect_value_and_grad(
+                        x, SparseBatch(*ch), num_features, **kw)
+                    return (v + cv, g + cg), None
+                init = (jnp.zeros((), x.dtype), jnp.zeros_like(x))
+                (v, g), _ = jax.lax.scan(body, init, tuple(chunked))
+                lv, lg = l2_value_and_grad(
+                    x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                    regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+                return v + lv, g + lg
+            return fun
+
+        def fun(x):
+            v, g = fixed_effect_value_and_grad(x, batch, num_features, **kw)
+            lv, lg = l2_value_and_grad(
+                x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+            return v + lv, g + lg
+        return fun
+
+    # ------------------------------------------------------------------ train --
+
+    def train(self, training_data_dir, validation_data_dir, metadata_file,
+              checkpoint_path, execution_context, schema_params):
+        logger.info("Kicking off fixed effect LR L-BFGS training (TPU)")
+        task_index = execution_context.get(constants.TASK_INDEX, 0)
+        num_workers = execution_context.get(constants.NUM_WORKERS, 1)
+        is_chief = execution_context.get(constants.IS_CHIEF, True)
+
+        train_data = read_per_record(training_data_dir, self.metadata,
+                                     self.feature_bag_name,
+                                     num_shards=num_workers, shard_index=task_index)
+        batch, train_uid, n_train = self._device_batch(train_data, schema_params,
+                                                       for_training=True)
+        fun = self._objective(batch)
+
+        # Warm start from a prior avro model if shapes match (reference :606-623).
+        prev = self._load_model(catch_exception=True)
+        if prev is not None and len(prev) == self._dim:
+            logger.info("Found a previous model, loaded as the initial point")
+            x0 = jnp.asarray(prev, self.dtype)
+        else:
+            x0 = jnp.zeros((self._dim,), self.dtype)
+        x0 = jax.device_put(x0, replicated(self.mesh))
+
+        p = self.model_params
+        solve = jax.jit(lambda x: lbfgs(
+            fun, x, m=p.num_of_lbfgs_curvature_pairs, ftol=p.lbfgs_tolerance,
+            pgtol=1e-5, maxiter=p.num_of_lbfgs_iterations))
+        res = solve(x0)
+        logger.info("f_min: %s, iters: %s, funcalls: %s, converged: %s",
+                    float(res.f), int(res.num_iterations), int(res.num_funcalls),
+                    bool(res.converged))
+
+        coeffs = np.asarray(jax.device_get(res.x), dtype=np.float64)
+        self.model_coefficients = threshold_coefficients(coeffs,
+                                                         self.sparsity_threshold)
+
+        want_variance = self.variance_mode is not None
+        if not self.disable_scoring_after_training or want_variance:
+            self._score_and_write(batch, train_uid, n_train, schema_params,
+                                  self.base_params.training_score_dir, task_index,
+                                  compute_variance=want_variance)
+        if validation_data_dir:
+            val_data = read_per_record(validation_data_dir, self.metadata,
+                                       self.feature_bag_name,
+                                       num_shards=num_workers, shard_index=task_index)
+            vbatch, val_uid, n_val = self._device_batch(val_data, schema_params,
+                                                        for_training=False)
+            self._score_and_write(vbatch, val_uid, n_val, schema_params,
+                                  self.base_params.validation_score_dir, task_index)
+
+        if is_chief:
+            self._save_model()
+
+    # ------------------------------------------------------------------ score --
+
+    def _score_and_write(self, batch: SparseBatch, uid: np.ndarray, n: int,
+                         schema_params, output_dir: Optional[str], task_index: int,
+                         compute_variance: bool = False) -> None:
+        x = jnp.asarray(self.model_coefficients, self.dtype)
+
+        @jax.jit
+        def score(xx):
+            z_no_off = predict_logits(
+                xx, SparseBatch(batch.indices, batch.values,
+                                jnp.zeros_like(batch.offsets), batch.labels,
+                                batch.weights),
+                has_intercept=self.has_intercept, intercept_at_end=True)
+            return z_no_off, z_no_off + batch.offsets
+
+        per_coordinate, total = (np.asarray(a, np.float64)[:n]
+                                 for a in jax.device_get(score(x)))
+
+        if compute_variance:
+            self._compute_variance(batch, x)
+
+        if output_dir:
+            labels = weights = None
+            if self.metadata.has_label(schema_params.label_column_name):
+                labels = np.asarray(batch.labels, np.float64)[:n]
+            if self.metadata.has_feature(schema_params.weight_column_name):
+                weights = np.asarray(batch.weights, np.float64)[:n]
+            out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
+            scores_io.write_scores(out, schema_params, uid, total,
+                                   scores_per_coordinate=per_coordinate,
+                                   labels=labels, weights=weights)
+            logger.info("Wrote %d scores to %s", n, out)
+
+    def _compute_variance(self, batch: SparseBatch, x: jnp.ndarray) -> None:
+        """SIMPLE: 1/(diag H + ε); FULL: diag((H + (λ+ε)I)⁻¹) with the intercept's
+        λ removed when unregularized (reference :442-463)."""
+        lam = self.l2_reg_weight
+        if self.variance_mode == constants.SIMPLE:
+            H = np.array(jax.device_get(jax.jit(
+                lambda xx: hessian_diag(xx, batch, self.num_features,
+                                        has_intercept=self.has_intercept,
+                                        intercept_at_end=True))(x)), np.float64)
+            H += lam
+            if self.has_intercept and not self.is_regularize_bias:
+                H[-1] -= lam
+            self.variances = 1.0 / (H + _EPSILON)
+        elif self.variance_mode == constants.FULL:
+            H = np.array(jax.device_get(jax.jit(
+                lambda xx: hessian_full(xx, batch, self.num_features,
+                                        has_intercept=self.has_intercept,
+                                        intercept_at_end=True))(x)), np.float64)
+            H += np.diag([lam + _EPSILON] * H.shape[0])
+            if self.has_intercept and not self.is_regularize_bias:
+                H[-1][-1] -= lam
+            self.variances = np.diagonal(np.linalg.inv(H))
+
+    # --------------------------------------------------------------- save/load --
+
+    def _save_model(self) -> None:
+        compute_variance = self.variances is not None
+        if self.has_intercept:
+            bias = ((self.model_coefficients[-1], self.variances[-1])
+                    if compute_variance else self.model_coefficients[-1])
+        else:
+            bias = None
+        expanded_bias = None if bias is None else [bias]
+        if self.feature_bag_name is None:
+            list_of_weight_indices = list_of_weight_values = None
+        else:
+            if self.has_intercept:
+                weights = self.model_coefficients[:-1]
+                variances = self.variances[:-1] if compute_variance else None
+            else:
+                weights = self.model_coefficients
+                variances = self.variances if compute_variance else None
+            indices = np.arange(weights.shape[0])
+            list_of_weight_values = [weights] if variances is None \
+                else [(weights, variances)]
+            list_of_weight_indices = [indices]
+        output_file = os.path.join(self.checkpoint_path, "part-00000.avro")
+        model_class = (constants.LOGISTIC_MODEL_CLASS
+                       if self.model_type == constants.LOGISTIC_REGRESSION
+                       else constants.LINEAR_MODEL_CLASS)
+        model_avro.export_linear_model_to_avro(
+            model_ids=["global model"],
+            list_of_weight_indices=list_of_weight_indices,
+            list_of_weight_values=list_of_weight_values,
+            biases=expanded_bias, feature_file=self.feature_file,
+            output_file=output_file, model_class=model_class,
+            sparsity_threshold=self.sparsity_threshold)
+        logger.info("Saved fixed-effect model to %s", output_file)
+
+    def _load_model(self, catch_exception: bool = False) -> Optional[np.ndarray]:
+        path = self.checkpoint_path
+        if not path or not os.path.isdir(path):
+            if catch_exception:
+                return None
+            raise FileNotFoundError(f"checkpoint path {path} doesn't exist")
+        files = [os.path.join(path, f) for f in os.listdir(path)
+                 if f.endswith(".avro")]
+        if len(files) != 1:
+            if catch_exception:
+                return None
+            raise ValueError(f"expected exactly one model file in {path}, "
+                             f"found {len(files)}")
+        model = model_avro.load_linear_models_from_avro(files[0], self.feature_file)[0]
+        if self.feature_bag_name is None and model is not None:
+            (model,) = model_avro.add_dummy_weight((model,))
+        return model
+
+    # ---------------------------------------------------------------- predict --
+
+    def predict(self, output_dir, input_data_path, metadata_file, checkpoint_path,
+                execution_context, schema_params):
+        logger.info("Kicking off fixed effect LR predict")
+        task_index = execution_context.get(constants.TASK_INDEX, 0)
+        num_workers = execution_context.get(constants.NUM_WORKERS, 1)
+        self.model_coefficients = np.asarray(self._load_model(), dtype=np.float64)
+        data = read_per_record(input_data_path, self.metadata, self.feature_bag_name,
+                               num_shards=num_workers, shard_index=task_index)
+        batch, uid, n = self._device_batch(data, schema_params, for_training=False)
+        self._score_and_write(batch, uid, n, schema_params, output_dir, task_index)
+
+    @staticmethod
+    def from_argv(argv, base_params: Params, mesh=None) -> "FixedEffectLRModel":
+        return FixedEffectLRModel(from_argv(FixedLRParams, argv), base_params, mesh)

@@ -65,6 +65,15 @@ def _l2_mask(d: int, has_intercept: bool, regularize_bias: bool,
     return mask
 
 
+def l2_value_and_grad(x: jnp.ndarray, l2_reg_weight, *, has_intercept: bool,
+                      regularize_bias: bool, intercept_at_end: bool):
+    """Standalone λ·½‖x‖² term (used once per solve when the data loss is chunked)."""
+    mask = _l2_mask(x.shape[0], has_intercept, regularize_bias, intercept_at_end,
+                    x.dtype)
+    lam = jnp.asarray(l2_reg_weight, x.dtype)
+    return 0.5 * lam * jnp.sum(mask * x * x), lam * mask * x
+
+
 def fixed_effect_value_and_grad(x: jnp.ndarray,
                                 batch: SparseBatch,
                                 num_features: int,

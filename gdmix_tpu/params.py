@@ -1,0 +1,186 @@
+"""Parameter dataclasses + CLI flag parsing.
+
+Mirrors the reference's smart-arg dataclasses (/root/reference/gdmix-trainer/src/
+gdmix/params.py, models/custom/base_lr_params.py, FixedLRParams, REParams) so the
+same flag vocabulary drives this trainer. Unknown argv entries are ignored, letting
+one argv serve Params + model params (reference gdmix.py:21-22).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Type, TypeVar
+
+from gdmix_tpu import constants
+
+_ACTIONS = (constants.ACTION_INFERENCE, constants.ACTION_TRAIN)
+_STAGES = (constants.FIXED_EFFECT, constants.RANDOM_EFFECT)
+_MODEL_TYPES = (constants.LOGISTIC_REGRESSION, constants.LINEAR_REGRESSION,
+                constants.DETEXT)
+_VARIANCE_MODES = (constants.FULL, constants.SIMPLE)
+
+T = TypeVar("T")
+
+
+def _coerce(value: str, typ):
+    if typ is bool:
+        return value.lower() in ("true", "1", "yes")
+    origin = getattr(typ, "__origin__", None)
+    if origin is not None:  # Optional[X] / List[X]
+        args = [a for a in typ.__args__ if a is not type(None)]
+        if origin is list:
+            return [_coerce(v, args[0]) for v in value.split(",")]
+        return _coerce(value, args[0])
+    return typ(value)
+
+
+def from_argv(cls: Type[T], argv: List[str], error_on_unknown: bool = False) -> T:
+    """Parse --key=value / --key value flags into a dataclass, ignoring unknowns."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("--"):
+            i += 1
+            continue
+        if "=" in tok:
+            key, value = tok[2:].split("=", 1)
+            i += 1
+        else:
+            key = tok[2:]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                value = argv[i + 1]
+                i += 2
+            else:
+                value = "true"
+                i += 1
+        key = key.replace("-", "_")
+        f = fields.get(key)
+        if f is None:
+            if error_on_unknown:
+                raise ValueError(f"Unknown flag --{key}")
+            continue
+        kwargs[key] = _coerce(value, f.type if not isinstance(f.type, str)
+                              else _resolve_type(cls, f.name))
+    return cls(**kwargs)
+
+
+def _resolve_type(cls, name):
+    import typing
+    hints = typing.get_type_hints(cls)
+    return hints[name]
+
+
+def from_dict(cls: Type[T], d: dict, error_on_unknown: bool = False) -> T:
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k.replace("-", "_"): v for k, v in d.items()
+              if k.replace("-", "_") in fields}
+    if error_on_unknown:
+        unknown = set(d) - fields
+        if unknown:
+            raise ValueError(f"Unknown config keys {unknown}")
+    return cls(**kwargs)
+
+
+@dataclass
+class SchemaParams:
+    """Dataset schema column names (reference params.py:35-43)."""
+    uid_column_name: str = "uid"
+    weight_column_name: Optional[str] = None
+    label_column_name: Optional[str] = None
+    prediction_score_column_name: Optional[str] = None
+    prediction_score_per_coordinate_column_name: str = "predictionScorePerCoordinate"
+
+
+@dataclass
+class Params(SchemaParams):
+    """Top-level driver params (reference params.py:12-55)."""
+    action: str = constants.ACTION_TRAIN
+    stage: str = constants.FIXED_EFFECT
+    model_type: str = constants.LOGISTIC_REGRESSION
+    training_score_dir: Optional[str] = None
+    validation_score_dir: Optional[str] = None
+    partition_list_file: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.action in _ACTIONS, f"Action: {self.action} must be in {_ACTIONS}"
+        assert self.stage in _STAGES, f"Stage: {self.stage} must be in {_STAGES}"
+        assert self.model_type in _MODEL_TYPES, \
+            f"Model type: {self.model_type} must be in {_MODEL_TYPES}"
+        assert (self.action == constants.ACTION_TRAIN and self.label_column_name) or \
+               (self.action == constants.ACTION_INFERENCE
+                and self.prediction_score_column_name)
+
+
+@dataclass
+class LRParams:
+    """Shared linear-model hyperparams (reference base_lr_params.py)."""
+    metadata_file: str = ""
+    output_model_dir: str = ""
+    training_data_dir: Optional[str] = None
+    validation_data_dir: Optional[str] = None
+    feature_bag: Optional[str] = None
+    feature_file: Optional[str] = None
+    regularize_bias: bool = True
+    l2_reg_weight: float = 1.0
+    lbfgs_tolerance: float = 1e-12
+    num_of_lbfgs_curvature_pairs: int = 10
+    num_of_lbfgs_iterations: int = 100
+    has_intercept: bool = True
+    offset_column_name: str = "offset"
+    sparsity_threshold: float = 1.0e-4
+    batch_size: int = 16
+    data_format: str = constants.TFRECORD
+
+    def __post_init__(self):
+        assert self.batch_size > 0, "Batch size must be positive number"
+        if self.regularize_bias:
+            assert self.has_intercept, "Intercept must be used when it is regularized"
+        assert self.feature_bag or self.has_intercept, \
+            "Either intercept or feature bag must be used"
+
+
+@dataclass
+class FixedLRParams(LRParams):
+    """Fixed-effect extras (reference fixed_effect_lr_lbfgs_model.py:55-71).
+
+    TPU additions: `dtype` selects the on-device solve precision; `train_chunk_size`
+    bounds the per-step device batch when scanning very large datasets.
+    """
+    copy_to_local: bool = False
+    disable_fixed_effect_scoring_after_training: bool = False
+    fixed_effect_variance_mode: Optional[str] = None
+    dtype: str = "float32"
+    train_chunk_size: int = 0       # 0 = whole shard in one chunk
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.fixed_effect_variance_mode is None \
+            or self.fixed_effect_variance_mode in _VARIANCE_MODES
+
+
+@dataclass
+class REParams(LRParams):
+    """Random-effect extras (reference random_effect_lr_lbfgs_model.py:34-53).
+
+    The queue/consumer knobs of the reference are process-pool artifacts; their TPU
+    analogs are the bucketing knobs: `max_samples_per_bucket` etc.
+    """
+    partition_entity: Optional[str] = None
+    enable_local_indexing: bool = False
+    random_effect_variance_mode: Optional[str] = None
+    disable_random_effect_scoring_after_training: bool = False
+    # Reference knobs kept for config compatibility (no-ops on TPU):
+    max_training_queue_size: int = 10
+    training_queue_timeout_in_seconds: int = 300
+    num_of_consumers: int = 2
+    # TPU additions:
+    dtype: str = "float32"
+    batch_solver: str = "lbfgs"     # "lbfgs" | "newton"
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.random_effect_variance_mode is None \
+            or self.random_effect_variance_mode in _VARIANCE_MODES
+        assert self.batch_solver in ("lbfgs", "newton")
