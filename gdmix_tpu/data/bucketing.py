@@ -1,0 +1,188 @@
+"""Entity bucketing: ragged per-entity datasets → dense padded solver buckets.
+
+The TPU replacement for the reference's producer/consumer job queue
+(/root/reference/gdmix-trainer/src/gdmix/models/custom/scipy/job_consumers.py:161-296):
+instead of slicing one scipy COO matrix per entity and queueing it to a process
+pool, entities are grouped into a few power-of-two-sized buckets and solved as
+vmapped batches.
+
+Each entity's problem is expressed in COMPACT FEATURE SPACE: its records' global
+feature ids are remapped onto [0, U) where U is the entity's unique-feature count
+(padded per bucket). This is the reference's `enable_local_indexing` — which is
+output-equivalent to global indexing because the L2 term is coordinate-separable,
+so coefficients outside an entity's support stay exactly zero and are dropped from
+the exported model either way (job_consumers.py:55-63 extracts support coefficients
+in both modes).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gdmix_tpu.io.input_pipeline import EntityGroup
+from gdmix_tpu.io.model_avro import SparseModel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class EntityBucket:
+    """A batch of same-shape per-entity problems (all arrays leading dim B)."""
+    entity_ids: List[str]
+    indices: np.ndarray        # [B, n_cap, K] int32 — LOCAL feature ids
+    values: np.ndarray         # [B, n_cap, K] float
+    offsets: np.ndarray        # [B, n_cap]
+    labels: np.ndarray         # [B, n_cap]
+    weights: np.ndarray        # [B, n_cap] (0.0 marks padding rows)
+    uids: np.ndarray           # [B, n_cap] int64
+    sample_count: np.ndarray   # [B] int32 — true per-entity record count
+    unique_global_indices: np.ndarray  # [B, U] int64 (0-padded)
+    u_count: np.ndarray        # [B] int32 — true unique-feature count
+    theta0: np.ndarray         # [B, 1+U] or [B, U] — warm-start coefficients
+
+    @property
+    def batch(self) -> int:
+        return len(self.entity_ids)
+
+    @property
+    def n_cap(self) -> int:
+        return self.indices.shape[1]
+
+    @property
+    def u_cap(self) -> int:
+        return self.unique_global_indices.shape[1]
+
+
+def _entity_compact(group: EntityGroup) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Unique global ids (sorted) + per-record locally-remapped index rows."""
+    if group.ragged_indices:
+        all_idx = np.concatenate([r for r in group.ragged_indices]) \
+            if any(len(r) for r in group.ragged_indices) else np.zeros(0, np.int64)
+    else:
+        all_idx = np.zeros(0, np.int64)
+    unique = np.unique(all_idx) if all_idx.size else np.zeros(1, np.int64)
+    local_rows = [np.searchsorted(unique, r).astype(np.int32)
+                  for r in group.ragged_indices]
+    return unique, local_rows
+
+
+def _warm_start(unique: np.ndarray, prior: Optional[SparseModel],
+                has_intercept: bool, u_cap: int) -> np.ndarray:
+    """Reconcile a prior model onto the entity's current support
+    (reference job_consumers.py:260-288)."""
+    dim = u_cap + (1 if has_intercept else 0)
+    theta0 = np.zeros(dim, dtype=np.float64)
+    if prior is None:
+        return theta0
+    off = 1 if has_intercept else 0
+    if has_intercept:
+        theta0[0] = prior.theta[0]
+    prior_map = {int(u): prior.theta[off + i]
+                 for i, u in enumerate(prior.unique_global_indices)}
+    for i, u in enumerate(unique):
+        v = prior_map.get(int(u))
+        if v is not None:
+            theta0[off + i] = v
+    return theta0
+
+
+def bucketize(groups: Sequence[EntityGroup],
+              schema_params,
+              offset_column_name: str,
+              has_intercept: bool = True,
+              prior_models: Optional[Dict[str, SparseModel]] = None,
+              min_bucket_rows: int = 8,
+              batch_align: int = 8,
+              nnz_align: int = 4) -> List[EntityBucket]:
+    """Group entities into power-of-two sample-count buckets and pad.
+
+    Padding entities (to align the batch dim) carry sample_count 0 / weights 0 and
+    converge instantly in the batched solver.
+    """
+    if not groups:
+        return []
+    prior_models = prior_models or {}
+    label_col = schema_params.label_column_name
+    weight_col = schema_params.weight_column_name
+    uid_col = schema_params.uid_column_name
+
+    compact = [_entity_compact(g) for g in groups]
+    counts = np.array([g.sample_count for g in groups])
+
+    # Power-of-two caps starting at min_bucket_rows.
+    caps: List[int] = []
+    cap = min_bucket_rows
+    max_count = int(counts.max())
+    while cap < max_count:
+        caps.append(cap)
+        cap *= 2
+    caps.append(_round_up(max_count, min_bucket_rows))
+
+    def cap_of(n: int) -> int:
+        for c in caps:
+            if n <= c:
+                return c
+        return caps[-1]
+
+    assignment: Dict[int, List[int]] = {}
+    for gi, n in enumerate(counts):
+        assignment.setdefault(cap_of(int(n)), []).append(gi)
+
+    buckets: List[EntityBucket] = []
+    for n_cap, members in sorted(assignment.items()):
+        b_real = len(members)
+        b = _round_up(b_real, batch_align)
+        k = max(max((max((len(r) for r in groups[gi].ragged_indices), default=1)
+                     for gi in members)), 1)
+        k = _round_up(k, nnz_align)
+        u = max(max(len(compact[gi][0]) for gi in members), 1)
+        u = _round_up(u, nnz_align)
+        dim = u + (1 if has_intercept else 0)
+
+        indices = np.zeros((b, n_cap, k), dtype=np.int32)
+        values = np.zeros((b, n_cap, k), dtype=np.float64)
+        offsets = np.zeros((b, n_cap), dtype=np.float64)
+        labels = np.zeros((b, n_cap), dtype=np.float64)
+        weights = np.zeros((b, n_cap), dtype=np.float64)
+        uids = np.zeros((b, n_cap), dtype=np.int64)
+        sample_count = np.zeros((b,), dtype=np.int32)
+        unique_g = np.zeros((b, u), dtype=np.int64)
+        u_count = np.zeros((b,), dtype=np.int32)
+        theta0 = np.zeros((b, dim), dtype=np.float64)
+        entity_ids: List[str] = []
+
+        for slot, gi in enumerate(members):
+            g = groups[gi]
+            unique, local_rows = compact[gi]
+            n = g.sample_count
+            entity_ids.append(g.entity_id)
+            sample_count[slot] = n
+            u_count[slot] = len(unique)
+            unique_g[slot, :len(unique)] = unique
+            for r, row in enumerate(local_rows):
+                m = len(row)
+                if m:
+                    indices[slot, r, :m] = row
+                    values[slot, r, :m] = g.ragged_values[r]
+            if label_col and label_col in g.columns:
+                labels[slot, :n] = g.columns[label_col][:n]
+            if weight_col and weight_col in g.columns:
+                weights[slot, :n] = g.columns[weight_col][:n]
+            else:
+                weights[slot, :n] = 1.0
+            if offset_column_name in g.columns:
+                offsets[slot, :n] = g.columns[offset_column_name][:n]
+            if uid_col in g.columns:
+                uids[slot, :n] = g.columns[uid_col][:n]
+            theta0[slot] = _warm_start(unique, prior_models.get(g.entity_id),
+                                       has_intercept, u)
+
+        buckets.append(EntityBucket(
+            entity_ids=entity_ids, indices=indices, values=values, offsets=offsets,
+            labels=labels, weights=weights, uids=uids, sample_count=sample_count,
+            unique_global_indices=unique_g, u_count=u_count, theta0=theta0))
+    return buckets

@@ -206,7 +206,7 @@ class FixedEffectLRModel(Model):
         p = self.model_params
         solve = jax.jit(lambda x: lbfgs(
             fun, x, m=p.num_of_lbfgs_curvature_pairs, ftol=p.lbfgs_tolerance,
-            pgtol=1e-5, maxiter=p.num_of_lbfgs_iterations))
+            pgtol=p.lbfgs_pgtol, maxiter=p.num_of_lbfgs_iterations))
         res = solve(x0)
         logger.info("f_min: %s, iters: %s, funcalls: %s, converged: %s",
                     float(res.f), int(res.num_iterations), int(res.num_funcalls),

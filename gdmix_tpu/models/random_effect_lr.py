@@ -1,0 +1,299 @@
+"""Random-effect LR: thousands of per-entity models as vmapped on-device solves.
+
+The TPU re-design of the reference RandomEffectLRLBFGSModel
+(/root/reference/gdmix-trainer/src/gdmix/models/custom/random_effect_lr_lbfgs_model.py):
+
+  reference                                     here
+  ─────────────────────────────────────────     ───────────────────────────────────
+  producer slices per-entity scipy COO          entities bucketed by sample count,
+  matrices, Manager().Queue to a                padded to [B, n_cap, K] compact-
+  ProcessPoolExecutor                           feature arrays (data/bucketing.py)
+  one scipy fmin_l_bfgs_b per entity            ONE vmapped L-BFGS per bucket —
+  per process                                   every lane a model, frozen on
+                                                convergence (ops/lbfgs.py)
+  per-entity variance in numpy                  batched diag/inv in the same jit
+
+Behavior preserved: warm start with prior-model/feature reconciliation, sparsify-
+to-support + threshold, photon-ml avro export per partition, validation + active +
+passive scoring where entities without a model pass offsets through
+(job_consumers.py:144-152), intercept-only models, string or numeric entity ids.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdmix_tpu import constants
+from gdmix_tpu.data.bucketing import EntityBucket, bucketize
+from gdmix_tpu.io import model_avro, scores as scores_io
+from gdmix_tpu.io.input_pipeline import read_per_entity_grouped
+from gdmix_tpu.io.metadata import DatasetMetadata
+from gdmix_tpu.io.model_avro import SparseModel
+from gdmix_tpu.models.api import Model
+from gdmix_tpu.ops.lbfgs import lbfgs
+from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
+                                    per_entity_value_and_grad, predict_logits)
+from gdmix_tpu.params import Params, REParams, from_argv
+from gdmix_tpu.util.model_utils import threshold_coefficients
+
+logger = logging.getLogger(__name__)
+
+_EPSILON = 1.0e-12
+
+
+class RandomEffectLRModel(Model):
+    """Batched per-entity logistic regression."""
+
+    def __init__(self, model_params: REParams, base_params: Params):
+        self.model_params = model_params
+        self.base_params = base_params
+        self.checkpoint_path = model_params.output_model_dir
+        self.metadata_file = model_params.metadata_file
+        self.feature_bag_name = model_params.feature_bag
+        self.has_intercept = model_params.has_intercept
+        self.feature_file = (None if self.feature_bag_name is None
+                             else model_params.feature_file)
+        if model_params.training_data_dir is not None:
+            self.training_data_dir = os.path.join(model_params.training_data_dir,
+                                                  constants.ACTIVE)
+            self.passive_training_data_dir = os.path.join(
+                model_params.training_data_dir, constants.PASSIVE)
+        else:
+            self.training_data_dir = None
+            self.passive_training_data_dir = None
+        self.validation_data_dir = model_params.validation_data_dir
+        self.metadata = DatasetMetadata.from_file(self.metadata_file)
+        self.num_features = self.metadata.num_features(self.feature_bag_name)
+        self.dtype = jnp.dtype(model_params.dtype)
+        self.variance_mode = model_params.random_effect_variance_mode
+
+    # ------------------------------------------------------------------ train --
+
+    def train(self, training_data_dir, validation_data_dir, metadata_file,
+              checkpoint_path, execution_context, schema_params):
+        logger.info("Kicking off random effect LR training (TPU batched)")
+        partition_index = execution_context[constants.PARTITION_INDEX]
+        avro_filename = f"part-{partition_index:05d}.avro"
+        model_file = os.path.join(self.model_params.output_model_dir, avro_filename)
+
+        model_weights = self._load_weights(model_file, catch_exception=True)
+        groups = read_per_entity_grouped(training_data_dir, self.metadata,
+                                         self.model_params.partition_entity,
+                                         self.feature_bag_name)
+        logger.info("Training %d entities", len(groups))
+        buckets = bucketize(groups, schema_params,
+                            self.model_params.offset_column_name,
+                            has_intercept=self.has_intercept,
+                            prior_models=model_weights)
+        results: Dict[str, SparseModel] = {}
+        for bucket in buckets:
+            results.update(self._train_bucket(bucket))
+        # prior ∪ new — prior-only entities carry forward (reference :155-163)
+        model_weights.update(results)
+        logger.info("%d models in total after training/refreshing.",
+                    len(model_weights))
+        self._save_model(model_file, model_weights)
+
+        # Scoring
+        predict = partial(self._predict_file, schema_params=schema_params,
+                          model_weights=model_weights)
+        if validation_data_dir:
+            o = execution_context.get(constants.VALIDATION_OUTPUT_FILE)
+            o and predict(input_path=validation_data_dir, output_file=o)
+        if not self.model_params.disable_random_effect_scoring_after_training:
+            o = execution_context.get(constants.ACTIVE_TRAINING_OUTPUT_FILE)
+            o and predict(input_path=training_data_dir, output_file=o)
+            i = execution_context.get(constants.PASSIVE_TRAINING_DATA_DIR)
+            o = execution_context.get(constants.PASSIVE_TRAINING_OUTPUT_FILE)
+            i and o and predict(input_path=i, output_file=o)
+
+    # ---------------------------------------------------------- bucket solving --
+
+    def _bucket_device_arrays(self, bucket: EntityBucket):
+        dt = self.dtype
+        return dict(
+            indices=jnp.asarray(bucket.indices),
+            values=jnp.asarray(bucket.values, dt),
+            offsets=jnp.asarray(bucket.offsets, dt),
+            labels=jnp.asarray(bucket.labels, dt),
+            weights=jnp.asarray(bucket.weights, dt),
+            sample_count=jnp.asarray(bucket.sample_count, dt),
+            theta0=jnp.asarray(bucket.theta0, dt),
+        )
+
+    def _train_bucket(self, bucket: EntityBucket) -> Dict[str, SparseModel]:
+        p = self.model_params
+        u_cap = bucket.u_cap
+        arrays = self._bucket_device_arrays(bucket)
+
+        @jax.jit
+        def solve(a):
+            def one(theta0, idx, val, off, lab, wt, cnt):
+                batch = SparseBatch(idx, val, off, lab, wt)
+                fun = lambda th: per_entity_value_and_grad(
+                    th, batch, u_cap, has_intercept=self.has_intercept,
+                    regularize_bias=p.regularize_bias, l2_reg_weight=p.l2_reg_weight,
+                    sample_count=cnt)
+                res = lbfgs(fun, theta0, m=p.num_of_lbfgs_curvature_pairs,
+                            ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol,
+                            maxiter=p.num_of_lbfgs_iterations)
+                var = self._variance_one(res.x, batch, u_cap, cnt) \
+                    if self.variance_mode else jnp.zeros_like(res.x)
+                return res.x, var, res.converged
+            return jax.vmap(one)(a["theta0"], a["indices"], a["values"],
+                                 a["offsets"], a["labels"], a["weights"],
+                                 a["sample_count"])
+
+        thetas, variances, converged = (np.asarray(jax.device_get(t), np.float64)
+                                        for t in solve(arrays))
+        out: Dict[str, SparseModel] = {}
+        off = 1 if self.has_intercept else 0
+        for slot, entity_id in enumerate(bucket.entity_ids):
+            u = int(bucket.u_count[slot])
+            theta = threshold_coefficients(thetas[slot][:off + u],
+                                           self.model_params.sparsity_threshold)
+            variance = variances[slot][:off + u] if self.variance_mode else None
+            out[entity_id] = SparseModel(
+                model_id=entity_id, theta=theta, variance=variance,
+                unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
+        return out
+
+    def _variance_one(self, theta, batch: SparseBatch, u_cap: int, cnt):
+        """Per-entity variance (reference binary_logistic_regression.py:144-189).
+        Note the reference's Hessian is UN-normalized (no 1/n)."""
+        lam = self.model_params.l2_reg_weight
+        unreg_bias = self.has_intercept and not self.model_params.regularize_bias
+        if self.variance_mode == constants.SIMPLE:
+            hd = hessian_diag(theta, batch, u_cap, has_intercept=self.has_intercept,
+                              intercept_at_end=False) + lam
+            if unreg_bias:
+                hd = hd.at[0].add(-lam)
+            return 1.0 / (hd + _EPSILON)
+        H = hessian_full(theta, batch, u_cap, has_intercept=self.has_intercept,
+                         intercept_at_end=False)
+        dim = H.shape[0]
+        H = H + (lam + _EPSILON) * jnp.eye(dim, dtype=theta.dtype)
+        if unreg_bias:
+            H = H.at[0, 0].add(-lam)
+        return jnp.diagonal(jnp.linalg.inv(H))
+
+    # ---------------------------------------------------------------- scoring --
+
+    def _predict_file(self, input_path: str, output_file: str, schema_params,
+                      model_weights: Dict[str, SparseModel]) -> None:
+        logger.info("Start inference for %s.", input_path)
+        groups = read_per_entity_grouped(input_path, self.metadata,
+                                         self.model_params.partition_entity,
+                                         self.feature_bag_name)
+        if not groups:
+            logger.info("No entities found in %s, skipping.", input_path)
+            return
+        # Reusing bucketize: theta0 = prior model restricted to the data's support
+        # reproduces X·θ exactly (absent features contribute nothing), and
+        # entities without a model get θ=0 → logits = offsets (reference
+        # job_consumers.py:144-152).
+        buckets = bucketize(groups, schema_params,
+                            self.model_params.offset_column_name,
+                            has_intercept=self.has_intercept,
+                            prior_models=model_weights)
+        uids, totals, per_coords, labels, weights = [], [], [], [], []
+        has_label = schema_params.label_column_name is not None and any(
+            schema_params.label_column_name in g.columns for g in groups)
+        has_weight = schema_params.weight_column_name is not None and any(
+            schema_params.weight_column_name in g.columns for g in groups)
+        for bucket in buckets:
+            a = self._bucket_device_arrays(bucket)
+
+            @jax.jit
+            def score(a):
+                def one(theta, idx, val, off, lab, wt):
+                    batch = SparseBatch(idx, val, off, lab, wt)
+                    z = predict_logits(theta, batch,
+                                       has_intercept=self.has_intercept,
+                                       intercept_at_end=False)
+                    return z, z - off
+                return jax.vmap(one)(a["theta0"], a["indices"], a["values"],
+                                     a["offsets"], a["labels"], a["weights"])
+
+            z, z_pc = (np.asarray(jax.device_get(t), np.float64)
+                       for t in score(a))
+            for slot in range(len(bucket.entity_ids)):
+                n = int(bucket.sample_count[slot])
+                uids.append(bucket.uids[slot, :n])
+                totals.append(z[slot, :n])
+                per_coords.append(z_pc[slot, :n])
+                labels.append(bucket.labels[slot, :n])
+                weights.append(bucket.weights[slot, :n])
+        scores_io.write_scores(
+            output_file, schema_params,
+            np.concatenate(uids), np.concatenate(totals),
+            scores_per_coordinate=np.concatenate(per_coords),
+            labels=np.concatenate(labels) if has_label else None,
+            weights=np.concatenate(weights) if has_weight else None)
+        logger.info("Inference complete: %s.", input_path)
+
+    # --------------------------------------------------------------- save/load --
+
+    def _save_model(self, output_file: str,
+                    model_coefficients: Dict[str, SparseModel]) -> None:
+        model_ids = list(model_coefficients.keys())
+        biases = [] if self.has_intercept else None
+        if self.feature_file is None:
+            list_of_weight_indices = list_of_weight_values = None
+            assert self.num_features == 1
+        else:
+            list_of_weight_indices = []
+            list_of_weight_values = []
+        with_variance = self.variance_mode is not None
+        for entity_id, sm in model_coefficients.items():
+            idx = 0
+            if self.has_intercept:
+                if with_variance and sm.variance is not None:
+                    biases.append((sm.theta[0], sm.variance[0]))
+                else:
+                    biases.append(sm.theta[0])
+                idx = 1
+            if list_of_weight_indices is not None:
+                if with_variance and sm.variance is not None:
+                    list_of_weight_values.append((sm.theta[idx:], sm.variance[idx:]))
+                else:
+                    list_of_weight_values.append(sm.theta[idx:])
+                list_of_weight_indices.append(sm.unique_global_indices)
+        os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+        model_avro.export_linear_model_to_avro(
+            model_ids, list_of_weight_indices, list_of_weight_values, biases,
+            self.feature_file, output_file,
+            sparsity_threshold=self.model_params.sparsity_threshold)
+        logger.info("Saved %d random-effect models to %s", len(model_ids),
+                    output_file)
+
+    def _load_weights(self, model_file: str, catch_exception: bool = False
+                      ) -> Dict[str, SparseModel]:
+        if not os.path.exists(model_file):
+            if catch_exception:
+                return {}
+            raise FileNotFoundError(f"Model file {model_file} does not exist")
+        return model_avro.load_sparse_models_from_avro(
+            model_file, self.feature_file, has_intercept=self.has_intercept)
+
+    # ---------------------------------------------------------------- predict --
+
+    def predict(self, output_dir, input_data_path, metadata_file, checkpoint_path,
+                execution_context, schema_params):
+        partition_index = execution_context[constants.PARTITION_INDEX]
+        avro_filename = f"part-{partition_index:05d}.avro"
+        model_weights = self._load_weights(
+            os.path.join(checkpoint_path, avro_filename))
+        self._predict_file(input_data_path,
+                           os.path.join(output_dir, avro_filename),
+                           schema_params, model_weights)
+
+    @staticmethod
+    def from_argv(argv, base_params: Params) -> "RandomEffectLRModel":
+        return RandomEffectLRModel(from_argv(REParams, argv), base_params)

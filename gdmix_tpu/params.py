@@ -125,6 +125,7 @@ class LRParams:
     regularize_bias: bool = True
     l2_reg_weight: float = 1.0
     lbfgs_tolerance: float = 1e-12
+    lbfgs_pgtol: float = 1e-5       # ‖proj g‖∞ stop (scipy fmin_l_bfgs_b default)
     num_of_lbfgs_curvature_pairs: int = 10
     num_of_lbfgs_iterations: int = 100
     has_intercept: bool = True

@@ -118,7 +118,7 @@ def _params(ds, tmp_path, **overrides):
     base = dict(metadata_file=ds["md_file"], output_model_dir=model_dir,
                 training_data_dir=ds["train_dir"], feature_bag="global",
                 feature_file=ds["feature_file"], l2_reg_weight=0.7,
-                regularize_bias=False, dtype="float64", lbfgs_tolerance=1e-14,
+                regularize_bias=False, dtype="float64", lbfgs_tolerance=1e-14, lbfgs_pgtol=1e-10,
                 num_of_lbfgs_iterations=500, sparsity_threshold=0.0)
     base.update(overrides)
     model_params = FixedLRParams(**base)

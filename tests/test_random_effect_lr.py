@@ -1,0 +1,301 @@
+"""Random-effect batched trainer tests vs a per-entity scipy oracle — mirrors the
+reference's test_random_effect_lr_lbfgs_model.py behavioral suite."""
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.optimize import fmin_l_bfgs_b
+from scipy.special import expit
+
+from gdmix_tpu import constants
+from gdmix_tpu.io.feature_list import write_feature_list
+from gdmix_tpu.io.input_pipeline import EntityGroup, write_per_entity_grouped
+from gdmix_tpu.io.metadata import DatasetMetadata
+from gdmix_tpu.io.model_avro import load_sparse_models_from_avro
+from gdmix_tpu.io.scores import read_scores
+from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+from gdmix_tpu.params import Params, REParams
+
+D = 5  # global feature-space width
+
+
+def _make_groups(num_entities=7, seed=0, entity_dtype="long"):
+    """Ragged synthetic per-entity data with heterogeneous sizes/support."""
+    rng = np.random.RandomState(seed)
+    groups = []
+    dense = {}
+    uid = 0
+    for e in range(num_entities):
+        n = int(rng.randint(4, 20))
+        support = np.sort(rng.choice(D, rng.randint(1, D + 1), replace=False))
+        ragged_idx, ragged_val = [], []
+        X = np.zeros((n, D))
+        for r in range(n):
+            nnz = rng.randint(1, len(support) + 1)
+            cols = np.sort(rng.choice(support, nnz, replace=False))
+            vals = rng.randn(nnz)
+            ragged_idx.append(cols.astype(np.int64))
+            ragged_val.append(vals)
+            X[r, cols] = vals
+        w_true = rng.randn(D)
+        y = (rng.rand(n) < expit(X @ w_true)).astype(np.float64)
+        # Degenerate single-class entities make the unregularized intercept
+        # diverge (solver-dependent ridge) — force both classes present.
+        if y.min() == y.max():
+            y[0], y[-1] = 0.0, 1.0
+        offsets = 0.2 * rng.randn(n).astype(np.float32).astype(np.float64)
+        weights = (rng.rand(n) + 0.5).astype(np.float32).astype(np.float64)
+        eid = str(e + 100)
+        g = EntityGroup(
+            entity_id=eid,
+            columns={"uid": np.arange(uid, uid + n, dtype=np.int64),
+                     "response": y,
+                     "offset": offsets.astype(np.float32),
+                     "weight": weights.astype(np.float32)},
+            ragged_indices=ragged_idx, ragged_values=ragged_val)
+        groups.append(g)
+        dense[eid] = (X, y, offsets.astype(np.float32).astype(np.float64),
+                      weights.astype(np.float32).astype(np.float64))
+        uid += n
+    return groups, dense
+
+
+def _write_dataset(tmp_path, groups, entity_dtype="long", subdir="active"):
+    root = str(tmp_path)
+    md_json = {
+        "features": [
+            {"name": "per_entity", "dtype": "float", "shape": [D], "isSparse": True},
+            {"name": "user_id", "dtype": entity_dtype, "shape": [], "isSparse": False},
+            {"name": "uid", "dtype": "long", "shape": [], "isSparse": False},
+            {"name": "weight", "dtype": "float", "shape": [], "isSparse": False},
+            {"name": "offset", "dtype": "float", "shape": [], "isSparse": False},
+        ],
+        "labels": [{"name": "response", "dtype": "float", "shape": [],
+                    "isSparse": False}]}
+    md_file = os.path.join(root, "tensor_metadata.json")
+    with open(md_file, "w") as f:
+        json.dump(md_json, f)
+    data_dir = os.path.join(root, "trainingData", subdir)
+    os.makedirs(data_dir, exist_ok=True)
+    metadata = DatasetMetadata.from_file(md_file)
+    write_per_entity_grouped(os.path.join(data_dir, "data.tfrecord"), groups,
+                             "user_id", entity_dtype, "per_entity")
+    feature_file = os.path.join(root, "features.csv")
+    write_feature_list([(f"f{i}", "") for i in range(D)], feature_file)
+    return md_file, os.path.join(root, "trainingData"), feature_file
+
+
+def _scipy_entity_oracle(X, y, offsets, weights, lam, support,
+                         regularize_bias=False, theta0=None):
+    """Reference BinaryLogisticRegressionTrainer.fit on the entity's support."""
+    Xs = X[:, support]
+    X1 = np.hstack([np.ones((len(y), 1)), Xs])
+    n = len(y)
+
+    def loss(t):
+        z = X1 @ t + offsets
+        ce = np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+        reg = t[1:] @ t[1:] if not regularize_bias else t @ t
+        return (np.sum(weights * ce) + 0.5 * lam * reg) / n
+
+    def grad(t):
+        z = X1 @ t + offsets
+        g = X1.T @ (weights * (expit(z) - y)) + lam * t
+        if not regularize_bias:
+            g[0] -= lam * t[0]
+        return g / n
+
+    x0 = np.zeros(X1.shape[1]) if theta0 is None else theta0
+    x, _, _ = fmin_l_bfgs_b(loss, x0, fprime=grad, m=10, factr=10.0,
+                            pgtol=1e-10, maxiter=500)
+    return x
+
+
+def _build_model(md_file, train_dir, feature_file, tmp_path, **over):
+    model_dir = os.path.join(str(tmp_path), "models")
+    os.makedirs(model_dir, exist_ok=True)
+    base = dict(metadata_file=md_file, output_model_dir=model_dir,
+                training_data_dir=train_dir, feature_bag="per_entity",
+                feature_file=feature_file, partition_entity="user_id",
+                l2_reg_weight=0.6, regularize_bias=False, dtype="float64",
+                lbfgs_tolerance=1e-14, lbfgs_pgtol=1e-10, num_of_lbfgs_iterations=500,
+                sparsity_threshold=0.0)
+    base.update(over)
+    model_params = REParams(**base)
+    base_params = Params(action="train", stage="random_effect",
+                         model_type="logistic_regression",
+                         label_column_name="response", uid_column_name="uid",
+                         weight_column_name="weight",
+                         prediction_score_column_name="predictionScore")
+    return RandomEffectLRModel(model_params, base_params), base_params
+
+
+def _ctx(tmp_path, partition=0):
+    score_dir = os.path.join(str(tmp_path), "train_scores")
+    vscore = os.path.join(str(tmp_path), "validation_scores")
+    os.makedirs(score_dir, exist_ok=True)
+    os.makedirs(vscore, exist_ok=True)
+    return {
+        constants.PARTITION_INDEX: partition,
+        constants.ACTIVE_TRAINING_OUTPUT_FILE:
+            os.path.join(score_dir, "part-00000-active.avro"),
+        constants.PASSIVE_TRAINING_OUTPUT_FILE:
+            os.path.join(score_dir, "part-00000-passive.avro"),
+        constants.VALIDATION_OUTPUT_FILE: os.path.join(vscore, "part-00000.avro"),
+    }
+
+
+def test_train_matches_per_entity_scipy_oracle(tmp_path):
+    groups, dense = _make_groups()
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, _ctx(tmp_path), base_params)
+
+    loaded = load_sparse_models_from_avro(
+        os.path.join(model.checkpoint_path, "part-00000.avro"), feature_file)
+    assert set(loaded) == set(dense)
+    for eid, (X, y, offsets, weights) in dense.items():
+        support = loaded[eid].unique_global_indices
+        oracle = _scipy_entity_oracle(X, y, offsets, weights, 0.6, support)
+        np.testing.assert_allclose(loaded[eid].theta, oracle, atol=2e-5,
+                                   err_msg=f"entity {eid}")
+
+
+def test_scoring_during_training_equals_cold_prediction(tmp_path):
+    groups, dense = _make_groups(seed=2)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    ctx = _ctx(tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, ctx, base_params)
+    warm = read_scores(ctx[constants.ACTIVE_TRAINING_OUTPUT_FILE], base_params)
+
+    # Cold predict with a freshly-constructed model object.
+    model2, _ = _build_model(md_file, train_dir, feature_file, tmp_path)
+    out_dir = os.path.join(str(tmp_path), "cold_out")
+    model2.predict(out_dir, os.path.join(train_dir, "active"), md_file,
+                   model.checkpoint_path, {constants.PARTITION_INDEX: 0},
+                   base_params)
+    cold = read_scores(out_dir, base_params)
+    ow, oc = np.argsort(warm["uid"]), np.argsort(cold["uid"])
+    np.testing.assert_allclose(warm["predictionScore"][ow],
+                               cold["predictionScore"][oc], atol=1e-6)
+    np.testing.assert_allclose(warm["predictionScorePerCoordinate"][ow],
+                               cold["predictionScorePerCoordinate"][oc], atol=1e-6)
+
+
+def test_warm_start_converged_unchanged_cold_start_differs(tmp_path):
+    groups, dense = _make_groups(seed=4)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    ctx = _ctx(tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, ctx, base_params)
+    mf = os.path.join(model.checkpoint_path, "part-00000.avro")
+    first = load_sparse_models_from_avro(mf, feature_file)
+
+    # Warm start + 1 iteration → unchanged.
+    model_w, _ = _build_model(md_file, train_dir, feature_file, tmp_path,
+                              num_of_lbfgs_iterations=1)
+    model_w.train(os.path.join(train_dir, "active"), None, md_file,
+                  model_w.checkpoint_path, ctx, base_params)
+    warm = load_sparse_models_from_avro(mf, feature_file)
+    for eid in first:
+        np.testing.assert_allclose(warm[eid].theta, first[eid].theta, atol=1e-7)
+
+    # Cold start + 1 iteration → differs.
+    os.remove(mf)
+    model_c, _ = _build_model(md_file, train_dir, feature_file, tmp_path,
+                              num_of_lbfgs_iterations=1)
+    model_c.train(os.path.join(train_dir, "active"), None, md_file,
+                  model_c.checkpoint_path, ctx, base_params)
+    cold = load_sparse_models_from_avro(mf, feature_file)
+    diffs = [np.max(np.abs(np.resize(cold[e].theta, first[e].theta.shape)
+                           - first[e].theta)) for e in first]
+    assert max(diffs) > 1e-3
+
+
+@pytest.mark.parametrize("mode", ["simple", "full"])
+def test_variance_matches_reference_formula(tmp_path, mode):
+    groups, dense = _make_groups(seed=6, num_entities=4)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path,
+                                      random_effect_variance_mode=mode,
+                                      l2_reg_weight=0.0)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, _ctx(tmp_path), base_params)
+    loaded = load_sparse_models_from_avro(
+        os.path.join(model.checkpoint_path, "part-00000.avro"), feature_file)
+    for eid, (X, y, offsets, weights) in dense.items():
+        sm = loaded[eid]
+        Xs = X[:, sm.unique_global_indices]
+        X1 = np.hstack([np.ones((len(y), 1)), Xs])
+        rho = expit(X1 @ sm.theta + offsets)
+        dvec = rho * (1 - rho) * weights
+        H = X1.T @ (X1 * dvec[:, None])
+        if mode == "simple":
+            expected = 1.0 / (np.diag(H) + 1e-12)
+        else:
+            expected = np.diagonal(np.linalg.inv(H + 1e-12 * np.eye(H.shape[0])))
+        np.testing.assert_allclose(sm.variance, expected, rtol=1e-3,
+                                   err_msg=f"entity {eid}")
+
+
+def test_unseen_entity_passes_offsets_through(tmp_path):
+    groups, dense = _make_groups(seed=8, num_entities=3)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    ctx = _ctx(tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, ctx, base_params)
+
+    # Score a dataset containing an entity with no trained model.
+    extra, _ = _make_groups(seed=9, num_entities=1)
+    extra[0].entity_id = "99999"
+    extra_dir = os.path.join(str(tmp_path), "trainingData", "extra")
+    os.makedirs(extra_dir, exist_ok=True)
+    write_per_entity_grouped(os.path.join(extra_dir, "data.tfrecord"), extra,
+                             "user_id", "long", "per_entity")
+    out_dir = os.path.join(str(tmp_path), "unseen_out")
+    model.predict(out_dir, extra_dir, md_file, model.checkpoint_path,
+                  {constants.PARTITION_INDEX: 0}, base_params)
+    got = read_scores(out_dir, base_params)
+    offs = extra[0].columns["offset"].astype(np.float64)
+    order = np.argsort(got["uid"])
+    np.testing.assert_allclose(got["predictionScore"][order],
+                               offs[np.argsort(extra[0].columns["uid"])], atol=1e-6)
+    np.testing.assert_allclose(got["predictionScorePerCoordinate"], 0.0, atol=1e-6)
+
+
+def test_intercept_only_model(tmp_path):
+    groups, dense = _make_groups(seed=10, num_entities=3)
+    for g in groups:  # strip features
+        g.ragged_indices = [np.zeros(0, np.int64) for _ in g.ragged_indices]
+        g.ragged_values = [np.zeros(0) for _ in g.ragged_values]
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, None, tmp_path,
+                                      feature_bag=None, l2_reg_weight=0.0)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, _ctx(tmp_path), base_params)
+    loaded = load_sparse_models_from_avro(
+        os.path.join(model.checkpoint_path, "part-00000.avro"), None)
+    for eid, (X, y, offsets, weights) in dense.items():
+        oracle = _scipy_entity_oracle(np.zeros_like(X), y, offsets, weights, 0.0,
+                                      np.zeros(0, np.int64))
+        np.testing.assert_allclose(loaded[eid].theta[0], oracle[0], atol=1e-5)
+
+
+def test_string_entity_ids(tmp_path):
+    groups, dense = _make_groups(seed=12, num_entities=3)
+    for g in groups:
+        g.entity_id = f"user_{g.entity_id}"
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups,
+                                                      entity_dtype="string")
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, _ctx(tmp_path), base_params)
+    loaded = load_sparse_models_from_avro(
+        os.path.join(model.checkpoint_path, "part-00000.avro"), feature_file)
+    assert set(loaded) == {f"user_{e}" for e in dense}
