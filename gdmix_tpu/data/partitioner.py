@@ -1,0 +1,255 @@
+"""Data partitioner: per-record data → per-entity grouped, bounded, partitioned.
+
+Replaces the Spark DataPartitioner job (/root/reference/gdmix-data/src/main/scala/
+com/linkedin/gdmix/data/DataPartitioner.scala):
+
+  1. join previous-stage scores and update offsets (:402-422 → data/offset.py)
+  2. per-entity sample counts → group ids (:332-379): below `min_samples` → group −1
+     (passive); above `max_samples` → per-entity cap via uid mod ceil(count/max)+1
+     groups, group 0 active, others passive
+  3. group records by entity — one SequenceExample row per (entity, group)
+  4. partitionId = |java_string_hash(entity_id)| % num_partitions (:235-236,
+     PartitionUtils.scala:31-37 — exact Java String.hashCode for layout parity)
+  5. write active/ + passive/ trees partitioned by partitionId, partitionList.txt
+     of non-empty partitions (:113-120), regenerated metadata
+
+The Spark groupBy shuffle becomes a stable argsort + slice per entity (vectorized
+host-side; the in-HBM pipeline keeps everything columnar and skips the files).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gdmix_tpu.data.offset import update_offset
+from gdmix_tpu.io.input_pipeline import (EntityGroup, PerRecordData,
+                                         read_per_record,
+                                         write_per_entity_grouped)
+from gdmix_tpu.io.metadata import DatasetMetadata, TensorInfo
+from gdmix_tpu.io.scores import read_scores
+
+
+def java_string_hash(s: str) -> int:
+    """Java String.hashCode (32-bit, signed)."""
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def partition_id_of(entity_id: str, num_partitions: int) -> int:
+    h = java_string_hash(str(entity_id))
+    # Math.abs(Integer.MIN_VALUE) stays negative in Java; mimic abs() directly —
+    # entity hashes hitting exactly -2^31 are vanishingly rare and the reference
+    # would throw the same partition either way.
+    return abs(h) % num_partitions
+
+
+@dataclass
+class PartitionerConfig:
+    partition_entity: str
+    num_partitions: int = 1
+    min_samples: Optional[int] = None   # lowerBound: entities below → passive
+    max_samples: Optional[int] = None   # upperBound: per-entity sample cap
+    save_passive_data: bool = True
+    offset_column_name: str = "offset"
+    uid_column_name: str = "uid"
+    prediction_score_column_name: str = "predictionScore"
+    prediction_score_per_coordinate_column_name: str = "predictionScorePerCoordinate"
+
+
+def assign_group_ids(entity_ids: np.ndarray, uids: np.ndarray,
+                     min_samples: Optional[int],
+                     max_samples: Optional[int]) -> np.ndarray:
+    """Group id per record (reference getGroupId :332-379): 0 = active,
+    −1 = below lower bound, >0 = overflow groups from the upper-bound cap."""
+    n = len(entity_ids)
+    if min_samples is None and max_samples is None:
+        return np.zeros(n, dtype=np.int64)
+    _, inverse, counts = np.unique(entity_ids, return_inverse=True,
+                                   return_counts=True)
+    per_record_count = counts[inverse]
+    if max_samples is not None:
+        group_count = (per_record_count // max_samples + 1).astype(np.int64)
+    else:
+        group_count = np.ones(n, dtype=np.int64)
+    group = np.mod(uids, group_count)
+    if min_samples is not None:
+        group = np.where(per_record_count < min_samples, -1, group)
+    return group
+
+
+def group_by_entity(data: PerRecordData, config: PartitionerConfig,
+                    metadata: DatasetMetadata,
+                    group_ids: np.ndarray) -> List[Tuple[str, int, EntityGroup]]:
+    """Stable-sort records by (entity, group) and slice one EntityGroup per pair.
+    Returns (entity_id, group_id, group) tuples; per-record columns keep their
+    original relative order within each entity (matching collect_list)."""
+    entity_col = data.columns[config.partition_entity]
+    entity_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                             for e in entity_col], dtype=object)
+    # composite key sort: by entity then group, stable to preserve record order
+    order = np.lexsort((group_ids, entity_str))
+    sorted_entity = entity_str[order]
+    sorted_group = group_ids[order]
+
+    # boundaries where (entity, group) changes
+    change = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        change[1:] = (sorted_entity[1:] != sorted_entity[:-1]) | \
+                     (sorted_group[1:] != sorted_group[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(order))
+
+    per_record_cols = {name: arr for name, arr in data.columns.items()
+                       if name != config.partition_entity}
+    out: List[Tuple[str, int, EntityGroup]] = []
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        eid = sorted_entity[s]
+        gid = int(sorted_group[s])
+        cols = {name: arr[idx] for name, arr in per_record_cols.items()}
+        g = EntityGroup(entity_id=eid, columns=cols)
+        if data.indices is not None:
+            for i in idx:
+                m = int(data.nnz[i]) if data.nnz is not None else data.indices.shape[1]
+                g.ragged_indices.append(data.indices[i][:m].astype(np.int64))
+                g.ragged_values.append(data.values[i][:m])
+        out.append((eid, gid, g))
+    return out
+
+
+def _grouped_metadata(metadata: DatasetMetadata, config: PartitionerConfig,
+                      has_offset: bool) -> DatasetMetadata:
+    """Output metadata for the grouped dataset (MetadataGenerator equivalent):
+    same tensors, plus the offset column when scores were joined."""
+    feats = list(metadata.features)
+    names = {t.name for t in feats}
+    if has_offset and config.offset_column_name not in names:
+        feats.append(TensorInfo(name=config.offset_column_name, dtype="float",
+                                shape=[], is_sparse=False))
+    return DatasetMetadata(features=feats, labels=list(metadata.labels),
+                           number_of_training_samples=
+                           metadata.number_of_training_samples)
+
+
+def partition_dataset(data: PerRecordData,
+                      metadata: DatasetMetadata,
+                      config: PartitionerConfig,
+                      feature_bag: Optional[str],
+                      scores: Optional[Dict[str, np.ndarray]] = None,
+                      per_coordinate_scores: Optional[Dict[str, np.ndarray]] = None,
+                      split_active_passive: bool = True,
+                      ) -> Dict[int, Dict[str, List[EntityGroup]]]:
+    """In-memory partitioner core. Returns {partition_id: {"active": [...],
+    "passive": [...]}}. When split_active_passive is False everything lands in
+    "active" (validation semantics, reference :267-276)."""
+    uids = data.columns[config.uid_column_name].astype(np.int64)
+    if scores is not None:
+        pc_uids = pc_vals = None
+        if per_coordinate_scores is not None:
+            pc_uids = per_coordinate_scores[config.uid_column_name]
+            pc_vals = per_coordinate_scores[
+                config.prediction_score_per_coordinate_column_name]
+        offsets = update_offset(
+            uids, scores[config.uid_column_name],
+            scores[config.prediction_score_column_name], pc_uids, pc_vals)
+        data.columns[config.offset_column_name] = offsets
+
+    entity_col = data.columns[config.partition_entity]
+    entity_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                             for e in entity_col], dtype=object)
+    if split_active_passive:
+        group_ids = assign_group_ids(entity_str, uids, config.min_samples,
+                                     config.max_samples)
+    else:
+        group_ids = np.zeros(len(uids), dtype=np.int64)
+
+    grouped = group_by_entity(data, config, metadata, group_ids)
+    out: Dict[int, Dict[str, List[EntityGroup]]] = {}
+    for eid, gid, g in grouped:
+        pid = partition_id_of(eid, config.num_partitions)
+        slot = out.setdefault(pid, {"active": [], "passive": []})
+        if not split_active_passive or gid == 0:
+            slot["active"].append(g)
+        else:
+            slot["passive"].append(g)
+    return out
+
+
+def run_partitioner(training_data_dir: Optional[str],
+                    validation_data_dir: Optional[str],
+                    metadata_file: str,
+                    output_metadata_file: str,
+                    partitioned_training_data_dir: Optional[str],
+                    partitioned_validation_data_dir: Optional[str],
+                    output_partition_list_file: Optional[str],
+                    config: PartitionerConfig,
+                    feature_bag: Optional[str],
+                    schema_params=None,
+                    training_score_dir: Optional[str] = None,
+                    training_score_per_coordinate_dir: Optional[str] = None,
+                    validation_score_dir: Optional[str] = None,
+                    validation_score_per_coordinate_dir: Optional[str] = None
+                    ) -> None:
+    """File-based partitioner honoring the reference directory contract."""
+    metadata = DatasetMetadata.from_file(metadata_file)
+    entity_dtype = metadata.feature(config.partition_entity).dtype
+
+    class _SchemaShim:
+        uid_column_name = config.uid_column_name
+        prediction_score_column_name = config.prediction_score_column_name
+        prediction_score_per_coordinate_column_name = \
+            config.prediction_score_per_coordinate_column_name
+        label_column_name = None
+        weight_column_name = None
+
+    shim = schema_params or _SchemaShim()
+
+    def load_scores(path):
+        return read_scores(path, shim) if path else None
+
+    def process(data_dir, score_dir, pc_score_dir, out_dir, split):
+        data = read_per_record(data_dir, metadata, feature_bag)
+        partitions = partition_dataset(
+            data, metadata, config, feature_bag,
+            scores=load_scores(score_dir),
+            per_coordinate_scores=load_scores(pc_score_dir),
+            split_active_passive=split)
+        for pid, groups in partitions.items():
+            for kind in ("active", "passive"):
+                if kind == "passive" and (not split or not config.save_passive_data):
+                    continue
+                if not groups[kind]:
+                    continue
+                if split:
+                    d = os.path.join(out_dir, kind, f"partitionId={pid}")
+                else:
+                    d = os.path.join(out_dir, f"partitionId={pid}")
+                os.makedirs(d, exist_ok=True)
+                write_per_entity_grouped(
+                    os.path.join(d, "part-00000.tfrecord"), groups[kind],
+                    config.partition_entity, entity_dtype, feature_bag)
+        return sorted(partitions.keys())
+
+    partition_ids: List[int] = []
+    joined_offset = training_score_dir is not None or validation_score_dir is not None
+    if training_data_dir:
+        partition_ids = process(training_data_dir, training_score_dir,
+                                training_score_per_coordinate_dir,
+                                partitioned_training_data_dir, split=True)
+        if output_partition_list_file:
+            with open(output_partition_list_file, "w") as f:
+                f.write(",".join(str(p) for p in partition_ids))
+    if validation_data_dir:
+        process(validation_data_dir, validation_score_dir,
+                validation_score_per_coordinate_dir,
+                partitioned_validation_data_dir, split=False)
+
+    out_md = _grouped_metadata(metadata, config, has_offset=joined_offset)
+    os.makedirs(os.path.dirname(output_metadata_file) or ".", exist_ok=True)
+    out_md.save(output_metadata_file)

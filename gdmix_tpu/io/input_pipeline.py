@@ -36,6 +36,7 @@ class PerRecordData:
     columns: Dict[str, np.ndarray]           # dense scalar columns, each [N]
     indices: Optional[np.ndarray] = None     # [N, K] int32
     values: Optional[np.ndarray] = None      # [N, K] float
+    nnz: Optional[np.ndarray] = None         # [N] true per-record nnz (un-padding)
     num_samples: int = 0
 
     def column(self, name: Optional[str], default: Optional[float] = None) -> np.ndarray:
@@ -105,10 +106,12 @@ def read_per_record(input_path, metadata: DatasetMetadata,
     for name in string_names:
         columns[name] = np.asarray(cols[name], dtype=object)
 
-    indices = values = None
+    indices = values = nnz = None
     if feature_bag:
         indices, values = _pad_ragged(ragged_idx, ragged_val, align)
-    return PerRecordData(columns=columns, indices=indices, values=values, num_samples=n)
+        nnz = np.asarray([len(r) for r in ragged_idx], dtype=np.int32)
+    return PerRecordData(columns=columns, indices=indices, values=values, nnz=nnz,
+                         num_samples=n)
 
 
 @dataclass
