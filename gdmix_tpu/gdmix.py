@@ -1,0 +1,33 @@
+"""CLI entry point: ``python -m gdmix_tpu.gdmix --<flags>``.
+
+Mirrors the reference entry (/root/reference/gdmix-trainer/src/gdmix/gdmix.py:13-40):
+one argv serves both the driver Params and the model params; unknown flags are
+ignored by each parser.
+"""
+from __future__ import annotations
+
+import logging
+import sys
+
+from gdmix_tpu import constants
+from gdmix_tpu.drivers.factory import get_driver
+from gdmix_tpu.params import Params, from_argv
+
+logging.basicConfig(
+    format="%(asctime)s:%(levelname)s:%(module)s:%(message)s",
+    datefmt="%Y/%m/%d %I:%M:%S", level=logging.INFO)
+
+
+def run(argv) -> None:
+    params = from_argv(Params, argv)
+    driver = get_driver(params, argv)
+    if params.action == constants.ACTION_INFERENCE:
+        driver.run_inference(params)
+    elif params.action == constants.ACTION_TRAIN:
+        driver.run_training(params)
+    else:
+        raise ValueError(f"Unsupported action {params.action}")
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

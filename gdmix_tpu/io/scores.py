@@ -64,9 +64,14 @@ def write_scores(output_file: str, schema_params, uids, scores,
 
 
 def _score_files(path: str) -> List[str]:
+    """All .avro files under path, recursively (score dirs may contain
+    partitionId=N subdirectories, which Spark reads recursively too)."""
     if os.path.isdir(path):
-        return sorted(os.path.join(path, f) for f in os.listdir(path)
-                      if f.endswith(".avro") and not f.startswith("."))
+        out = []
+        for root, _, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files
+                       if f.endswith(".avro") and not f.startswith("."))
+        return sorted(out)
     return [path]
 
 
