@@ -26,6 +26,7 @@ from gdmix_tpu.data.bucketing import bucketize
 from gdmix_tpu.io.input_pipeline import EntityGroup
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import SparseBatch, per_entity_value_and_grad
+from gdmix_tpu.ops.newton import densify_bucket, newton_lr_batch
 
 TARGET_MODELS_PER_SEC = 1_000_000 / 60.0   # ≥1M models/min/chip
 
@@ -68,9 +69,23 @@ def make_workload(num_entities: int, seed: int = 0):
     return groups
 
 
+SOLVER = os.environ.get("BENCH_SOLVER", "newton")
+
+
 def solve_bucket_fn(u_cap, m, maxiter):
     @jax.jit
-    def solve(theta0, indices, values, offsets, labels, weights, counts):
+    def solve_newton(theta0, indices, values, offsets, labels, weights, counts):
+        X = densify_bucket(indices, values, u_cap, has_intercept=True)
+        res = newton_lr_batch(
+            theta0, X, labels, weights, offsets, counts, l2_reg_weight=1.0,
+            l2_mask=jnp.ones(u_cap + 1, X.dtype).at[0].set(0.0),
+            maxiter=maxiter, ftol=1e-12, pgtol=1e-5)
+        # scalar checksum: fetching it to host is the only reliable sync point
+        # on relay-backed devices (block_until_ready returns early there)
+        return res.theta, res.converged, jnp.sum(res.theta) + jnp.sum(res.converged)
+
+    @jax.jit
+    def solve_lbfgs(theta0, indices, values, offsets, labels, weights, counts):
         def one(t0, idx, val, off, lab, wt, cnt):
             batch = SparseBatch(idx, val, off, lab, wt)
             fun = lambda th: per_entity_value_and_grad(
@@ -80,10 +95,9 @@ def solve_bucket_fn(u_cap, m, maxiter):
             return res.x, res.converged
         x, conv = jax.vmap(one)(theta0, indices, values, offsets, labels,
                                 weights, counts)
-        # scalar checksum: fetching it to host is the only reliable sync point
-        # on relay-backed devices (block_until_ready returns early there)
         return x, conv, jnp.sum(x) + jnp.sum(conv)
-    return solve
+
+    return solve_newton if SOLVER == "newton" else solve_lbfgs
 
 
 def main():

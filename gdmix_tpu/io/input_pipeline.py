@@ -62,14 +62,31 @@ def _pad_ragged(ragged_idx: List[np.ndarray], ragged_val: List[np.ndarray],
     return indices, values
 
 
+def _read_file_bytes(path: str) -> bytes:
+    """Whole file, decompressed to raw TFRecord framing."""
+    import gzip
+    import zlib
+    from gdmix_tpu.io.tfrecord import compression_of
+    comp = compression_of(path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if comp == "GZIP":
+        return gzip.decompress(raw)
+    if comp == "ZLIB":
+        return zlib.decompress(raw)
+    return raw
+
+
 def read_per_record(input_path, metadata: DatasetMetadata,
                     feature_bag: Optional[str] = None,
                     num_shards: int = 1, shard_index: int = 0,
-                    align: int = 8) -> PerRecordData:
+                    align: int = 8, use_native: bool = True) -> PerRecordData:
     """Read a per-record Example dataset into columns + a padded sparse bag.
 
     All dense scalar features/labels in the metadata become [N] columns; the
-    `feature_bag` sparse tensor becomes padded (indices, values).
+    `feature_bag` sparse tensor becomes padded (indices, values). A C++ decoder
+    (gdmix_tpu.native) handles the numeric fast path; string columns fall back
+    to the pure-Python codec.
     """
     files, _ = shard_input_files(input_path, num_shards, shard_index)
     tensors = metadata.tensors()
@@ -77,6 +94,12 @@ def read_per_record(input_path, metadata: DatasetMetadata,
                    if not t.is_sparse and t.dtype not in ("bytes", "string")]
     string_names = [name for name, t in tensors.items()
                     if not t.is_sparse and t.dtype in ("bytes", "string")]
+
+    if use_native and not string_names:
+        native_out = _read_per_record_native(files, metadata, dense_names,
+                                             feature_bag, align)
+        if native_out is not None:
+            return native_out
 
     cols: Dict[str, list] = {name: [] for name in dense_names + string_names}
     ragged_idx: List[np.ndarray] = []
@@ -112,6 +135,45 @@ def read_per_record(input_path, metadata: DatasetMetadata,
         nnz = np.asarray([len(r) for r in ragged_idx], dtype=np.int32)
     return PerRecordData(columns=columns, indices=indices, values=values, nnz=nnz,
                          num_samples=n)
+
+
+def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
+                            feature_bag: Optional[str], align: int
+                            ) -> Optional[PerRecordData]:
+    from gdmix_tpu import native
+    if not native.available():
+        return None
+    tensors = metadata.tensors()
+    int_names = [n for n in dense_names if tensors[n].dtype in ("int", "long")]
+    parts = []
+    for f in files:
+        out = native.parse_per_record(_read_file_bytes(f), dense_names,
+                                      feature_bag, align, int_names=int_names)
+        if out is None:
+            return None
+        parts.append(out)
+
+    n = sum(len(next(iter(p[0].values()))) if p[0] else
+            (len(p[4]) if p[4] is not None else 0) for p in parts)
+    columns: Dict[str, np.ndarray] = {}
+    for name in dense_names:
+        col = np.concatenate([p[0][name] for p in parts]) if parts else \
+            np.zeros(0)
+        columns[name] = col.astype(tensors[name].np_dtype)
+    indices = values = nnz = None
+    if feature_bag:
+        k = max((p[2].shape[1] for p in parts if p[2] is not None), default=align)
+        def padk(a, fill=0):
+            if a.shape[1] == k:
+                return a
+            out = np.full((a.shape[0], k), fill, a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+        indices = np.concatenate([padk(p[2]) for p in parts]).astype(np.int32)
+        values = np.concatenate([padk(p[3]) for p in parts])
+        nnz = np.concatenate([p[4] for p in parts])
+    return PerRecordData(columns=columns, indices=indices, values=values,
+                         nnz=nnz, num_samples=n)
 
 
 @dataclass

@@ -39,6 +39,7 @@ from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
                                     per_entity_value_and_grad, predict_logits)
+from gdmix_tpu.ops.newton import densify_bucket, newton_lr_batch
 from gdmix_tpu.params import Params, REParams, from_argv
 from gdmix_tpu.util.model_utils import threshold_coefficients
 
@@ -130,10 +131,29 @@ class RandomEffectLRModel(Model):
     def _train_bucket(self, bucket: EntityBucket) -> Dict[str, SparseModel]:
         p = self.model_params
         u_cap = bucket.u_cap
+        dim = u_cap + (1 if self.has_intercept else 0)
         arrays = self._bucket_device_arrays(bucket)
+        use_newton = (p.batch_solver == "newton"
+                      or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
 
         @jax.jit
-        def solve(a):
+        def solve_newton(a):
+            X = densify_bucket(a["indices"], a["values"], u_cap,
+                               self.has_intercept)
+            l2_mask = jnp.ones((dim,), X.dtype)
+            if self.has_intercept and not p.regularize_bias:
+                l2_mask = l2_mask.at[0].set(0.0)
+            res = newton_lr_batch(
+                a["theta0"], X, a["labels"], a["weights"], a["offsets"],
+                a["sample_count"], l2_reg_weight=p.l2_reg_weight,
+                l2_mask=l2_mask, maxiter=p.num_of_lbfgs_iterations,
+                ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol)
+            var = self._variance_batch(res.theta, a, u_cap) \
+                if self.variance_mode else jnp.zeros_like(res.theta)
+            return res.theta, var, res.converged
+
+        @jax.jit
+        def solve_lbfgs(a):
             def one(theta0, idx, val, off, lab, wt, cnt):
                 batch = SparseBatch(idx, val, off, lab, wt)
                 fun = lambda th: per_entity_value_and_grad(
@@ -150,6 +170,7 @@ class RandomEffectLRModel(Model):
                                  a["offsets"], a["labels"], a["weights"],
                                  a["sample_count"])
 
+        solve = solve_newton if use_newton else solve_lbfgs
         thetas, variances, converged = (np.asarray(jax.device_get(t), np.float64)
                                         for t in solve(arrays))
         out: Dict[str, SparseModel] = {}
@@ -163,6 +184,14 @@ class RandomEffectLRModel(Model):
                 model_id=entity_id, theta=theta, variance=variance,
                 unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
         return out
+
+    def _variance_batch(self, thetas, a, u_cap: int):
+        """vmapped per-entity variance over a bucket's arrays."""
+        def one(theta, idx, val, off, lab, wt, cnt):
+            return self._variance_one(theta, SparseBatch(idx, val, off, lab, wt),
+                                      u_cap, cnt)
+        return jax.vmap(one)(thetas, a["indices"], a["values"], a["offsets"],
+                             a["labels"], a["weights"], a["sample_count"])
 
     def _variance_one(self, theta, batch: SparseBatch, u_cap: int, cnt):
         """Per-entity variance (reference binary_logistic_regression.py:144-189).

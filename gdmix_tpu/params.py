@@ -178,10 +178,13 @@ class REParams(LRParams):
     num_of_consumers: int = 2
     # TPU additions:
     dtype: str = "float32"
-    batch_solver: str = "lbfgs"     # "lbfgs" | "newton"
+    # "auto" = Newton–Cholesky for small per-entity dims (fast MXU path),
+    # L-BFGS otherwise; both reach the same convex optimum (tests verify).
+    batch_solver: str = "auto"      # "auto" | "lbfgs" | "newton"
+    newton_max_dim: int = 128       # auto threshold on 1+u_cap
 
     def __post_init__(self):
         super().__post_init__()
         assert self.random_effect_variance_mode is None \
             or self.random_effect_variance_mode in _VARIANCE_MODES
-        assert self.batch_solver in ("lbfgs", "newton")
+        assert self.batch_solver in ("auto", "lbfgs", "newton")
