@@ -102,7 +102,9 @@ class FixedEffectLRModel(Model):
             weights = data.column(schema_params.weight_column_name).astype(np.float64)
         else:
             weights = np.ones(n)
-        if md.has_feature(self.offset_column_name):
+        if self.offset_column_name in data.columns:
+            # present either in the dataset schema or injected by the in-memory
+            # pipeline's score ledger
             offsets = data.column(self.offset_column_name).astype(np.float64)
         else:
             offsets = np.zeros(n)
@@ -180,25 +182,15 @@ class FixedEffectLRModel(Model):
 
     # ------------------------------------------------------------------ train --
 
-    def train(self, training_data_dir, validation_data_dir, metadata_file,
-              checkpoint_path, execution_context, schema_params):
-        logger.info("Kicking off fixed effect LR L-BFGS training (TPU)")
-        task_index = execution_context.get(constants.TASK_INDEX, 0)
-        num_workers = execution_context.get(constants.NUM_WORKERS, 1)
-        is_chief = execution_context.get(constants.IS_CHIEF, True)
-
-        train_data = read_per_record(training_data_dir, self.metadata,
-                                     self.feature_bag_name,
-                                     num_shards=num_workers, shard_index=task_index)
+    def fit_data(self, train_data: PerRecordData, schema_params,
+                 warm_start: Optional[np.ndarray] = None) -> np.ndarray:
+        """In-memory fit: solve on device, threshold, set model_coefficients.
+        The device batch is returned for reuse (scoring/variance)."""
         batch, train_uid, n_train = self._device_batch(train_data, schema_params,
                                                        for_training=True)
         fun = self._objective(batch)
-
-        # Warm start from a prior avro model if shapes match (reference :606-623).
-        prev = self._load_model(catch_exception=True)
-        if prev is not None and len(prev) == self._dim:
-            logger.info("Found a previous model, loaded as the initial point")
-            x0 = jnp.asarray(prev, self.dtype)
+        if warm_start is not None and len(warm_start) == self._dim:
+            x0 = jnp.asarray(warm_start, self.dtype)
         else:
             x0 = jnp.zeros((self._dim,), self.dtype)
         x0 = jax.device_put(x0, replicated(self.mesh))
@@ -211,10 +203,33 @@ class FixedEffectLRModel(Model):
         logger.info("f_min: %s, iters: %s, funcalls: %s, converged: %s",
                     float(res.f), int(res.num_iterations), int(res.num_funcalls),
                     bool(res.converged))
-
         coeffs = np.asarray(jax.device_get(res.x), dtype=np.float64)
         self.model_coefficients = threshold_coefficients(coeffs,
                                                          self.sparsity_threshold)
+        self._train_batch_cache = (batch, train_uid, n_train)
+        return self.model_coefficients
+
+    def score_data(self, data: PerRecordData, schema_params) -> Dict[str, np.ndarray]:
+        """In-memory scoring: {uid, total, per_coordinate, labels?, weights?}."""
+        batch, uid, n = self._device_batch(data, schema_params, for_training=False)
+        return self._score_arrays(batch, uid, n, schema_params)
+
+    def train(self, training_data_dir, validation_data_dir, metadata_file,
+              checkpoint_path, execution_context, schema_params):
+        logger.info("Kicking off fixed effect LR L-BFGS training (TPU)")
+        task_index = execution_context.get(constants.TASK_INDEX, 0)
+        num_workers = execution_context.get(constants.NUM_WORKERS, 1)
+        is_chief = execution_context.get(constants.IS_CHIEF, True)
+
+        train_data = read_per_record(training_data_dir, self.metadata,
+                                     self.feature_bag_name,
+                                     num_shards=num_workers, shard_index=task_index)
+        # Warm start from a prior avro model if shapes match (reference :606-623).
+        prev = self._load_model(catch_exception=True)
+        if prev is not None and len(prev) == self._dim:
+            logger.info("Found a previous model, loaded as the initial point")
+        self.fit_data(train_data, schema_params, warm_start=prev)
+        batch, train_uid, n_train = self._train_batch_cache
 
         want_variance = self.variance_mode is not None
         if not self.disable_scoring_after_training or want_variance:
@@ -235,9 +250,8 @@ class FixedEffectLRModel(Model):
 
     # ------------------------------------------------------------------ score --
 
-    def _score_and_write(self, batch: SparseBatch, uid: np.ndarray, n: int,
-                         schema_params, output_dir: Optional[str], task_index: int,
-                         compute_variance: bool = False) -> None:
+    def _score_arrays(self, batch: SparseBatch, uid: np.ndarray, n: int,
+                      schema_params) -> Dict[str, np.ndarray]:
         x = jnp.asarray(self.model_coefficients, self.dtype)
 
         @jax.jit
@@ -251,20 +265,27 @@ class FixedEffectLRModel(Model):
 
         per_coordinate, total = (np.asarray(a, np.float64)[:n]
                                  for a in jax.device_get(score(x)))
+        out = {"uid": uid, "total": total, "per_coordinate": per_coordinate}
+        if self.metadata.has_label(schema_params.label_column_name):
+            out["labels"] = np.asarray(batch.labels, np.float64)[:n]
+        if self.metadata.has_feature(schema_params.weight_column_name):
+            out["weights"] = np.asarray(batch.weights, np.float64)[:n]
+        return out
 
+    def _score_and_write(self, batch: SparseBatch, uid: np.ndarray, n: int,
+                         schema_params, output_dir: Optional[str], task_index: int,
+                         compute_variance: bool = False) -> None:
+        arrays = self._score_arrays(batch, uid, n, schema_params)
         if compute_variance:
-            self._compute_variance(batch, x)
-
+            self._compute_variance(batch,
+                                   jnp.asarray(self.model_coefficients, self.dtype))
         if output_dir:
-            labels = weights = None
-            if self.metadata.has_label(schema_params.label_column_name):
-                labels = np.asarray(batch.labels, np.float64)[:n]
-            if self.metadata.has_feature(schema_params.weight_column_name):
-                weights = np.asarray(batch.weights, np.float64)[:n]
             out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
-            scores_io.write_scores(out, schema_params, uid, total,
-                                   scores_per_coordinate=per_coordinate,
-                                   labels=labels, weights=weights)
+            scores_io.write_scores(out, schema_params, arrays["uid"],
+                                   arrays["total"],
+                                   scores_per_coordinate=arrays["per_coordinate"],
+                                   labels=arrays.get("labels"),
+                                   weights=arrays.get("weights"))
             logger.info("Wrote %d scores to %s", n, out)
 
     def _compute_variance(self, batch: SparseBatch, x: jnp.ndarray) -> None:

@@ -87,18 +87,7 @@ class RandomEffectLRModel(Model):
         groups = read_per_entity_grouped(training_data_dir, self.metadata,
                                          self.model_params.partition_entity,
                                          self.feature_bag_name)
-        logger.info("Training %d entities", len(groups))
-        buckets = bucketize(groups, schema_params,
-                            self.model_params.offset_column_name,
-                            has_intercept=self.has_intercept,
-                            prior_models=model_weights)
-        results: Dict[str, SparseModel] = {}
-        for bucket in buckets:
-            results.update(self._train_bucket(bucket))
-        # prior ∪ new — prior-only entities carry forward (reference :155-163)
-        model_weights.update(results)
-        logger.info("%d models in total after training/refreshing.",
-                    len(model_weights))
+        model_weights = self.fit_groups(groups, model_weights, schema_params)
         self._save_model(model_file, model_weights)
 
         # Scoring
@@ -115,6 +104,25 @@ class RandomEffectLRModel(Model):
             i and o and predict(input_path=i, output_file=o)
 
     # ---------------------------------------------------------- bucket solving --
+
+    def fit_groups(self, groups, model_weights: Dict[str, SparseModel],
+                   schema_params) -> Dict[str, SparseModel]:
+        """In-memory batched training of all entities in `groups`; returns the
+        prior ∪ new model dict (prior-only entities carry forward, reference
+        :155-163)."""
+        logger.info("Training %d entities", len(groups))
+        buckets = bucketize(groups, schema_params,
+                            self.model_params.offset_column_name,
+                            has_intercept=self.has_intercept,
+                            prior_models=model_weights)
+        results: Dict[str, SparseModel] = {}
+        for bucket in buckets:
+            results.update(self._train_bucket(bucket))
+        model_weights = dict(model_weights)
+        model_weights.update(results)
+        logger.info("%d models in total after training/refreshing.",
+                    len(model_weights))
+        return model_weights
 
     def _bucket_device_arrays(self, bucket: EntityBucket):
         dt = self.dtype
@@ -214,19 +222,15 @@ class RandomEffectLRModel(Model):
 
     # ---------------------------------------------------------------- scoring --
 
-    def _predict_file(self, input_path: str, output_file: str, schema_params,
-                      model_weights: Dict[str, SparseModel]) -> None:
-        logger.info("Start inference for %s.", input_path)
-        groups = read_per_entity_grouped(input_path, self.metadata,
-                                         self.model_params.partition_entity,
-                                         self.feature_bag_name)
-        if not groups:
-            logger.info("No entities found in %s, skipping.", input_path)
-            return
-        # Reusing bucketize: theta0 = prior model restricted to the data's support
-        # reproduces X·θ exactly (absent features contribute nothing), and
-        # entities without a model get θ=0 → logits = offsets (reference
-        # job_consumers.py:144-152).
+    def score_groups(self, groups, model_weights: Dict[str, SparseModel],
+                     schema_params) -> Dict[str, np.ndarray]:
+        """In-memory scoring of grouped data. Returns {uid, total,
+        per_coordinate, labels?, weights?} flat arrays.
+
+        Reusing bucketize: theta0 = prior model restricted to the data's support
+        reproduces X·θ exactly (absent features contribute nothing), and
+        entities without a model get θ=0 → logits = offsets (reference
+        job_consumers.py:144-152)."""
         buckets = bucketize(groups, schema_params,
                             self.model_params.offset_column_name,
                             has_intercept=self.has_intercept,
@@ -259,12 +263,28 @@ class RandomEffectLRModel(Model):
                 per_coords.append(z_pc[slot, :n])
                 labels.append(bucket.labels[slot, :n])
                 weights.append(bucket.weights[slot, :n])
+        out = {"uid": np.concatenate(uids), "total": np.concatenate(totals),
+               "per_coordinate": np.concatenate(per_coords)}
+        if has_label:
+            out["labels"] = np.concatenate(labels)
+        if has_weight:
+            out["weights"] = np.concatenate(weights)
+        return out
+
+    def _predict_file(self, input_path: str, output_file: str, schema_params,
+                      model_weights: Dict[str, SparseModel]) -> None:
+        logger.info("Start inference for %s.", input_path)
+        groups = read_per_entity_grouped(input_path, self.metadata,
+                                         self.model_params.partition_entity,
+                                         self.feature_bag_name)
+        if not groups:
+            logger.info("No entities found in %s, skipping.", input_path)
+            return
+        arrays = self.score_groups(groups, model_weights, schema_params)
         scores_io.write_scores(
-            output_file, schema_params,
-            np.concatenate(uids), np.concatenate(totals),
-            scores_per_coordinate=np.concatenate(per_coords),
-            labels=np.concatenate(labels) if has_label else None,
-            weights=np.concatenate(weights) if has_weight else None)
+            output_file, schema_params, arrays["uid"], arrays["total"],
+            scores_per_coordinate=arrays["per_coordinate"],
+            labels=arrays.get("labels"), weights=arrays.get("weights"))
         logger.info("Inference complete: %s.", input_path)
 
     # --------------------------------------------------------------- save/load --

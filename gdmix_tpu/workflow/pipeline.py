@@ -1,0 +1,251 @@
+"""In-memory coordinate-descent pipeline: NO file I/O between coordinates.
+
+This is the TPU-native fast path the reference architecture can't offer: where
+GDMix writes scores/partitions/offsets to HDFS between every stage (SURVEY.md §1
+"every layer boundary is file I/O"), here the uid-keyed score ledger lives in
+memory, the offset update (OffsetUpdater semantics) is a vectorized join, entity
+grouping is an in-process sort, and each coordinate's solver consumes the
+previous coordinate's scores directly. Supports multiple coordinate-descent
+sweeps: from sweep 2 on, offset = accumulated − own-previous-score
+(/root/reference/gdmix-data/src/main/scala/com/linkedin/gdmix/data/
+OffsetUpdater.scala:105-129).
+
+Final artifacts (photon-ml avro models, evalSummary.json) are still written, so
+the output stays drop-in compatible with the file-based workflow.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from gdmix_tpu import constants
+from gdmix_tpu.data.evaluator import EVAL_SUMMARY_JSON
+from gdmix_tpu.data.partitioner import PartitionerConfig, assign_group_ids, \
+    group_by_entity
+from gdmix_tpu.io.input_pipeline import PerRecordData, read_per_record
+from gdmix_tpu.io.metadata import DatasetMetadata
+from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+from gdmix_tpu.ops.metrics import auc as auc_metric
+from gdmix_tpu.params import FixedLRParams, Params, REParams, from_dict
+from gdmix_tpu.workflow.config import METRIC, MODELS, WorkflowConfig
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Ledger:
+    """uid-keyed accumulated scores + per-coordinate contributions."""
+    uids: np.ndarray                      # sorted
+    total: np.ndarray                     # accumulated score per uid
+    per_coordinate: Dict[str, np.ndarray] = field(default_factory=dict)
+
+    @classmethod
+    def empty(cls, uids: np.ndarray) -> "_Ledger":
+        order = np.argsort(uids)
+        return cls(uids=uids[order], total=np.zeros(len(uids)))
+
+    def lookup(self, uids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.uids, uids)
+        assert np.array_equal(self.uids[pos], uids), "ledger missing uids"
+        return self.total[pos]
+
+    def apply_coordinate(self, name: str, uids: np.ndarray,
+                         per_coordinate: np.ndarray) -> None:
+        """total += new_contribution − previous contribution of this coordinate."""
+        pos = np.searchsorted(self.uids, uids)
+        assert np.array_equal(self.uids[pos], uids)
+        delta = np.zeros_like(self.total)
+        delta[pos] = per_coordinate
+        prev = self.per_coordinate.get(name)
+        if prev is not None:
+            delta_prev = prev
+        else:
+            delta_prev = np.zeros_like(self.total)
+        self.total = self.total + delta - delta_prev
+        full = np.zeros_like(self.total)
+        full[pos] = per_coordinate
+        self.per_coordinate[name] = full
+
+
+class InMemoryPipeline:
+    """Runs fixed effect + random effects with the score ledger in memory."""
+
+    def __init__(self, config: WorkflowConfig, num_sweeps: int = 1):
+        self.config = config
+        self.num_sweeps = num_sweeps
+        self.metrics: Dict[str, float] = {}
+
+    def run(self) -> Dict[str, float]:
+        cfg = self.config
+        (fe_name, fe_raw), = cfg.fixed_effect_config.items()
+        fe_config = dict(fe_raw)
+        fe_gdmix = dict(fe_config.pop("gdmix_config"))
+        fe_params = from_dict(Params, {**fe_gdmix, "stage": constants.FIXED_EFFECT})
+
+        fe_model_params = from_dict(FixedLRParams, {
+            **fe_config,
+            "output_model_dir": os.path.join(cfg.output_dir, fe_name, MODELS)})
+        fe_model = FixedEffectLRModel(fe_model_params, fe_params)
+
+        # Load every coordinate's data once.
+        fe_train = read_per_record(fe_config["training_data_dir"], fe_model.metadata,
+                                   fe_model.feature_bag_name)
+        fe_valid = read_per_record(fe_config["validation_data_dir"],
+                                   fe_model.metadata, fe_model.feature_bag_name) \
+            if fe_config.get("validation_data_dir") else None
+
+        uid_col = fe_params.uid_column_name
+        train_ledger = _Ledger.empty(fe_train.columns[uid_col].astype(np.int64))
+        valid_ledger = (_Ledger.empty(fe_valid.columns[uid_col].astype(np.int64))
+                        if fe_valid is not None else None)
+
+        re_items = []
+        for name, re_raw in cfg.random_effect_config.items():
+            re_config = dict(re_raw)
+            re_gdmix = dict(re_config.pop("gdmix_config"))
+            re_config.pop("num_partitions", None)
+            min_samples = re_config.pop("min_samples", None)
+            max_samples = re_config.pop("max_samples", None)
+            re_params = from_dict(Params, {**re_gdmix,
+                                           "stage": constants.RANDOM_EFFECT})
+            re_model_params = from_dict(REParams, {
+                **re_config,
+                "output_model_dir": os.path.join(cfg.output_dir, name, MODELS)})
+            model = RandomEffectLRModel(re_model_params, re_params)
+            train = read_per_record(re_config["training_data_dir"], model.metadata,
+                                    model.feature_bag_name)
+            valid = read_per_record(re_config["validation_data_dir"],
+                                    model.metadata, model.feature_bag_name) \
+                if re_config.get("validation_data_dir") else None
+            re_items.append(dict(name=name, model=model, params=re_params,
+                                 train=train, valid=valid,
+                                 min_samples=min_samples,
+                                 max_samples=max_samples, weights={}))
+
+        for sweep in range(self.num_sweeps):
+            logger.info("=== coordinate-descent sweep %d ===", sweep + 1)
+            # ---- fixed effect ----
+            self._set_offsets(fe_train, train_ledger, fe_name,
+                              fe_model_params.offset_column_name)
+            warm = fe_model.model_coefficients if sweep else None
+            fe_model.fit_data(fe_train, fe_params, warm_start=warm)
+            tr_scores = fe_model.score_data(fe_train, fe_params)
+            train_ledger.apply_coordinate(fe_name, tr_scores["uid"],
+                                          tr_scores["per_coordinate"])
+            if fe_valid is not None:
+                self._set_offsets(fe_valid, valid_ledger, fe_name,
+                                  fe_model_params.offset_column_name)
+                va = fe_model.score_data(fe_valid, fe_params)
+                valid_ledger.apply_coordinate(fe_name, va["uid"],
+                                              va["per_coordinate"])
+                self.metrics[fe_name] = float(auc_metric(
+                    valid_ledger.total, self._labels(fe_valid, fe_params)))
+
+            # ---- random effects ----
+            for item in re_items:
+                model: RandomEffectLRModel = item["model"]
+                params: Params = item["params"]
+                mp: REParams = model.model_params
+                name = item["name"]
+
+                self._set_offsets(item["train"], train_ledger, name,
+                                  mp.offset_column_name)
+                pcfg = PartitionerConfig(
+                    partition_entity=mp.partition_entity, num_partitions=1,
+                    min_samples=item["min_samples"],
+                    max_samples=item["max_samples"],
+                    uid_column_name=params.uid_column_name,
+                    offset_column_name=mp.offset_column_name)
+                groups = self._group(item["train"], pcfg, model.metadata,
+                                     active_only=True)
+                item["weights"] = model.fit_groups(groups, item["weights"], params)
+
+                # score ALL training rows (active + passive) for the ledger
+                all_groups = self._group(item["train"], pcfg, model.metadata,
+                                         active_only=False)
+                sc = model.score_groups(all_groups, item["weights"], params)
+                train_ledger.apply_coordinate(name, sc["uid"],
+                                              sc["per_coordinate"])
+
+                if item["valid"] is not None:
+                    self._set_offsets(item["valid"], valid_ledger, name,
+                                      mp.offset_column_name)
+                    vgroups = self._group(item["valid"], pcfg, model.metadata,
+                                          active_only=False)
+                    vs = model.score_groups(vgroups, item["weights"], params)
+                    valid_ledger.apply_coordinate(name, vs["uid"],
+                                                  vs["per_coordinate"])
+                    self.metrics[name] = float(auc_metric(
+                        valid_ledger.total,
+                        self._labels(item["valid"], params)))
+
+        # ---- persist final artifacts ----
+        os.makedirs(os.path.join(cfg.output_dir, fe_name, MODELS), exist_ok=True)
+        fe_model._save_model()
+        self._write_metric(fe_name)
+        for item in re_items:
+            model_dir = os.path.join(cfg.output_dir, item["name"], MODELS)
+            os.makedirs(model_dir, exist_ok=True)
+            item["model"]._save_model(
+                os.path.join(model_dir, "part-00000.avro"), item["weights"])
+            self._write_metric(item["name"])
+        return dict(self.metrics)
+
+    # ------------------------------------------------------------------ utils --
+
+    @staticmethod
+    def _labels(data: PerRecordData, params: Params) -> np.ndarray:
+        return data.columns[params.label_column_name].astype(np.float64)
+
+    @staticmethod
+    def _set_offsets(data: PerRecordData, ledger: Optional[_Ledger],
+                     coordinate_name: str, offset_column: str) -> None:
+        """offset = accumulated − own contribution (OffsetUpdater semantics;
+        the own-term is zero on the first sweep)."""
+        if ledger is None:
+            return
+        uids = data.columns["uid"].astype(np.int64)
+        pos = np.searchsorted(ledger.uids, uids)
+        total = ledger.total[pos]
+        own = ledger.per_coordinate.get(coordinate_name)
+        if own is not None:
+            total = total - own[pos]
+        data.columns[offset_column] = total.astype(np.float32)
+
+    @staticmethod
+    def _group(data: PerRecordData, pcfg: PartitionerConfig,
+               metadata: DatasetMetadata, active_only: bool):
+        uids = data.columns[pcfg.uid_column_name].astype(np.int64)
+        entity_col = data.columns[pcfg.partition_entity]
+        entity_str = np.asarray([str(e) for e in entity_col], dtype=object)
+        if active_only and (pcfg.min_samples or pcfg.max_samples):
+            gids = assign_group_ids(entity_str, uids, pcfg.min_samples,
+                                    pcfg.max_samples)
+        else:
+            gids = np.zeros(len(uids), dtype=np.int64)
+        grouped = group_by_entity(data, pcfg, metadata, gids)
+        if active_only:
+            return [g for _, gid, g in grouped if gid == 0]
+        # merge one entity's groups back together for scoring
+        return [g for _, _, g in grouped]
+
+    def _write_metric(self, name: str) -> None:
+        if name not in self.metrics:
+            return
+        d = os.path.join(self.config.output_dir, name, METRIC)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, EVAL_SUMMARY_JSON), "w") as f:
+            json.dump({"auc": self.metrics[name]}, f)
+
+
+def run_gdmix_in_memory(config_path_or_obj, num_sweeps: int = 1
+                        ) -> Dict[str, float]:
+    config = (config_path_or_obj if isinstance(config_path_or_obj, WorkflowConfig)
+              else WorkflowConfig.from_file(config_path_or_obj))
+    return InMemoryPipeline(config, num_sweeps=num_sweeps).run()
