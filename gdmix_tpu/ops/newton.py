@@ -87,14 +87,22 @@ def newton_lr_batch(theta0: jnp.ndarray,
     def cond(s: _S):
         return jnp.logical_and(s.k < maxiter, ~jnp.all(s.done))
 
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+
+    def _solve(Hd, g):
+        if use_pallas:
+            from gdmix_tpu.ops.pallas.linsolve import spd_solve_batched
+            return spd_solve_batched(Hd, g)
+        chol, low = jax.scipy.linalg.cho_factor(Hd)
+        return jax.scipy.linalg.cho_solve((chol, low), g)
+
     def body(s: _S):
         H = hess(s.p)
         # Levenberg damping keeps padded/degenerate lanes solvable.
         damp = eps * (1.0 + jnp.abs(jnp.diagonal(H, axis1=1, axis2=2)))
         Hd = H + jnp.zeros_like(H).at[
             :, jnp.arange(dim), jnp.arange(dim)].set(damp)
-        chol, low = jax.scipy.linalg.cho_factor(Hd)
-        delta = jax.scipy.linalg.cho_solve((chol, low), s.g)    # [B, dim]
+        delta = _solve(Hd, s.g)                                 # [B, dim]
         gdot = jnp.sum(s.g * delta, axis=1)                     # ≥ 0 for PD H
 
         # Backtracking Armijo: while_loop exits as soon as every live lane
