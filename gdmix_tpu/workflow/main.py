@@ -1,0 +1,58 @@
+"""Workflow CLI: ``python -m gdmix_tpu.workflow.main --config_path X --mode M``.
+
+Mirrors the reference gdmix-workflow entry (gdmixworkflow/main.py:12-66).
+Modes:
+  single_node — the reference semantics: file-based handoffs between stages
+  in_memory   — the TPU-native fast path: in-HBM score ledger, no stage files
+  distributed — initialize jax.distributed from env and run single_node SPMD;
+                with --compile_dag_to, emit the job DAG instead of running
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+logging.basicConfig(
+    format="%(asctime)s:%(levelname)s:%(module)s:%(message)s",
+    datefmt="%Y/%m/%d %I:%M:%S", level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="gdmix-tpu workflow")
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--mode", default="single_node",
+                        choices=["single_node", "in_memory", "distributed"])
+    parser.add_argument("--num_sweeps", type=int, default=1,
+                        help="coordinate-descent sweeps (in_memory mode)")
+    parser.add_argument("--compile_dag_to", default=None,
+                        help="emit the job DAG json here instead of running")
+    # accepted for reference-config compatibility; unused on TPU:
+    parser.add_argument("--jar_path", default="", help=argparse.SUPPRESS)
+    return parser
+
+
+def main(args=None) -> dict:
+    args = get_parser().parse_args(args)
+    if args.compile_dag_to:
+        from gdmix_tpu.workflow.distributed import compile_dag
+        compile_dag(args.config_path, args.compile_dag_to)
+        return {}
+    if args.mode == "distributed":
+        from gdmix_tpu.workflow.distributed import maybe_initialize_distributed
+        maybe_initialize_distributed()
+    if args.mode == "in_memory":
+        from gdmix_tpu.workflow.pipeline import run_gdmix_in_memory
+        metrics = run_gdmix_in_memory(args.config_path,
+                                      num_sweeps=args.num_sweeps)
+    else:
+        from gdmix_tpu.workflow.single_node import run_gdmix_single_node
+        metrics = run_gdmix_single_node(args.config_path)
+    logger.info("workflow metrics: %s", json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
