@@ -1,0 +1,72 @@
+"""On-device entity grouping: sort-by-entity + segment ops.
+
+The device-side replacement for Spark's `groupBy(entity).agg(collect_list(*))`
+shuffle (/root/reference/gdmix-data/src/main/scala/com/linkedin/gdmix/data/
+DataPartitioner.scala:296-317): a stable sort by entity id followed by
+segment-boundary arithmetic, all jittable. Used by the in-HBM pipeline when the
+data already lives on device, and by the multi-chip routing path
+(parallel/routing.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EntitySegments(NamedTuple):
+    order: jnp.ndarray        # [N] permutation sorting records by entity
+    segment_ids: jnp.ndarray  # [N] dense segment index per SORTED record
+    unique_count: jnp.ndarray # [] number of distinct entities (<= N)
+    seg_entity: jnp.ndarray   # [N] entity id per segment slot (padded w/ last)
+    seg_counts: jnp.ndarray   # [N] records per segment slot (0 beyond unique)
+    seg_starts: jnp.ndarray   # [N] start offset of each segment in sorted order
+
+
+def group_by_entity_device(entity_ids: jnp.ndarray) -> EntitySegments:
+    """Stable grouping of records by integer entity id, fully on device."""
+    n = entity_ids.shape[0]
+    order = jnp.argsort(entity_ids, stable=True)
+    sorted_e = entity_ids[order]
+    new_seg = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                               (sorted_e[1:] != sorted_e[:-1]).astype(jnp.int32)])
+    segment_ids = jnp.cumsum(new_seg) - 1                       # [N]
+    unique_count = segment_ids[-1] + 1
+    ones = jnp.ones_like(segment_ids)
+    seg_counts = jax.ops.segment_sum(ones, segment_ids, num_segments=n)
+    seg_starts = jnp.concatenate([jnp.zeros((1,), seg_counts.dtype),
+                                  jnp.cumsum(seg_counts)[:-1]])
+    seg_entity = jax.ops.segment_max(sorted_e, segment_ids, num_segments=n)
+    return EntitySegments(order=order, segment_ids=segment_ids,
+                          unique_count=unique_count, seg_entity=seg_entity,
+                          seg_counts=seg_counts, seg_starts=seg_starts)
+
+
+def per_entity_sample_counts(entity_ids: jnp.ndarray) -> jnp.ndarray:
+    """[N] per-RECORD count of its entity's samples (for active/passive
+    bounding on device — DataPartitioner.getGroupId's broadcast-join count)."""
+    segs = group_by_entity_device(entity_ids)
+    counts_sorted = segs.seg_counts[segs.segment_ids]
+    inv = jnp.zeros_like(segs.order).at[segs.order].set(
+        jnp.arange(entity_ids.shape[0]))
+    return counts_sorted[inv]
+
+
+def assign_group_ids_device(entity_ids: jnp.ndarray, uids: jnp.ndarray,
+                            min_samples: int | None,
+                            max_samples: int | None) -> jnp.ndarray:
+    """Device version of the partitioner's group-id rule: 0 = active,
+    −1 = below lower bound, >0 = upper-bound overflow (uid mod group count)."""
+    n = entity_ids.shape[0]
+    if min_samples is None and max_samples is None:
+        return jnp.zeros((n,), jnp.int32)
+    counts = per_entity_sample_counts(entity_ids)
+    if max_samples is not None:
+        group_count = counts // max_samples + 1
+    else:
+        group_count = jnp.ones_like(counts)
+    group = jnp.mod(uids, group_count.astype(uids.dtype)).astype(jnp.int32)
+    if min_samples is not None:
+        group = jnp.where(counts < min_samples, -1, group)
+    return group

@@ -153,7 +153,7 @@ def test_fixed_effect_objective_matches_reference(model_type, intercept, reg_bia
 def test_fixed_effect_psum_over_mesh():
     """Sharded loss+grad with psum must equal the single-chip total."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     indices, values, X, y, offsets, weights = _random_sparse(n=64, seed=8)
     x = np.random.RandomState(9).randn(21)
