@@ -80,14 +80,21 @@ def _read_file_bytes(path: str) -> bytes:
 def read_per_record(input_path, metadata: DatasetMetadata,
                     feature_bag: Optional[str] = None,
                     num_shards: int = 1, shard_index: int = 0,
-                    align: int = 8, use_native: bool = True) -> PerRecordData:
+                    align: int = 8, use_native: bool = True,
+                    custom_input_fn: Optional[str] = None) -> PerRecordData:
     """Read a per-record Example dataset into columns + a padded sparse bag.
 
     All dense scalar features/labels in the metadata become [N] columns; the
     `feature_bag` sparse tensor becomes padded (indices, values). A C++ decoder
     (gdmix_tpu.native) handles the numeric fast path; string columns fall back
-    to the pure-Python codec.
+    to the pure-Python codec. `custom_input_fn` ("pkg.mod.fn") overrides the
+    loader entirely (reference input_data_pipeline.py:211-217).
     """
+    if custom_input_fn:
+        import importlib
+        module_name, fn_name = custom_input_fn.rsplit(".", 1)
+        fn = getattr(importlib.import_module(module_name), fn_name)
+        return fn(input_path, metadata, feature_bag, num_shards, shard_index)
     files, _ = shard_input_files(input_path, num_shards, shard_index)
     tensors = metadata.tensors()
     dense_names = [name for name, t in tensors.items()

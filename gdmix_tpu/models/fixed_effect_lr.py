@@ -221,9 +221,17 @@ class FixedEffectLRModel(Model):
         num_workers = execution_context.get(constants.NUM_WORKERS, 1)
         is_chief = execution_context.get(constants.IS_CHIEF, True)
 
+        if self.model_params.copy_to_local:
+            training_data_dir = self._copy_shard_to_local(
+                training_data_dir, num_workers, task_index)
+            num_shards_eff, shard_index_eff = 1, 0
+        else:
+            num_shards_eff, shard_index_eff = num_workers, task_index
         train_data = read_per_record(training_data_dir, self.metadata,
                                      self.feature_bag_name,
-                                     num_shards=num_workers, shard_index=task_index)
+                                     num_shards=num_shards_eff,
+                                     shard_index=shard_index_eff,
+                                     custom_input_fn=self.model_params.custom_input_fn)
         # Warm start from a prior avro model if shapes match (reference :606-623).
         prev = self._load_model(catch_exception=True)
         if prev is not None and len(prev) == self._dim:
@@ -239,7 +247,8 @@ class FixedEffectLRModel(Model):
         if validation_data_dir:
             val_data = read_per_record(validation_data_dir, self.metadata,
                                        self.feature_bag_name,
-                                       num_shards=num_workers, shard_index=task_index)
+                                       num_shards=num_workers, shard_index=task_index,
+                                       custom_input_fn=self.model_params.custom_input_fn)
             vbatch, val_uid, n_val = self._device_batch(val_data, schema_params,
                                                         for_training=False)
             self._score_and_write(vbatch, val_uid, n_val, schema_params,
@@ -247,6 +256,22 @@ class FixedEffectLRModel(Model):
 
         if is_chief:
             self._save_model()
+
+    def _copy_shard_to_local(self, data_dir: str, num_workers: int,
+                             task_index: int) -> str:
+        """Copy this worker's file shard to a local cache dir (reference
+        copy_to_local, fixed_effect_lr_lbfgs_model.py:519-531)."""
+        import shutil
+        from gdmix_tpu.io.shard import shard_input_files
+        files, sample_level = shard_input_files(data_dir, num_workers, task_index)
+        assert not sample_level, ("copy_to_local needs at least one file per "
+                                  "worker")
+        local_dir = f"local_training_input_dir_{task_index}"
+        os.makedirs(local_dir, exist_ok=True)
+        for f in files:
+            shutil.copy(f, os.path.join(local_dir, os.path.basename(f)))
+        logger.info("Copied %d files to %s", len(files), local_dir)
+        return local_dir
 
     # ------------------------------------------------------------------ score --
 

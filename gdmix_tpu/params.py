@@ -133,6 +133,10 @@ class LRParams:
     sparsity_threshold: float = 1.0e-4
     batch_size: int = 16
     data_format: str = constants.TFRECORD
+    # pluggable dataset hook: "package.module.fn" called as
+    # fn(input_path, metadata, feature_bag, num_shards, shard_index) -> PerRecordData
+    # (reference input_data_pipeline.py:211-217 custom_input_fn)
+    custom_input_fn: Optional[str] = None
 
     def __post_init__(self):
         assert self.batch_size > 0, "Batch size must be positive number"
