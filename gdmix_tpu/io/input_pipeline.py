@@ -144,6 +144,39 @@ def read_per_record(input_path, metadata: DatasetMetadata,
                          num_samples=n)
 
 
+def load_per_record(input_path, metadata: DatasetMetadata,
+                    feature_bag: Optional[str] = None,
+                    num_shards: int = 1, shard_index: int = 0,
+                    data_format: str = "tfrecord",
+                    feature_file: Optional[str] = None,
+                    custom_input_fn: Optional[str] = None) -> PerRecordData:
+    """Format-dispatching per-record loader (tfrecord | avro | custom hook)."""
+    if custom_input_fn:
+        return read_per_record(input_path, metadata, feature_bag, num_shards,
+                               shard_index, custom_input_fn=custom_input_fn)
+    if data_format == "avro":
+        from gdmix_tpu.io.avro_dataset import read_per_record_avro
+        return read_per_record_avro(input_path, metadata, feature_bag,
+                                    num_shards, shard_index,
+                                    feature_file=feature_file)
+    return read_per_record(input_path, metadata, feature_bag, num_shards,
+                           shard_index)
+
+
+def load_per_entity_grouped(input_path, metadata: DatasetMetadata,
+                            entity_name: str,
+                            feature_bag: Optional[str] = None,
+                            num_shards: int = 1, shard_index: int = 0,
+                            data_format: str = "tfrecord"):
+    """Format-dispatching grouped loader (tfrecord SequenceExample | avro)."""
+    if data_format == "avro":
+        from gdmix_tpu.io.avro_dataset import read_per_entity_grouped_avro
+        return read_per_entity_grouped_avro(input_path, metadata, entity_name,
+                                            feature_bag, num_shards, shard_index)
+    return read_per_entity_grouped(input_path, metadata, entity_name,
+                                   feature_bag, num_shards, shard_index)
+
+
 def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
                             feature_bag: Optional[str], align: int
                             ) -> Optional[PerRecordData]:

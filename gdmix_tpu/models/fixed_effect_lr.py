@@ -30,7 +30,8 @@ import numpy as np
 
 from gdmix_tpu import constants
 from gdmix_tpu.io import model_avro, scores as scores_io
-from gdmix_tpu.io.input_pipeline import PerRecordData, read_per_record
+from gdmix_tpu.io.input_pipeline import (PerRecordData, load_per_record,
+                                          read_per_record)
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
@@ -227,10 +228,12 @@ class FixedEffectLRModel(Model):
             num_shards_eff, shard_index_eff = 1, 0
         else:
             num_shards_eff, shard_index_eff = num_workers, task_index
-        train_data = read_per_record(training_data_dir, self.metadata,
+        train_data = load_per_record(training_data_dir, self.metadata,
                                      self.feature_bag_name,
                                      num_shards=num_shards_eff,
                                      shard_index=shard_index_eff,
+                                     data_format=self.model_params.data_format,
+                                     feature_file=self.feature_file,
                                      custom_input_fn=self.model_params.custom_input_fn)
         # Warm start from a prior avro model if shapes match (reference :606-623).
         prev = self._load_model(catch_exception=True)
@@ -245,9 +248,11 @@ class FixedEffectLRModel(Model):
                                   self.base_params.training_score_dir, task_index,
                                   compute_variance=want_variance)
         if validation_data_dir:
-            val_data = read_per_record(validation_data_dir, self.metadata,
+            val_data = load_per_record(validation_data_dir, self.metadata,
                                        self.feature_bag_name,
                                        num_shards=num_workers, shard_index=task_index,
+                                       data_format=self.model_params.data_format,
+                                       feature_file=self.feature_file,
                                        custom_input_fn=self.model_params.custom_input_fn)
             vbatch, val_uid, n_val = self._device_batch(val_data, schema_params,
                                                         for_training=False)
@@ -398,8 +403,11 @@ class FixedEffectLRModel(Model):
         task_index = execution_context.get(constants.TASK_INDEX, 0)
         num_workers = execution_context.get(constants.NUM_WORKERS, 1)
         self.model_coefficients = np.asarray(self._load_model(), dtype=np.float64)
-        data = read_per_record(input_data_path, self.metadata, self.feature_bag_name,
-                               num_shards=num_workers, shard_index=task_index)
+        data = load_per_record(input_data_path, self.metadata, self.feature_bag_name,
+                               num_shards=num_workers, shard_index=task_index,
+                               data_format=self.model_params.data_format,
+                               feature_file=self.feature_file,
+                               custom_input_fn=self.model_params.custom_input_fn)
         batch, uid, n = self._device_batch(data, schema_params, for_training=False)
         self._score_and_write(batch, uid, n, schema_params, output_dir, task_index)
 

@@ -32,7 +32,8 @@ import numpy as np
 from gdmix_tpu import constants
 from gdmix_tpu.data.bucketing import EntityBucket, bucketize
 from gdmix_tpu.io import model_avro, scores as scores_io
-from gdmix_tpu.io.input_pipeline import read_per_entity_grouped
+from gdmix_tpu.io.input_pipeline import (load_per_entity_grouped,
+                                          read_per_entity_grouped)
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.io.model_avro import SparseModel
 from gdmix_tpu.models.api import Model
@@ -84,9 +85,10 @@ class RandomEffectLRModel(Model):
         model_file = os.path.join(self.model_params.output_model_dir, avro_filename)
 
         model_weights = self._load_weights(model_file, catch_exception=True)
-        groups = read_per_entity_grouped(training_data_dir, self.metadata,
+        groups = load_per_entity_grouped(training_data_dir, self.metadata,
                                          self.model_params.partition_entity,
-                                         self.feature_bag_name)
+                                         self.feature_bag_name,
+                                         data_format=self.model_params.data_format)
         model_weights = self.fit_groups(groups, model_weights, schema_params)
         self._save_model(model_file, model_weights)
 
@@ -274,9 +276,10 @@ class RandomEffectLRModel(Model):
     def _predict_file(self, input_path: str, output_file: str, schema_params,
                       model_weights: Dict[str, SparseModel]) -> None:
         logger.info("Start inference for %s.", input_path)
-        groups = read_per_entity_grouped(input_path, self.metadata,
+        groups = load_per_entity_grouped(input_path, self.metadata,
                                          self.model_params.partition_entity,
-                                         self.feature_bag_name)
+                                         self.feature_bag_name,
+                                         data_format=self.model_params.data_format)
         if not groups:
             logger.info("No entities found in %s, skipping.", input_path)
             return
