@@ -132,15 +132,24 @@ def bucketize(groups: Sequence[EntityGroup],
     for gi, n in enumerate(counts):
         assignment.setdefault(cap_of(int(n)), []).append(gi)
 
+    def _next_pow2(x: int) -> int:
+        p = 1
+        while p < x:
+            p *= 2
+        return p
+
     buckets: List[EntityBucket] = []
     for n_cap, members in sorted(assignment.items()):
         b_real = len(members)
-        b = _round_up(b_real, batch_align)
+        # power-of-two batch tiers: far fewer distinct compiled shapes across
+        # coordinates/datasets (each new shape is a jit compile — expensive on
+        # remote TPU backends)
+        b = max(batch_align, _next_pow2(b_real))
         k = max(max((max((len(r) for r in groups[gi].ragged_indices), default=1)
                      for gi in members)), 1)
         k = _round_up(k, nnz_align)
         u = max(max(len(compact[gi][0]) for gi in members), 1)
-        u = _round_up(u, nnz_align)
+        u = _round_up(u, 8)
         dim = u + (1 if has_intercept else 0)
 
         indices = np.zeros((b, n_cap, k), dtype=np.int32)

@@ -128,12 +128,21 @@ class FixedEffectLRModel(Model):
         dt = self.dtype
         bsh = batch_sharding(self.mesh)
         bsh2 = batch_sharding(self.mesh, rank=2)
+        if jax.process_count() > 1:
+            # Multi-host: every process holds its own shard of the data (file
+            # sharding upstream); assemble the global array from local pieces —
+            # the pjit-era replacement for per-worker tf.data graphs.
+            def put(a, sh):
+                return jax.make_array_from_process_local_data(sh, a)
+        else:
+            def put(a, sh):
+                return jax.device_put(a, sh)
         batch = SparseBatch(
-            indices=jax.device_put(pad(indices), bsh2),
-            values=jax.device_put(pad(values).astype(dt), bsh2),
-            offsets=jax.device_put(pad(offsets).astype(dt), bsh),
-            labels=jax.device_put(pad(labels).astype(dt), bsh),
-            weights=jax.device_put(pad(weights).astype(dt), bsh),  # pads → weight 0
+            indices=put(pad(indices), bsh2),
+            values=put(pad(values).astype(dt), bsh2),
+            offsets=put(pad(offsets).astype(dt), bsh),
+            labels=put(pad(labels).astype(dt), bsh),
+            weights=put(pad(weights).astype(dt), bsh),  # pads → weight 0
         )
         return batch, uid, n
 

@@ -20,6 +20,7 @@ passive scoring where entities without a model pass offsets through
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from functools import partial
@@ -47,6 +48,109 @@ from gdmix_tpu.util.model_utils import threshold_coefficients
 logger = logging.getLogger(__name__)
 
 _EPSILON = 1.0e-12
+
+
+def _variance_one(theta, batch: SparseBatch, u_cap: int, cnt, *, has_intercept,
+                  regularize_bias, lam, variance_mode):
+    """Per-entity variance (reference binary_logistic_regression.py:144-189).
+    Note the reference's Hessian is UN-normalized (no 1/n)."""
+    unreg_bias = has_intercept and not regularize_bias
+    if variance_mode == constants.SIMPLE:
+        hd = hessian_diag(theta, batch, u_cap, has_intercept=has_intercept,
+                          intercept_at_end=False) + lam
+        if unreg_bias:
+            hd = hd.at[0].add(-lam)
+        return 1.0 / (hd + _EPSILON)
+    H = hessian_full(theta, batch, u_cap, has_intercept=has_intercept,
+                     intercept_at_end=False)
+    dim = H.shape[0]
+    H = H + (lam + _EPSILON) * jnp.eye(dim, dtype=theta.dtype)
+    if unreg_bias:
+        H = H.at[0, 0].add(-lam)
+    return jnp.diagonal(jnp.linalg.inv(H))
+
+
+def _variance_batch(thetas, a, u_cap, *, has_intercept, regularize_bias, lam,
+                    variance_mode):
+    def one(theta, idx, val, off, lab, wt, cnt):
+        return _variance_one(theta, SparseBatch(idx, val, off, lab, wt), u_cap,
+                             cnt, has_intercept=has_intercept,
+                             regularize_bias=regularize_bias, lam=lam,
+                             variance_mode=variance_mode)
+    return jax.vmap(one)(thetas, a["indices"], a["values"], a["offsets"],
+                         a["labels"], a["weights"], a["sample_count"])
+
+
+# Module-level cached jitted solvers: one trace per (static config, shape).
+@functools.lru_cache(maxsize=None)
+def _newton_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
+                   pgtol, m, variance_mode):
+    dim = u_cap + (1 if has_intercept else 0)
+
+    @jax.jit
+    def solve(a):
+        X = densify_bucket(a["indices"], a["values"], u_cap, has_intercept)
+        l2_mask = jnp.ones((dim,), X.dtype)
+        if has_intercept and not regularize_bias:
+            l2_mask = l2_mask.at[0].set(0.0)
+        res = newton_lr_batch(
+            a["theta0"], X, a["labels"], a["weights"], a["offsets"],
+            a["sample_count"], l2_reg_weight=lam, l2_mask=l2_mask,
+            maxiter=maxiter, ftol=ftol, pgtol=pgtol)
+        var = _variance_batch(res.theta, a, u_cap, has_intercept=has_intercept,
+                              regularize_bias=regularize_bias, lam=lam,
+                              variance_mode=variance_mode) \
+            if variance_mode else jnp.zeros_like(res.theta)
+        return res.theta, var, res.converged
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
+def _lbfgs_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
+                  pgtol, m, variance_mode):
+    @jax.jit
+    def solve(a):
+        def one(theta0, idx, val, off, lab, wt, cnt):
+            batch = SparseBatch(idx, val, off, lab, wt)
+            fun = lambda th: per_entity_value_and_grad(
+                th, batch, u_cap, has_intercept=has_intercept,
+                regularize_bias=regularize_bias, l2_reg_weight=lam,
+                sample_count=cnt)
+            res = lbfgs(fun, theta0, m=m, ftol=ftol, pgtol=pgtol,
+                        maxiter=maxiter)
+            var = _variance_one(res.x, batch, u_cap, cnt,
+                                has_intercept=has_intercept,
+                                regularize_bias=regularize_bias, lam=lam,
+                                variance_mode=variance_mode) \
+                if variance_mode else jnp.zeros_like(res.x)
+            return res.x, var, res.converged
+        return jax.vmap(one)(a["theta0"], a["indices"], a["values"],
+                             a["offsets"], a["labels"], a["weights"],
+                             a["sample_count"])
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
+def _group_scorer(has_intercept):
+    @jax.jit
+    def score(a):
+        def one(theta, idx, val, off, lab, wt):
+            batch = SparseBatch(idx, val, off, lab, wt)
+            z = predict_logits(theta, batch, has_intercept=has_intercept,
+                               intercept_at_end=False)
+            return z, z - off
+        return jax.vmap(one)(a["theta0"], a["indices"], a["values"],
+                             a["offsets"], a["labels"], a["weights"])
+    return score
+
+
+@jax.jit
+def _record_scorer(table_w, table_b, ent_idx, indices, values, offsets):
+    """Dense-table per-record scoring: z_pc = Θ[e]·x + b[e] (one gather-matmul
+    over all records at once — no grouping or bucketing needed)."""
+    gathered = table_w[ent_idx[:, None], indices]       # [N, K]
+    z_pc = jnp.sum(gathered * values, axis=1) + table_b[ent_idx]
+    return z_pc, z_pc + offsets
 
 
 class RandomEffectLRModel(Model):
@@ -138,6 +242,13 @@ class RandomEffectLRModel(Model):
             theta0=jnp.asarray(bucket.theta0, dt),
         )
 
+    def _solver_key(self):
+        p = self.model_params
+        return (self.has_intercept, p.regularize_bias, float(p.l2_reg_weight),
+                p.num_of_lbfgs_iterations, float(p.lbfgs_tolerance),
+                float(p.lbfgs_pgtol), p.num_of_lbfgs_curvature_pairs,
+                self.variance_mode)
+
     def _train_bucket(self, bucket: EntityBucket) -> Dict[str, SparseModel]:
         p = self.model_params
         u_cap = bucket.u_cap
@@ -145,42 +256,11 @@ class RandomEffectLRModel(Model):
         arrays = self._bucket_device_arrays(bucket)
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
-
-        @jax.jit
-        def solve_newton(a):
-            X = densify_bucket(a["indices"], a["values"], u_cap,
-                               self.has_intercept)
-            l2_mask = jnp.ones((dim,), X.dtype)
-            if self.has_intercept and not p.regularize_bias:
-                l2_mask = l2_mask.at[0].set(0.0)
-            res = newton_lr_batch(
-                a["theta0"], X, a["labels"], a["weights"], a["offsets"],
-                a["sample_count"], l2_reg_weight=p.l2_reg_weight,
-                l2_mask=l2_mask, maxiter=p.num_of_lbfgs_iterations,
-                ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol)
-            var = self._variance_batch(res.theta, a, u_cap) \
-                if self.variance_mode else jnp.zeros_like(res.theta)
-            return res.theta, var, res.converged
-
-        @jax.jit
-        def solve_lbfgs(a):
-            def one(theta0, idx, val, off, lab, wt, cnt):
-                batch = SparseBatch(idx, val, off, lab, wt)
-                fun = lambda th: per_entity_value_and_grad(
-                    th, batch, u_cap, has_intercept=self.has_intercept,
-                    regularize_bias=p.regularize_bias, l2_reg_weight=p.l2_reg_weight,
-                    sample_count=cnt)
-                res = lbfgs(fun, theta0, m=p.num_of_lbfgs_curvature_pairs,
-                            ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol,
-                            maxiter=p.num_of_lbfgs_iterations)
-                var = self._variance_one(res.x, batch, u_cap, cnt) \
-                    if self.variance_mode else jnp.zeros_like(res.x)
-                return res.x, var, res.converged
-            return jax.vmap(one)(a["theta0"], a["indices"], a["values"],
-                                 a["offsets"], a["labels"], a["weights"],
-                                 a["sample_count"])
-
-        solve = solve_newton if use_newton else solve_lbfgs
+        # Solvers are cached at module level so identical (config, shape) pairs
+        # reuse one jitted computation — fresh closures per bucket would defeat
+        # jax's jit cache and recompile every call (very costly on remote TPU).
+        solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
+                 else _lbfgs_solver(u_cap, *self._solver_key()))
         thetas, variances, converged = (np.asarray(jax.device_get(t), np.float64)
                                         for t in solve(arrays))
         out: Dict[str, SparseModel] = {}
@@ -194,33 +274,6 @@ class RandomEffectLRModel(Model):
                 model_id=entity_id, theta=theta, variance=variance,
                 unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
         return out
-
-    def _variance_batch(self, thetas, a, u_cap: int):
-        """vmapped per-entity variance over a bucket's arrays."""
-        def one(theta, idx, val, off, lab, wt, cnt):
-            return self._variance_one(theta, SparseBatch(idx, val, off, lab, wt),
-                                      u_cap, cnt)
-        return jax.vmap(one)(thetas, a["indices"], a["values"], a["offsets"],
-                             a["labels"], a["weights"], a["sample_count"])
-
-    def _variance_one(self, theta, batch: SparseBatch, u_cap: int, cnt):
-        """Per-entity variance (reference binary_logistic_regression.py:144-189).
-        Note the reference's Hessian is UN-normalized (no 1/n)."""
-        lam = self.model_params.l2_reg_weight
-        unreg_bias = self.has_intercept and not self.model_params.regularize_bias
-        if self.variance_mode == constants.SIMPLE:
-            hd = hessian_diag(theta, batch, u_cap, has_intercept=self.has_intercept,
-                              intercept_at_end=False) + lam
-            if unreg_bias:
-                hd = hd.at[0].add(-lam)
-            return 1.0 / (hd + _EPSILON)
-        H = hessian_full(theta, batch, u_cap, has_intercept=self.has_intercept,
-                         intercept_at_end=False)
-        dim = H.shape[0]
-        H = H + (lam + _EPSILON) * jnp.eye(dim, dtype=theta.dtype)
-        if unreg_bias:
-            H = H.at[0, 0].add(-lam)
-        return jnp.diagonal(jnp.linalg.inv(H))
 
     # ---------------------------------------------------------------- scoring --
 
@@ -242,20 +295,9 @@ class RandomEffectLRModel(Model):
             schema_params.label_column_name in g.columns for g in groups)
         has_weight = schema_params.weight_column_name is not None and any(
             schema_params.weight_column_name in g.columns for g in groups)
+        score = _group_scorer(self.has_intercept)
         for bucket in buckets:
             a = self._bucket_device_arrays(bucket)
-
-            @jax.jit
-            def score(a):
-                def one(theta, idx, val, off, lab, wt):
-                    batch = SparseBatch(idx, val, off, lab, wt)
-                    z = predict_logits(theta, batch,
-                                       has_intercept=self.has_intercept,
-                                       intercept_at_end=False)
-                    return z, z - off
-                return jax.vmap(one)(a["theta0"], a["indices"], a["values"],
-                                     a["offsets"], a["labels"], a["weights"])
-
             z, z_pc = (np.asarray(jax.device_get(t), np.float64)
                        for t in score(a))
             for slot in range(len(bucket.entity_ids)):
@@ -271,6 +313,56 @@ class RandomEffectLRModel(Model):
             out["labels"] = np.concatenate(labels)
         if has_weight:
             out["weights"] = np.concatenate(weights)
+        return out
+
+    def score_records(self, data, model_weights: Dict[str, SparseModel],
+                      schema_params) -> Dict[str, np.ndarray]:
+        """Per-record scoring via a dense [E, D] coefficient table — one
+        gather-matmul over all records, no grouping/bucketing (the in-HBM
+        pipeline's fast path). Entities without a model hit the zero row →
+        logits = offsets, matching reference job_consumers.py:144-152."""
+        p = self.model_params
+        ent_col = data.columns[p.partition_entity]
+        ent_str = [e.decode() if isinstance(e, bytes) else str(e)
+                   for e in ent_col]
+        D = self.num_features
+        E = len(model_weights)
+        off = 1 if self.has_intercept else 0
+        table_w = np.zeros((E + 1, D))
+        table_b = np.zeros(E + 1)
+        id2row: Dict[str, int] = {}
+        for row, (mid, sm) in enumerate(model_weights.items()):
+            id2row[mid] = row
+            if off:
+                table_b[row] = sm.theta[0]
+            if len(sm.unique_global_indices):
+                table_w[row, sm.unique_global_indices] = sm.theta[off:]
+        ent_idx = np.fromiter((id2row.get(e, E) for e in ent_str),
+                              dtype=np.int32, count=len(ent_str))
+
+        n = data.num_samples
+        offsets = (data.columns[p.offset_column_name].astype(np.float64)
+                   if p.offset_column_name in data.columns else np.zeros(n))
+        if data.indices is not None:
+            indices, values = data.indices, data.values
+        else:
+            indices = np.zeros((n, 1), np.int32)
+            values = np.zeros((n, 1))
+        dt = self.dtype
+        z_pc, z = _record_scorer(
+            jnp.asarray(table_w, dt), jnp.asarray(table_b, dt),
+            jnp.asarray(ent_idx), jnp.asarray(indices),
+            jnp.asarray(values, dt), jnp.asarray(offsets, dt))
+        out = {"uid": data.columns[schema_params.uid_column_name].astype(np.int64),
+               "total": np.asarray(z, np.float64),
+               "per_coordinate": np.asarray(z_pc, np.float64)}
+        if schema_params.label_column_name in data.columns:
+            out["labels"] = data.columns[schema_params.label_column_name] \
+                .astype(np.float64)
+        if schema_params.weight_column_name and \
+                schema_params.weight_column_name in data.columns:
+            out["weights"] = data.columns[schema_params.weight_column_name] \
+                .astype(np.float64)
         return out
 
     def _predict_file(self, input_path: str, output_file: str, schema_params,

@@ -166,19 +166,17 @@ class InMemoryPipeline:
                                      active_only=True)
                 item["weights"] = model.fit_groups(groups, item["weights"], params)
 
-                # score ALL training rows (active + passive) for the ledger
-                all_groups = self._group(item["train"], pcfg, model.metadata,
-                                         active_only=False)
-                sc = model.score_groups(all_groups, item["weights"], params)
+                # score ALL training rows (active + passive) for the ledger —
+                # dense-table record scoring, no re-grouping needed
+                sc = model.score_records(item["train"], item["weights"], params)
                 train_ledger.apply_coordinate(name, sc["uid"],
                                               sc["per_coordinate"])
 
                 if item["valid"] is not None:
                     self._set_offsets(item["valid"], valid_ledger, name,
                                       mp.offset_column_name)
-                    vgroups = self._group(item["valid"], pcfg, model.metadata,
-                                          active_only=False)
-                    vs = model.score_groups(vgroups, item["weights"], params)
+                    vs = model.score_records(item["valid"], item["weights"],
+                                             params)
                     valid_ledger.apply_coordinate(name, vs["uid"],
                                                   vs["per_coordinate"])
                     self.metrics[name] = float(auc_metric(

@@ -59,6 +59,11 @@ def run_fixed_effect(config: WorkflowConfig) -> Dict[str, float]:
         "validation_score_dir": os.path.join(output_dir, VALIDATION_SCORES),
     })
     model_type = base_params.model_type
+    if model_type not in (constants.LOGISTIC_REGRESSION, constants.DETEXT):
+        # same restriction as the reference workflow generator
+        # (fixed_effect_workflow_generator.py:75-85); plain linear regression
+        # runs through the trainer CLI, not the scored+evaluated workflow
+        raise ValueError(f"unsupported model_type: {model_type}")
     if model_type == constants.DETEXT:
         from gdmix_tpu.models.deep_tower import DeepTowerModel, DeepTowerParams
         model_params = from_dict(DeepTowerParams, {
