@@ -148,10 +148,13 @@ class FixedEffectLRModel(Model):
 
     # ------------------------------------------------------------- objective --
 
-    def _objective(self, batch: SparseBatch):
-        """(value, grad) of the global objective. Data-sum via scan over chunks;
-        the λ-term is applied once. With sharded inputs XLA all-reduces the
-        partial sums across the mesh (the gRPC ring of reference :384-390)."""
+    def _objective_fun(self, batch: SparseBatch):
+        """(value, grad) of the global objective for a (possibly traced) batch.
+        Data-sum via scan over chunks; the λ-term is applied once. With sharded
+        inputs XLA all-reduces the partial sums across the mesh (the gRPC ring
+        of reference :384-390). Multi-process note: the batch is always passed
+        as a jit ARGUMENT (closing over non-addressable global arrays is
+        disallowed)."""
         chunk = self.model_params.train_chunk_size
         num_features = self.num_features
         kw = dict(has_intercept=self.has_intercept, regularize_bias=True,
@@ -198,7 +201,6 @@ class FixedEffectLRModel(Model):
         The device batch is returned for reuse (scoring/variance)."""
         batch, train_uid, n_train = self._device_batch(train_data, schema_params,
                                                        for_training=True)
-        fun = self._objective(batch)
         if warm_start is not None and len(warm_start) == self._dim:
             x0 = jnp.asarray(warm_start, self.dtype)
         else:
@@ -206,10 +208,11 @@ class FixedEffectLRModel(Model):
         x0 = jax.device_put(x0, replicated(self.mesh))
 
         p = self.model_params
-        solve = jax.jit(lambda x: lbfgs(
-            fun, x, m=p.num_of_lbfgs_curvature_pairs, ftol=p.lbfgs_tolerance,
-            pgtol=p.lbfgs_pgtol, maxiter=p.num_of_lbfgs_iterations))
-        res = solve(x0)
+        solve = jax.jit(lambda x, b: lbfgs(
+            self._objective_fun(b), x, m=p.num_of_lbfgs_curvature_pairs,
+            ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol,
+            maxiter=p.num_of_lbfgs_iterations))
+        res = solve(x0, batch)
         logger.info("f_min: %s, iters: %s, funcalls: %s, converged: %s",
                     float(res.f), int(res.num_iterations), int(res.num_funcalls),
                     bool(res.converged))
@@ -289,26 +292,38 @@ class FixedEffectLRModel(Model):
 
     # ------------------------------------------------------------------ score --
 
+    @staticmethod
+    def _to_host_local(arr, n: int) -> np.ndarray:
+        """Fetch THIS process's rows of a batch-sharded global array (the rows it
+        contributed via make_array_from_process_local_data), truncated to the
+        true local count n. Single-process: plain fetch."""
+        if jax.process_count() == 1:
+            return np.asarray(arr, np.float64)[:n]
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start
+                        if s.index and s.index[0].start is not None else 0)
+        return np.concatenate([np.asarray(s.data, np.float64)
+                               for s in shards])[:n]
+
     def _score_arrays(self, batch: SparseBatch, uid: np.ndarray, n: int,
                       schema_params) -> Dict[str, np.ndarray]:
         x = jnp.asarray(self.model_coefficients, self.dtype)
 
         @jax.jit
-        def score(xx):
+        def score(xx, b):
             z_no_off = predict_logits(
-                xx, SparseBatch(batch.indices, batch.values,
-                                jnp.zeros_like(batch.offsets), batch.labels,
-                                batch.weights),
+                xx, SparseBatch(b.indices, b.values, jnp.zeros_like(b.offsets),
+                                b.labels, b.weights),
                 has_intercept=self.has_intercept, intercept_at_end=True)
-            return z_no_off, z_no_off + batch.offsets
+            return z_no_off, z_no_off + b.offsets
 
-        per_coordinate, total = (np.asarray(a, np.float64)[:n]
-                                 for a in jax.device_get(score(x)))
+        z_pc, z = score(x, batch)
+        per_coordinate = self._to_host_local(z_pc, n)
+        total = self._to_host_local(z, n)
         out = {"uid": uid, "total": total, "per_coordinate": per_coordinate}
         if self.metadata.has_label(schema_params.label_column_name):
-            out["labels"] = np.asarray(batch.labels, np.float64)[:n]
+            out["labels"] = self._to_host_local(batch.labels, n)
         if self.metadata.has_feature(schema_params.weight_column_name):
-            out["weights"] = np.asarray(batch.weights, np.float64)[:n]
+            out["weights"] = self._to_host_local(batch.weights, n)
         return out
 
     def _score_and_write(self, batch: SparseBatch, uid: np.ndarray, n: int,
@@ -333,18 +348,20 @@ class FixedEffectLRModel(Model):
         lam = self.l2_reg_weight
         if self.variance_mode == constants.SIMPLE:
             H = np.array(jax.device_get(jax.jit(
-                lambda xx: hessian_diag(xx, batch, self.num_features,
-                                        has_intercept=self.has_intercept,
-                                        intercept_at_end=True))(x)), np.float64)
+                lambda xx, b: hessian_diag(xx, b, self.num_features,
+                                           has_intercept=self.has_intercept,
+                                           intercept_at_end=True))(x, batch)),
+                         np.float64)
             H += lam
             if self.has_intercept and not self.is_regularize_bias:
                 H[-1] -= lam
             self.variances = 1.0 / (H + _EPSILON)
         elif self.variance_mode == constants.FULL:
             H = np.array(jax.device_get(jax.jit(
-                lambda xx: hessian_full(xx, batch, self.num_features,
-                                        has_intercept=self.has_intercept,
-                                        intercept_at_end=True))(x)), np.float64)
+                lambda xx, b: hessian_full(xx, b, self.num_features,
+                                           has_intercept=self.has_intercept,
+                                           intercept_at_end=True))(x, batch)),
+                         np.float64)
             H += np.diag([lam + _EPSILON] * H.shape[0])
             if self.has_intercept and not self.is_regularize_bias:
                 H[-1][-1] -= lam
