@@ -17,7 +17,7 @@ in both modes).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -57,17 +57,27 @@ class EntityBucket:
         return self.unique_global_indices.shape[1]
 
 
-def _entity_compact(group: EntityGroup) -> Tuple[np.ndarray, List[np.ndarray]]:
-    """Unique global ids (sorted) + per-record locally-remapped index rows."""
-    if group.ragged_indices:
-        all_idx = np.concatenate([r for r in group.ragged_indices]) \
-            if any(len(r) for r in group.ragged_indices) else np.zeros(0, np.int64)
+class _Compact(NamedTuple):
+    """One entity's data in compact feature space, flattened (no per-record
+    python objects — a single searchsorted remaps every nnz entry at once)."""
+    unique: np.ndarray       # sorted unique global feature ids
+    flat_local: np.ndarray   # [total_nnz] local ids, record-major
+    flat_vals: np.ndarray    # [total_nnz]
+    rec_nnz: np.ndarray      # [n] per-record nnz
+
+
+def _entity_compact(group: EntityGroup) -> _Compact:
+    rec_nnz = np.asarray([len(r) for r in group.ragged_indices], np.int64)
+    if rec_nnz.sum():
+        all_idx = np.concatenate(group.ragged_indices)
+        all_val = np.concatenate(group.ragged_values)
     else:
         all_idx = np.zeros(0, np.int64)
+        all_val = np.zeros(0)
     unique = np.unique(all_idx) if all_idx.size else np.zeros(1, np.int64)
-    local_rows = [np.searchsorted(unique, r).astype(np.int32)
-                  for r in group.ragged_indices]
-    return unique, local_rows
+    flat_local = np.searchsorted(unique, all_idx).astype(np.int32)
+    return _Compact(unique=unique, flat_local=flat_local, flat_vals=all_val,
+                    rec_nnz=rec_nnz)
 
 
 def _warm_start(unique: np.ndarray, prior: Optional[SparseModel],
@@ -81,12 +91,15 @@ def _warm_start(unique: np.ndarray, prior: Optional[SparseModel],
     off = 1 if has_intercept else 0
     if has_intercept:
         theta0[0] = prior.theta[0]
-    prior_map = {int(u): prior.theta[off + i]
-                 for i, u in enumerate(prior.unique_global_indices)}
-    for i, u in enumerate(unique):
-        v = prior_map.get(int(u))
-        if v is not None:
-            theta0[off + i] = v
+    p_idx = np.asarray(prior.unique_global_indices)
+    if p_idx.size:
+        order = np.argsort(p_idx, kind="stable")
+        p_sorted = p_idx[order]
+        p_theta = np.asarray(prior.theta[off:])[order]
+        pos = np.searchsorted(p_sorted, unique)
+        pos_c = np.clip(pos, 0, len(p_sorted) - 1)
+        hit = p_sorted[pos_c] == unique
+        theta0[off:off + len(unique)][hit] = p_theta[pos_c[hit]]
     return theta0
 
 
@@ -145,10 +158,10 @@ def bucketize(groups: Sequence[EntityGroup],
         # coordinates/datasets (each new shape is a jit compile — expensive on
         # remote TPU backends)
         b = max(batch_align, _next_pow2(b_real))
-        k = max(max((max((len(r) for r in groups[gi].ragged_indices), default=1)
-                     for gi in members)), 1)
+        k = max(max((int(compact[gi].rec_nnz.max()) if compact[gi].rec_nnz.size
+                     else 1 for gi in members)), 1)
         k = _round_up(k, nnz_align)
-        u = max(max(len(compact[gi][0]) for gi in members), 1)
+        u = max(max(len(compact[gi].unique) for gi in members), 1)
         u = _round_up(u, 8)
         dim = u + (1 if has_intercept else 0)
 
@@ -166,17 +179,21 @@ def bucketize(groups: Sequence[EntityGroup],
 
         for slot, gi in enumerate(members):
             g = groups[gi]
-            unique, local_rows = compact[gi]
+            c = compact[gi]
             n = g.sample_count
             entity_ids.append(g.entity_id)
             sample_count[slot] = n
-            u_count[slot] = len(unique)
-            unique_g[slot, :len(unique)] = unique
-            for r, row in enumerate(local_rows):
-                m = len(row)
-                if m:
-                    indices[slot, r, :m] = row
-                    values[slot, r, :m] = g.ragged_values[r]
+            u_count[slot] = len(c.unique)
+            unique_g[slot, :len(c.unique)] = c.unique
+            if c.flat_local.size:
+                # flat scatter of every nnz entry at once (record-major):
+                # row r repeated nnz_r times, column = position within record
+                rows = np.repeat(np.arange(len(c.rec_nnz)), c.rec_nnz)
+                starts = np.concatenate([[0], np.cumsum(c.rec_nnz)[:-1]])
+                cols = (np.arange(c.flat_local.size)
+                        - np.repeat(starts, c.rec_nnz))
+                indices[slot, rows, cols] = c.flat_local
+                values[slot, rows, cols] = c.flat_vals
             if label_col and label_col in g.columns:
                 labels[slot, :n] = g.columns[label_col][:n]
             if weight_col and weight_col in g.columns:
@@ -187,7 +204,7 @@ def bucketize(groups: Sequence[EntityGroup],
                 offsets[slot, :n] = g.columns[offset_column_name][:n]
             if uid_col in g.columns:
                 uids[slot, :n] = g.columns[uid_col][:n]
-            theta0[slot] = _warm_start(unique, prior_models.get(g.entity_id),
+            theta0[slot] = _warm_start(c.unique, prior_models.get(g.entity_id),
                                        has_intercept, u)
 
         buckets.append(EntityBucket(
