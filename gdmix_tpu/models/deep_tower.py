@@ -43,6 +43,7 @@ from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.logistic import stable_bce
 from gdmix_tpu.ops.metrics import auc as auc_metric
+from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh
 from gdmix_tpu.params import Params, from_argv
 
 logger = logging.getLogger(__name__)
@@ -157,6 +158,10 @@ class DeepTowerModel(Model):
             num_filters=model_params.num_filters,
             num_hidden=model_params.num_hidden)
         self.params_tree = None
+        self.mesh = get_mesh()
+        ndev = len(self.mesh.devices.flatten())
+        # data-parallel mini-batches when the batch divides the mesh
+        self._shard_batches = model_params.batch_size % ndev == 0
 
     # ------------------------------------------------------------------ data --
 
@@ -249,10 +254,19 @@ class DeepTowerModel(Model):
                                self.base_params.validation_score_dir, task_index)
 
     def _batch_slice(self, arrays, idx):
-        return (arrays["tokens"][idx], arrays["mask"][idx],
-                arrays["indices"][idx], arrays["values"][idx],
-                arrays["labels"][idx], arrays["weights"][idx],
-                arrays["offsets"][idx])
+        batch = (arrays["tokens"][idx], arrays["mask"][idx],
+                 arrays["indices"][idx], arrays["values"][idx],
+                 arrays["labels"][idx], arrays["weights"][idx],
+                 arrays["offsets"][idx])
+        if self._shard_batches and len(idx) % \
+                len(self.mesh.devices.flatten()) == 0:
+            # batch dim sharded over the mesh; params stay replicated (XLA
+            # all-reduces the grads — data-parallel SGD)
+            import jax as _jax
+            batch = tuple(
+                _jax.device_put(a, batch_sharding(self.mesh, rank=a.ndim))
+                for a in batch)
+        return batch
 
     def _score_all(self, score_fn, params, arrays, chunk: int = 4096) -> np.ndarray:
         out = []
