@@ -42,6 +42,7 @@ from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
                                     per_entity_value_and_grad, predict_logits)
 from gdmix_tpu.ops.newton import densify_bucket, newton_lr_batch
+from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh
 from gdmix_tpu.params import Params, REParams, from_argv
 from gdmix_tpu.util.model_utils import threshold_coefficients
 
@@ -231,8 +232,11 @@ class RandomEffectLRModel(Model):
         return model_weights
 
     def _bucket_device_arrays(self, bucket: EntityBucket):
+        """Bucket arrays on device, entity axis sharded over the mesh when it
+        divides evenly (row-sharded coefficient table: each chip solves its own
+        entities — the in-process multi-chip RE path)."""
         dt = self.dtype
-        return dict(
+        arrays = dict(
             indices=jnp.asarray(bucket.indices),
             values=jnp.asarray(bucket.values, dt),
             offsets=jnp.asarray(bucket.offsets, dt),
@@ -241,6 +245,13 @@ class RandomEffectLRModel(Model):
             sample_count=jnp.asarray(bucket.sample_count, dt),
             theta0=jnp.asarray(bucket.theta0, dt),
         )
+        mesh = get_mesh()
+        ndev = len(mesh.devices.flatten())
+        if ndev > 1 and bucket.indices.shape[0] % ndev == 0 \
+                and jax.process_count() == 1:
+            arrays = {k: jax.device_put(v, batch_sharding(mesh, rank=v.ndim))
+                      for k, v in arrays.items()}
+        return arrays
 
     def _solver_key(self):
         p = self.model_params

@@ -232,3 +232,17 @@ def test_predict_logits_both_layouts():
                           has_intercept=True, intercept_at_end=True)
     np.testing.assert_allclose(np.asarray(z_re), z_ref, atol=1e-12)
     np.testing.assert_allclose(np.asarray(z_fe), z_ref, atol=1e-12)
+
+
+def test_sorted_coo_gradient_equivalence():
+    """sorted-COO segment-sum gradient == scatter-add gradient."""
+    from gdmix_tpu.ops.logistic import make_sorted_coo
+    indices, values, X, y, offsets, weights = _random_sparse(n=40, seed=21)
+    x = np.random.RandomState(22).randn(21)
+    batch = _batch(indices, values, offsets, y, weights)
+    coo = make_sorted_coo(indices, values)
+    v1, g1 = fixed_effect_value_and_grad(jnp.asarray(x), batch, 20)
+    v2, g2 = fixed_effect_value_and_grad(jnp.asarray(x), batch, 20,
+                                         sorted_coo=coo)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
