@@ -431,6 +431,11 @@ def read_records(path_or_file) -> Iterator[dict]:
         pos += SYNC_SIZE
         if codec == "deflate":
             payload = memoryview(zlib.decompress(bytes(payload), wbits=-15))
+        elif codec == "snappy":
+            from gdmix_tpu.io.snappy import decompress
+            # avro snappy blocks end with a 4-byte big-endian CRC32 of the
+            # uncompressed data
+            payload = memoryview(decompress(bytes(payload[:-4])))
         elif codec != "null":
             raise ValueError(f"Unsupported codec {codec!r}")
         p = 0

@@ -143,3 +143,18 @@ def test_schema_is_reference_compatible():
     assert [f["name"] for f in parsed["fields"]] == \
         ["modelId", "modelClass", "means", "variances", "lossFunction"]
     assert "NameTermValueAvro" in names.named
+
+
+def test_snappy_decompress():
+    """Hand-crafted snappy streams: literals, copies, overlapping runs."""
+    from gdmix_tpu.io.snappy import decompress
+    # preamble len=5, literal tag (len 5): "hello"
+    assert decompress(bytes([5, (5 - 1) << 2]) + b"hello") == b"hello"
+    # "abcabcabc": literal "abc" + overlapping copy1 (offset 3, len 6)
+    stream = bytes([9, (3 - 1) << 2]) + b"abc" + \
+        bytes([((6 - 4) << 2) | 1, 3])
+    assert decompress(stream) == b"abcabcabc"
+    # long literal (> 60): 61-flag with 1 length byte
+    payload = bytes(range(100))
+    stream = bytes([100, 60 << 2, 99]) + payload
+    assert decompress(stream) == payload
