@@ -36,6 +36,7 @@ from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, fixed_effect_value_and_grad,
+                                    fixed_effect_value_and_grad_onehot,
                                     hessian_diag, hessian_full, l2_value_and_grad,
                                     predict_logits)
 from gdmix_tpu.params import FixedLRParams, Params, from_argv
@@ -160,6 +161,33 @@ class FixedEffectLRModel(Model):
         kw = dict(has_intercept=self.has_intercept, regularize_bias=True,
                   l2_reg_weight=0.0, model_type=self.model_type)
         n = batch.labels.shape[0]
+
+        p = self.model_params
+        use_onehot = (p.grad_mode == "onehot"
+                      or (p.grad_mode == "auto"
+                          and num_features <= p.onehot_max_features))
+        if use_onehot:
+            # chunk sized so the dense [chunk, D] block stays ~128 MB
+            oh_chunk = chunk or max(256, min(n, (1 << 25) // max(num_features, 1)))
+            oh_chunk = min(oh_chunk, n)
+
+            def fun(x):
+                nn = pad_to_multiple(n, oh_chunk)
+                bb = batch
+                if nn != n:
+                    def fill(a):
+                        filler = jnp.zeros((nn - n,) + a.shape[1:], a.dtype)
+                        return jnp.concatenate([a, filler], axis=0)
+                    bb = SparseBatch(*[fill(a) for a in batch])
+                v, g = fixed_effect_value_and_grad_onehot(
+                    x, bb, num_features, chunk=oh_chunk,
+                    has_intercept=self.has_intercept,
+                    model_type=self.model_type)
+                lv, lg = l2_value_and_grad(
+                    x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                    regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+                return v + lv, g + lg
+            return fun
 
         if chunk and chunk < n:
             c = pad_to_multiple(n, chunk) // chunk

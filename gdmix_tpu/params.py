@@ -158,6 +158,11 @@ class FixedLRParams(LRParams):
     fixed_effect_variance_mode: Optional[str] = None
     dtype: str = "float32"
     train_chunk_size: int = 0       # 0 = whole shard in one chunk
+    # gradient strategy: "onehot" densifies chunks and uses MXU matmuls (faster
+    # on TPU up to moderate feature counts — scatters serialize), "scatter" is
+    # the gather/scatter-add path, "auto" picks by feature count
+    grad_mode: str = "auto"         # "auto" | "onehot" | "scatter"
+    onehot_max_features: int = 16384
 
     def __post_init__(self):
         super().__post_init__()
