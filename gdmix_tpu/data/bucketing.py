@@ -67,13 +67,21 @@ class _Compact(NamedTuple):
 
 
 def _entity_compact(group: EntityGroup) -> _Compact:
-    rec_nnz = np.asarray([len(r) for r in group.ragged_indices], np.int64)
-    if rec_nnz.sum():
-        all_idx = np.concatenate(group.ragged_indices)
-        all_val = np.concatenate(group.ragged_values)
+    if group.padded_indices is not None:
+        # padded-block fast path: one mask, zero per-record python
+        rec_nnz = np.asarray(group.rec_nnz, np.int64)
+        k = group.padded_indices.shape[1]
+        valid = np.arange(k)[None, :] < rec_nnz[:, None]
+        all_idx = group.padded_indices[valid].astype(np.int64)
+        all_val = group.padded_values[valid]
     else:
-        all_idx = np.zeros(0, np.int64)
-        all_val = np.zeros(0)
+        rec_nnz = np.asarray([len(r) for r in group.ragged_indices], np.int64)
+        if rec_nnz.sum():
+            all_idx = np.concatenate(group.ragged_indices)
+            all_val = np.concatenate(group.ragged_values)
+        else:
+            all_idx = np.zeros(0, np.int64)
+            all_val = np.zeros(0)
     unique = np.unique(all_idx) if all_idx.size else np.zeros(1, np.int64)
     flat_local = np.searchsorted(unique, all_idx).astype(np.int32)
     return _Compact(unique=unique, flat_local=flat_local, flat_vals=all_val,

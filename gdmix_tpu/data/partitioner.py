@@ -115,10 +115,11 @@ def group_by_entity(data: PerRecordData, config: PartitionerConfig,
         cols = {name: arr[idx] for name, arr in per_record_cols.items()}
         g = EntityGroup(entity_id=eid, columns=cols)
         if data.indices is not None:
-            for i in idx:
-                m = int(data.nnz[i]) if data.nnz is not None else data.indices.shape[1]
-                g.ragged_indices.append(data.indices[i][:m].astype(np.int64))
-                g.ragged_values.append(data.values[i][:m])
+            # bulk fancy-index the entity's padded block — no per-record loop
+            g.padded_indices = data.indices[idx]
+            g.padded_values = data.values[idx]
+            g.rec_nnz = (data.nnz[idx] if data.nnz is not None
+                         else np.full(len(idx), data.indices.shape[1], np.int32))
         out.append((eid, gid, g))
     return out
 

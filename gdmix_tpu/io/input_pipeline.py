@@ -218,16 +218,41 @@ def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
 
 @dataclass
 class EntityGroup:
-    """One entity's records from a grouped (SequenceExample) dataset."""
+    """One entity's records from a grouped dataset.
+
+    Sparse features come in one of two equivalent forms: ragged per-record
+    lists (file decode path) or padded [n, K] blocks + per-record nnz (the
+    in-memory partitioner's fast path — no per-record python objects).
+    """
     entity_id: str
     columns: Dict[str, np.ndarray]          # per-record scalar columns, each [n]
     ragged_indices: List[np.ndarray] = field(default_factory=list)
     ragged_values: List[np.ndarray] = field(default_factory=list)
+    padded_indices: Optional[np.ndarray] = None   # [n, K]
+    padded_values: Optional[np.ndarray] = None    # [n, K]
+    rec_nnz: Optional[np.ndarray] = None          # [n]
 
     @property
     def sample_count(self) -> int:
-        return len(next(iter(self.columns.values()))) if self.columns else \
-            len(self.ragged_indices)
+        if self.columns:
+            return len(next(iter(self.columns.values())))
+        if self.rec_nnz is not None:
+            return len(self.rec_nnz)
+        return len(self.ragged_indices)
+
+    @property
+    def has_sparse(self) -> bool:
+        return self.padded_indices is not None or bool(self.ragged_indices)
+
+    def iter_ragged(self):
+        """Yield (indices, values) per record regardless of storage form."""
+        if self.padded_indices is not None:
+            for i in range(len(self.rec_nnz)):
+                m = int(self.rec_nnz[i])
+                yield (self.padded_indices[i][:m].astype(np.int64),
+                       self.padded_values[i][:m])
+        else:
+            yield from zip(self.ragged_indices, self.ragged_values)
 
 
 def read_per_entity_grouped(input_path, metadata: DatasetMetadata,
@@ -291,8 +316,12 @@ def write_per_entity_grouped(output_file: str, groups: Sequence[EntityGroup],
                     ctx[name] = [float(v) for v in arr]
             seq = {}
             if feature_bag:
-                seq[idx_key] = [[int(v) for v in row] for row in g.ragged_indices]
-                seq[val_key] = [[float(v) for v in row] for row in g.ragged_values]
+                rows_i, rows_v = [], []
+                for ri, rv in g.iter_ragged():
+                    rows_i.append([int(v) for v in ri])
+                    rows_v.append([float(v) for v in rv])
+                seq[idx_key] = rows_i
+                seq[val_key] = rows_v
             yield proto.encode_sequence_example(ctx, seq)
 
     return tfrecord.write_tfrecords(output_file, payloads())

@@ -144,8 +144,9 @@ def test_partition_dataset_grouping_and_offsets():
         got_off = g.columns["offset"]
         want = np.float32(np.linspace(0, 1, 10))[g.columns["uid"]]
         np.testing.assert_allclose(got_off, want, atol=1e-7)
-        # ragged features survived grouping
-        assert len(g.ragged_indices) == g.sample_count
+        # sparse features survived grouping (padded-block fast path)
+        assert g.has_sparse
+        assert len(list(g.iter_ragged())) == g.sample_count
     # partition routing is by java hash of the entity string
     for pid, groups in parts.items():
         for g in groups["active"]:
