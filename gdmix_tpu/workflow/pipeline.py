@@ -132,7 +132,8 @@ class InMemoryPipeline:
             logger.info("=== coordinate-descent sweep %d ===", sweep + 1)
             # ---- fixed effect ----
             self._set_offsets(fe_train, train_ledger, fe_name,
-                              fe_model_params.offset_column_name)
+                              fe_model_params.offset_column_name,
+                              uid_col)
             warm = fe_model.model_coefficients if sweep else None
             fe_model.fit_data(fe_train, fe_params, warm_start=warm)
             tr_scores = fe_model.score_data(fe_train, fe_params)
@@ -140,7 +141,7 @@ class InMemoryPipeline:
                                           tr_scores["per_coordinate"])
             if fe_valid is not None:
                 self._set_offsets(fe_valid, valid_ledger, fe_name,
-                                  fe_model_params.offset_column_name)
+                                  fe_model_params.offset_column_name, uid_col)
                 va = fe_model.score_data(fe_valid, fe_params)
                 valid_ledger.apply_coordinate(fe_name, va["uid"],
                                               va["per_coordinate"])
@@ -155,7 +156,8 @@ class InMemoryPipeline:
                 name = item["name"]
 
                 self._set_offsets(item["train"], train_ledger, name,
-                                  mp.offset_column_name)
+                                  mp.offset_column_name,
+                                  params.uid_column_name)
                 pcfg = PartitionerConfig(
                     partition_entity=mp.partition_entity, num_partitions=1,
                     min_samples=item["min_samples"],
@@ -174,7 +176,8 @@ class InMemoryPipeline:
 
                 if item["valid"] is not None:
                     self._set_offsets(item["valid"], valid_ledger, name,
-                                      mp.offset_column_name)
+                                      mp.offset_column_name,
+                                      params.uid_column_name)
                     vs = model.score_records(item["valid"], item["weights"],
                                              params)
                     valid_ledger.apply_coordinate(name, vs["uid"],
@@ -203,12 +206,13 @@ class InMemoryPipeline:
 
     @staticmethod
     def _set_offsets(data: PerRecordData, ledger: Optional[_Ledger],
-                     coordinate_name: str, offset_column: str) -> None:
+                     coordinate_name: str, offset_column: str,
+                     uid_column: str = "uid") -> None:
         """offset = accumulated − own contribution (OffsetUpdater semantics;
         the own-term is zero on the first sweep)."""
         if ledger is None:
             return
-        uids = data.columns["uid"].astype(np.int64)
+        uids = data.columns[uid_column].astype(np.int64)
         pos = np.searchsorted(ledger.uids, uids)
         total = ledger.total[pos]
         own = ledger.per_coordinate.get(coordinate_name)
