@@ -77,14 +77,39 @@ def _score_files(path: str) -> List[str]:
 
 def read_scores(path: str, schema_params) -> Dict[str, np.ndarray]:
     """Read a score dir/file into {column: array} keyed by schema column names.
-    Missing columns are absent from the dict."""
+    Missing columns are absent from the dict. A C++ flat-record decoder
+    (gdmix_tpu.native) handles the hot path; the pure-Python reader is the
+    fallback for exotic schemas."""
+    files = _score_files(path)
+    native_parts = []
+    for f in files:
+        try:
+            from gdmix_tpu import native
+            cols = native.read_avro_columns(f)
+        except Exception:
+            cols = None
+        if cols is None:
+            native_parts = None
+            break
+        native_parts.append(cols)
+    if native_parts is not None and native_parts:
+        merged: Dict[str, np.ndarray] = {}
+        for name in native_parts[0]:
+            merged[name] = np.concatenate([p[name] for p in native_parts])
+        wanted = [schema_params.uid_column_name,
+                  schema_params.prediction_score_column_name,
+                  schema_params.label_column_name,
+                  schema_params.weight_column_name,
+                  schema_params.prediction_score_per_coordinate_column_name]
+        return {k: v for k, v in merged.items() if k in wanted}
+
     uids: List[int] = []
     scores: List[float] = []
     per_coord: List[float] = []
     labels: List[float] = []
     weights: List[float] = []
     has_label = has_weight = has_pc = False
-    for f in _score_files(path):
+    for f in files:
         for rec in avro.read_records(f):
             uids.append(rec[schema_params.uid_column_name])
             scores.append(rec[schema_params.prediction_score_column_name])

@@ -131,3 +131,121 @@ def parse_per_record(buf: bytes, dense_names: List[str],
         return dense, present, indices, values, nnz
     finally:
         lib.gdx_free(h)
+
+
+# ---------------------------------------------------------------------------
+# Native Avro flat-record decoder (score files)
+# ---------------------------------------------------------------------------
+
+_AVRO_SO = os.path.join(_DIR, "libgdmix_avro.so")
+_AVRO_SRC = os.path.join(_DIR, "avro_io.cc")
+_avro_lib = None
+_avro_tried = False
+
+_PRIM_CODE = {"long": "L", "int": "I", "float": "F", "double": "D",
+              "boolean": "B", "string": "S", "bytes": "S"}
+
+
+def _load_avro():
+    global _avro_lib, _avro_tried
+    if _avro_lib is not None or _avro_tried:
+        return _avro_lib
+    _avro_tried = True
+    if not os.path.exists(_AVRO_SO) or \
+            os.path.getmtime(_AVRO_SO) < os.path.getmtime(_AVRO_SRC):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _AVRO_SRC,
+                 "-o", _AVRO_SO, "-lz"],
+                check=True, capture_output=True, timeout=120)
+        except Exception as e:  # pragma: no cover
+            logger.info("native avro build failed (%s)", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_AVRO_SO)
+    except OSError as e:  # pragma: no cover
+        logger.info("native avro load failed (%s)", e)
+        return None
+    lib.gdx_avro_parse.restype = ctypes.c_void_p
+    lib.gdx_avro_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                   ctypes.c_char_p, ctypes.c_char_p]
+    lib.gdx_avro_num_records.restype = ctypes.c_int64
+    lib.gdx_avro_num_records.argtypes = [ctypes.c_void_p]
+    lib.gdx_avro_fill_f64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    lib.gdx_avro_fill_i64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    lib.gdx_avro_free.argtypes = [ctypes.c_void_p]
+    _avro_lib = lib
+    return _avro_lib
+
+
+def _field_codes(schema: dict):
+    """(codes, union_subs, returned field names + dtypes) or None if the
+    schema is not a flat primitive record the native decoder handles."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        return None
+    codes = []
+    subs = []
+    names = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str) and t in _PRIM_CODE:
+            codes.append(_PRIM_CODE[t])
+            subs.append("-")
+            if _PRIM_CODE[t] != "S":
+                names.append((f["name"], _PRIM_CODE[t]))
+        elif (isinstance(t, list) and len(t) == 2 and t[0] == "null"
+              and isinstance(t[1], str) and t[1] in _PRIM_CODE
+              and _PRIM_CODE[t[1]] != "S"):
+            codes.append("U")
+            subs.append(_PRIM_CODE[t[1]])
+            names.append((f["name"], _PRIM_CODE[t[1]]))
+        else:
+            return None
+    return "".join(codes), "".join(subs), names
+
+
+def read_avro_columns(path: str):
+    """Decode a flat-primitive-record OCF into {name: array} (nullable fields
+    carry NaN where absent). Returns None if unsupported → caller falls back."""
+    lib = _load_avro()
+    if lib is None:
+        return None
+    from gdmix_tpu.io import avro as avro_py
+    try:
+        schema = avro_py.read_schema(path)
+    except Exception:
+        return None
+    fc = _field_codes(schema)
+    if fc is None:
+        return None
+    codes, subs, names = fc
+    with open(path, "rb") as f:
+        buf = f.read()
+    h = lib.gdx_avro_parse(buf, len(buf), codes.encode(), subs.encode())
+    if not h:
+        return None
+    try:
+        n = lib.gdx_avro_num_records(h)
+        out = {}
+        for col, (name, code) in enumerate(names):
+            present = np.zeros(n, np.uint8)
+            if code in ("L", "I", "B"):
+                arr = np.zeros(n, np.int64)
+                if n:
+                    lib.gdx_avro_fill_i64(h, col, arr, present)
+                out[name] = arr
+            else:
+                arr = np.zeros(n, np.float64)
+                if n:
+                    lib.gdx_avro_fill_f64(h, col, arr, present)
+                arr[present == 0] = np.nan
+                out[name] = arr
+        return out
+    finally:
+        lib.gdx_avro_free(h)
