@@ -1,0 +1,66 @@
+"""Fused Pallas FE loss/grad kernel: interpret-mode correctness vs the scatter
+objective (compiled-path parity is asserted on real TPU in /tmp scratch runs;
+see the kernel docstring for measured numbers)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdmix_tpu.ops.logistic import SparseBatch, fixed_effect_value_and_grad
+from gdmix_tpu.ops.pallas.fe_grad import TILE, fe_loss_grad_pallas
+
+
+@pytest.mark.parametrize("linear", [False, True])
+def test_matches_scatter_objective(linear):
+    N, D, K = 2 * TILE, 96, 4
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, D, (N, K)).astype(np.int32)
+    val = (rng.randn(N, K) * (rng.rand(N, K) < 0.7)).astype(np.float64)
+    y = (rng.randint(0, 2, N).astype(np.float64) if not linear
+         else rng.randn(N))
+    w = rng.rand(N) + 0.5
+    off = 0.3 * rng.randn(N)
+    x = rng.randn(D + 1) * 0.2
+
+    batch = SparseBatch(jnp.asarray(idx), jnp.asarray(val), jnp.asarray(off),
+                        jnp.asarray(y), jnp.asarray(w))
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        jnp.asarray(x), batch, D, regularize_bias=True, l2_reg_weight=0.0,
+        model_type="linear_regression" if linear else "logistic_regression")
+    v, g = fe_loss_grad_pallas(
+        jnp.asarray(x, jnp.float32), jnp.asarray(idx), jnp.asarray(val),
+        jnp.asarray(y), jnp.asarray(w), jnp.asarray(off), D, linear=linear,
+        interpret=True)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g, np.float64), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_padding_rows_inert():
+    N, D, K = TILE, 32, 4
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, D, (N, K)).astype(np.int32)
+    val = rng.randn(N, K)
+    y = rng.randint(0, 2, N).astype(np.float64)
+    w = np.ones(N)
+    w[N // 2:] = 0.0   # padding rows
+    off = np.zeros(N)
+    x = rng.randn(D + 1) * 0.1
+
+    v1, g1 = fe_loss_grad_pallas(jnp.asarray(x, jnp.float32), jnp.asarray(idx),
+                                 jnp.asarray(val), jnp.asarray(y),
+                                 jnp.asarray(w), jnp.asarray(off), D,
+                                 interpret=True)
+    # same first half without padding rows → identical results
+    h = N // 2
+    pad = TILE - h
+    def padded(a, fill=0.0):
+        return np.concatenate([a[:h], np.full((pad,) + a.shape[1:], fill,
+                                              a.dtype)])
+    v2, g2 = fe_loss_grad_pallas(jnp.asarray(x, jnp.float32),
+                                 jnp.asarray(padded(idx, 0).astype(np.int32)),
+                                 jnp.asarray(padded(val)),
+                                 jnp.asarray(padded(y)),
+                                 jnp.asarray(padded(w)),
+                                 jnp.asarray(padded(off)), D, interpret=True)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
