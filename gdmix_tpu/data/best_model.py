@@ -11,7 +11,7 @@ import base64
 import json
 import os
 import shutil
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from gdmix_tpu.data.evaluator import EVAL_SUMMARY_JSON
 

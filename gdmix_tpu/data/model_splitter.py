@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from gdmix_tpu.constants import LOGISTIC_MODEL_CLASS
 from gdmix_tpu.io import avro

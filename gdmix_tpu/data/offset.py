@@ -12,7 +12,7 @@ the joined score is cast to float32 before subtraction (OffsetUpdater.scala:115)
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

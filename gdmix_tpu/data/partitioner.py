@@ -18,10 +18,9 @@ host-side; the in-HBM pipeline keeps everything columnar and skips the files).
 """
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ BayesianLinearModelAvro in /root/reference/gdmix-trainer/src/gdmix/models/schema
 """
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct

@@ -12,10 +12,9 @@ Mirrors the reference's model format exactly (schema:
 """
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 

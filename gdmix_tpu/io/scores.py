@@ -8,7 +8,7 @@ predictionScorePerCoordinate (float).
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

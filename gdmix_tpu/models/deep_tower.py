@@ -21,8 +21,7 @@ import dataclasses
 import logging
 import os
 import pickle
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax

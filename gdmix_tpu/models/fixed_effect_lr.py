@@ -30,8 +30,7 @@ import numpy as np
 
 from gdmix_tpu import constants
 from gdmix_tpu.io import model_avro, scores as scores_io
-from gdmix_tpu.io.input_pipeline import (PerRecordData, load_per_record,
-                                          read_per_record)
+from gdmix_tpu.io.input_pipeline import PerRecordData, load_per_record
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs

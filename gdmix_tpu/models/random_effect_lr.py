@@ -24,7 +24,7 @@ import functools
 import logging
 import os
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +33,7 @@ import numpy as np
 from gdmix_tpu import constants
 from gdmix_tpu.data.bucketing import EntityBucket, bucketize
 from gdmix_tpu.io import model_avro, scores as scores_io
-from gdmix_tpu.io.input_pipeline import (load_per_entity_grouped,
-                                          read_per_entity_grouped)
+from gdmix_tpu.io.input_pipeline import load_per_entity_grouped
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.io.model_avro import SparseModel
 from gdmix_tpu.models.api import Model

@@ -14,7 +14,7 @@ size C with headroom (or re-route the remainder in a second pass).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,11 +17,10 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
-from gdmix_tpu.workflow.config import (METRIC, MODELS, PARTITION,
-                                       TRAINING_SCORES, VALIDATION_SCORES,
-                                       WorkflowConfig)
+from gdmix_tpu.workflow.config import (METRIC, PARTITION, TRAINING_SCORES,
+                                       VALIDATION_SCORES, WorkflowConfig)
 
 logger = logging.getLogger(__name__)
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
-from typing import Dict, Optional
+from typing import Dict
 
 from gdmix_tpu import constants
 from gdmix_tpu.data.evaluator import run_evaluator
