@@ -299,3 +299,34 @@ def test_string_entity_ids(tmp_path):
     loaded = load_sparse_models_from_avro(
         os.path.join(model.checkpoint_path, "part-00000.avro"), feature_file)
     assert set(loaded) == {f"user_{e}" for e in dense}
+
+
+def test_prior_only_entities_carry_forward(tmp_path):
+    """Entities present in the prior model but absent from the new dataset must
+    survive into the new model file untouched (reference :155-163)."""
+    groups, dense = _make_groups(seed=20, num_entities=4)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    ctx = _ctx(tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, ctx, base_params)
+    mf = os.path.join(model.checkpoint_path, "part-00000.avro")
+    first = load_sparse_models_from_avro(mf, feature_file)
+
+    # retrain on a dataset with only the first two entities
+    sub = [g for g in groups if g.entity_id in ("100", "101")]
+    sub_dir = os.path.join(str(tmp_path), "sub")
+    os.makedirs(os.path.join(sub_dir, "active"), exist_ok=True)
+    write_per_entity_grouped(os.path.join(sub_dir, "active", "d.tfrecord"),
+                             sub, "user_id", "long", "per_entity")
+    model2, _ = _build_model(md_file, train_dir, feature_file, tmp_path)
+    model2.train(os.path.join(sub_dir, "active"), None, md_file,
+                 model2.checkpoint_path, ctx, base_params)
+    after = load_sparse_models_from_avro(mf, feature_file)
+    assert set(after) == set(first)  # 102/103 carried forward
+    for eid in ("102", "103"):
+        np.testing.assert_allclose(after[eid].theta, first[eid].theta,
+                                   atol=1e-12)
+    for eid in ("100", "101"):   # retrained entities stay at optimum (warm)
+        np.testing.assert_allclose(after[eid].theta, first[eid].theta,
+                                   atol=1e-4)
