@@ -252,10 +252,11 @@ class RandomEffectLRModel(Model):
                       for k, v in arrays.items()}
         return arrays
 
-    def _solver_key(self):
+    def _solver_key(self, maxiter: int = None):
         p = self.model_params
         return (self.has_intercept, p.regularize_bias, float(p.l2_reg_weight),
-                p.num_of_lbfgs_iterations, float(p.lbfgs_tolerance),
+                p.num_of_lbfgs_iterations if maxiter is None else maxiter,
+                float(p.lbfgs_tolerance),
                 float(p.lbfgs_pgtol), p.num_of_lbfgs_curvature_pairs,
                 self.variance_mode)
 
@@ -269,10 +270,17 @@ class RandomEffectLRModel(Model):
         # Solvers are cached at module level so identical (config, shape) pairs
         # reuse one jitted computation — fresh closures per bucket would defeat
         # jax's jit cache and recompile every call (very costly on remote TPU).
-        solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
-                 else _lbfgs_solver(u_cap, *self._solver_key()))
-        thetas, variances, converged = (np.asarray(jax.device_get(t), np.float64)
-                                        for t in solve(arrays))
+        two_phase = (use_newton and p.newton_phase1_iters > 0
+                     and self.variance_mode is None
+                     and p.num_of_lbfgs_iterations > p.newton_phase1_iters)
+        if two_phase:
+            thetas, variances, converged = self._solve_two_phase(bucket, arrays,
+                                                                 u_cap)
+        else:
+            solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
+                     else _lbfgs_solver(u_cap, *self._solver_key()))
+            thetas, variances, converged = (
+                np.asarray(jax.device_get(t), np.float64) for t in solve(arrays))
         out: Dict[str, SparseModel] = {}
         off = 1 if self.has_intercept else 0
         for slot, entity_id in enumerate(bucket.entity_ids):
@@ -284,6 +292,44 @@ class RandomEffectLRModel(Model):
                 model_id=entity_id, theta=theta, variance=variance,
                 unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
         return out
+
+    def _solve_two_phase(self, bucket: EntityBucket, arrays, u_cap: int):
+        """Phase 1: everyone runs newton_phase1_iters. Phase 2: unconverged
+        stragglers are compacted into a small pow-2 batch and finished — the
+        lockstep while_loop otherwise makes every lane pay for the slowest."""
+        p = self.model_params
+        solve1 = _newton_solver(u_cap, *self._solver_key(
+            maxiter=p.newton_phase1_iters))
+        th1, _, c1 = solve1(arrays)
+        thetas = np.array(jax.device_get(th1), np.float64)
+        converged = np.array(jax.device_get(c1))
+        variances = np.zeros_like(thetas)
+        sel = np.flatnonzero(~converged)
+        if len(sel):
+            b2 = 64
+            while b2 < len(sel):
+                b2 *= 2
+            pad_sel = np.concatenate(
+                [sel, np.zeros(b2 - len(sel), np.int64)])
+            live = np.arange(b2) < len(sel)
+            dt = self.dtype
+            a2 = dict(
+                indices=jnp.asarray(bucket.indices[pad_sel]),
+                values=jnp.asarray(bucket.values[pad_sel], dt),
+                offsets=jnp.asarray(bucket.offsets[pad_sel], dt),
+                labels=jnp.asarray(bucket.labels[pad_sel], dt),
+                weights=jnp.asarray(
+                    bucket.weights[pad_sel] * live[:, None], dt),
+                sample_count=jnp.asarray(
+                    bucket.sample_count[pad_sel] * live, dt),
+                theta0=jnp.asarray(thetas[pad_sel], dt),
+            )
+            solve2 = _newton_solver(u_cap, *self._solver_key())
+            th2, _, c2 = solve2(a2)
+            thetas[sel] = np.asarray(jax.device_get(th2),
+                                     np.float64)[:len(sel)]
+            converged[sel] = np.asarray(jax.device_get(c2))[:len(sel)]
+        return thetas, variances, converged
 
     # ---------------------------------------------------------------- scoring --
 

@@ -191,6 +191,11 @@ class REParams(LRParams):
     # L-BFGS otherwise; both reach the same convex optimum (tests verify).
     batch_solver: str = "auto"      # "auto" | "lbfgs" | "newton"
     newton_max_dim: int = 128       # auto threshold on 1+u_cap
+    # two-phase Newton: run everyone for this many iterations, then compact the
+    # unconverged stragglers into a small batch and finish them (0 = disabled).
+    # Default off: the phase-1 theta fetch is transfer-bound on relay-attached
+    # TPUs (measured 43k vs 109k models/s); enable on locally-attached chips.
+    newton_phase1_iters: int = 0
 
     def __post_init__(self):
         super().__post_init__()
