@@ -162,6 +162,29 @@ class FixedEffectLRModel(Model):
         n = batch.labels.shape[0]
 
         p = self.model_params
+        # the fused kernel assumes the intercept-last layout with an intercept
+        if p.grad_mode == "pallas" and self.has_intercept:
+            from gdmix_tpu.ops.pallas.fe_grad import TILE, fe_loss_grad_pallas
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+            def fun(x):
+                nn = pad_to_multiple(n, TILE)
+                bb = batch
+                if nn != n:
+                    def fill(a):
+                        filler = jnp.zeros((nn - n,) + a.shape[1:], a.dtype)
+                        return jnp.concatenate([a, filler], axis=0)
+                    bb = SparseBatch(*[fill(a) for a in batch])
+                v, g = fe_loss_grad_pallas(
+                    x, bb.indices, bb.values, bb.labels, bb.weights, bb.offsets,
+                    num_features, linear=(self.model_type == "linear_regression"),
+                    interpret=interpret)
+                lv, lg = l2_value_and_grad(
+                    x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                    regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+                return v.astype(x.dtype) + lv, g + lg
+            return fun
+
         use_onehot = (p.grad_mode == "onehot"
                       or (p.grad_mode == "auto"
                           and num_features <= p.onehot_max_features))

@@ -160,8 +160,9 @@ class FixedLRParams(LRParams):
     train_chunk_size: int = 0       # 0 = whole shard in one chunk
     # gradient strategy: "onehot" densifies chunks and uses MXU matmuls (faster
     # on TPU up to moderate feature counts — scatters serialize), "scatter" is
-    # the gather/scatter-add path, "auto" picks by feature count
-    grad_mode: str = "auto"         # "auto" | "onehot" | "scatter"
+    # the gather/scatter-add path, "pallas" the fused VMEM kernel
+    # (ops/pallas/fe_grad.py), "auto" picks by feature count
+    grad_mode: str = "auto"         # "auto" | "onehot" | "scatter" | "pallas"
     onehot_max_features: int = 16384
 
     def __post_init__(self):

@@ -64,3 +64,16 @@ def test_padding_rows_inert():
                                  jnp.asarray(padded(off)), D, interpret=True)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_model_grad_mode_pallas(tmp_path):
+    """End-to-end FE training with grad_mode=pallas (interpret on CPU) must
+    match the scipy oracle like the other modes."""
+    from tests.test_fixed_effect_lr import (_make_dataset, _scipy_fe_oracle,
+                                            _train)
+    ds = _make_dataset(tmp_path)
+    model = _train(ds, tmp_path, grad_mode="pallas", dtype="float32",
+                   lbfgs_pgtol=1e-6)
+    oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
+                              lam=0.7, regularize_bias=False)
+    np.testing.assert_allclose(model.model_coefficients, oracle, atol=5e-3)
