@@ -45,28 +45,33 @@ class _Schema:
 
 
 def make_workload(num_entities: int, seed: int = 0):
-    """Long-tail per-entity datasets (Zipf-ish sample counts, 2..64)."""
+    """Long-tail per-entity datasets (Zipf-ish sample counts, 2..64).
+    Fully vectorized generation: one draw for every record, then per-entity
+    slices exposed as padded blocks (the partitioner's fast representation)."""
     rng = np.random.RandomState(seed)
     counts = np.clip((rng.pareto(1.5, num_entities) * 8 + 2).astype(int), 2, 64)
+    total = int(counts.sum())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx_all = rng.randint(0, D, size=(total, MAX_NNZ)).astype(np.int32)
+    val_all = rng.randn(total, MAX_NNZ)
+    nnz_all = rng.randint(1, MAX_NNZ + 1, size=total).astype(np.int32)
+    mask = np.arange(MAX_NNZ)[None, :] < nnz_all[:, None]
+    val_all = val_all * mask
+    w_true = np.repeat(rng.randn(num_entities), counts)
+    z = val_all.sum(1) * 0.5 + w_true
+    y_all = (rng.rand(total) < 1 / (1 + np.exp(-z))).astype(np.float64)
+    off_all = 0.1 * rng.randn(total)
+    uid_all = np.arange(total, dtype=np.int64)
     groups = []
-    uid = 0
     for e in range(num_entities):
-        n = int(counts[e])
-        k = rng.randint(1, MAX_NNZ + 1)
-        idx = rng.randint(0, D, size=(n, k))
-        val = rng.randn(n, k)
-        w_true = rng.randn()
-        y = (rng.rand(n) < 1 / (1 + np.exp(-(val.sum(1) * 0.5 + w_true)))
-             ).astype(np.float64)
+        s0, n = int(starts[e]), int(counts[e])
+        sl = slice(s0, s0 + n)
         groups.append(EntityGroup(
             entity_id=str(e),
-            columns={"uid": np.arange(uid, uid + n, dtype=np.int64),
-                     "response": y,
-                     "offset": 0.1 * rng.randn(n),
-                     },
-            ragged_indices=[idx[i] for i in range(n)],
-            ragged_values=[val[i] for i in range(n)]))
-        uid += n
+            columns={"uid": uid_all[sl], "response": y_all[sl],
+                     "offset": off_all[sl]},
+            padded_indices=idx_all[sl], padded_values=val_all[sl],
+            rec_nnz=nnz_all[sl]))
     return groups
 
 
