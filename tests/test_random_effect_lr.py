@@ -330,3 +330,51 @@ def test_prior_only_entities_carry_forward(tmp_path):
     for eid in ("100", "101"):   # retrained entities stay at optimum (warm)
         np.testing.assert_allclose(after[eid].theta, first[eid].theta,
                                    atol=1e-4)
+
+
+def test_local_indexing_flag_output_equivalence(tmp_path):
+    """enable_local_indexing True/False must produce identical models (the
+    compact-space solver makes them equivalent by construction — this pins the
+    claimed output-equivalence with the reference's two modes)."""
+    groups, dense = _make_groups(seed=24)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    results = {}
+    for flag in (False, True):
+        mdir = os.path.join(str(tmp_path), f"models_{flag}")
+        os.makedirs(mdir, exist_ok=True)
+        model, base_params = _build_model(md_file, train_dir, feature_file,
+                                          tmp_path, output_model_dir=mdir,
+                                          enable_local_indexing=flag)
+        model.train(os.path.join(train_dir, "active"), None, md_file,
+                    model.checkpoint_path, _ctx(tmp_path), base_params)
+        results[flag] = load_sparse_models_from_avro(
+            os.path.join(mdir, "part-00000.avro"), feature_file)
+    for eid in results[False]:
+        np.testing.assert_allclose(results[False][eid].theta,
+                                   results[True][eid].theta, atol=1e-12)
+        np.testing.assert_array_equal(
+            results[False][eid].unique_global_indices,
+            results[True][eid].unique_global_indices)
+
+
+def test_model_save_load_save_idempotent(tmp_path):
+    """load -> save -> load of the photon-ml avro must be lossless (sparsity
+    threshold 0)."""
+    from gdmix_tpu.io.model_avro import export_linear_model_to_avro
+    groups, dense = _make_groups(seed=26, num_entities=3)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file, tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, _ctx(tmp_path), base_params)
+    mf = os.path.join(model.checkpoint_path, "part-00000.avro")
+    first = load_sparse_models_from_avro(mf, feature_file)
+    mf2 = os.path.join(str(tmp_path), "resaved.avro")
+    export_linear_model_to_avro(
+        list(first), [m.unique_global_indices for m in first.values()],
+        [m.theta[1:] for m in first.values()],
+        [m.theta[0] for m in first.values()],
+        feature_file, mf2, sparsity_threshold=0.0)
+    second = load_sparse_models_from_avro(mf2, feature_file)
+    for eid in first:
+        np.testing.assert_allclose(second[eid].theta, first[eid].theta,
+                                   atol=1e-15)
