@@ -30,9 +30,9 @@ INDICES_SUFFIX = "_indices"
 VALUES_SUFFIX = "_values"
 
 
-def _avro_files(input_path, num_shards: int, shard_index: int) -> List[str]:
-    files, _ = shard_input_files(input_path, num_shards, shard_index)
-    return [f for f in files if f.endswith(".avro")] or files
+def _avro_files(input_path, num_shards: int, shard_index: int):
+    files, sample_level = shard_input_files(input_path, num_shards, shard_index)
+    return ([f for f in files if f.endswith(".avro")] or files), sample_level
 
 
 def _extract_bag(rec: dict, feature_bag: str, feature_map: Optional[dict]):
@@ -64,7 +64,7 @@ def read_per_record_avro(input_path, metadata: DatasetMetadata,
                          num_shards: int = 1, shard_index: int = 0,
                          feature_file: Optional[str] = None,
                          align: int = 8) -> PerRecordData:
-    files = _avro_files(input_path, num_shards, shard_index)
+    files, sample_level = _avro_files(input_path, num_shards, shard_index)
     feature_map = get_feature_map(feature_file) if feature_file else None
     tensors = metadata.tensors()
     dense_names = [n for n, t in tensors.items() if not t.is_sparse]
@@ -89,8 +89,12 @@ def read_per_record_avro(input_path, metadata: DatasetMetadata,
     if feature_bag:
         indices, values = _pad_ragged(ragged_idx, ragged_val, align)
         nnz = np.asarray([len(r) for r in ragged_idx], np.int32)
-    return PerRecordData(columns=columns, indices=indices, values=values,
-                         nnz=nnz, num_samples=n_records)
+    out = PerRecordData(columns=columns, indices=indices, values=values,
+                        nnz=nnz, num_samples=n_records)
+    if sample_level:
+        from gdmix_tpu.io.input_pipeline import shard_samples
+        out = shard_samples(out, num_shards, shard_index)
+    return out
 
 
 def read_per_entity_grouped_avro(input_path, metadata: DatasetMetadata,
@@ -98,7 +102,7 @@ def read_per_entity_grouped_avro(input_path, metadata: DatasetMetadata,
                                  feature_bag: Optional[str] = None,
                                  num_shards: int = 1, shard_index: int = 0
                                  ) -> List[EntityGroup]:
-    files = _avro_files(input_path, num_shards, shard_index)
+    files, sample_level = _avro_files(input_path, num_shards, shard_index)
     tensors = metadata.tensors()
     idx_key = feature_bag + INDICES_SUFFIX if feature_bag else None
     val_key = feature_bag + VALUES_SUFFIX if feature_bag else None
@@ -122,6 +126,8 @@ def read_per_entity_grouped_avro(input_path, metadata: DatasetMetadata,
                 g.ragged_values = [np.asarray(r, np.float64)
                                    for r in rec.get(val_key, [])]
             groups.append(g)
+    if sample_level and num_shards > 1:
+        groups = groups[shard_index::num_shards]
     return groups
 
 

@@ -62,6 +62,28 @@ def _pad_ragged(ragged_idx: List[np.ndarray], ragged_val: List[np.ndarray],
     return indices, values
 
 
+def slice_rows(data: PerRecordData, sel: np.ndarray) -> PerRecordData:
+    """Row-select a PerRecordData (sample-level sharding, filtering)."""
+    return PerRecordData(
+        columns={k: v[sel] for k, v in data.columns.items()},
+        indices=None if data.indices is None else data.indices[sel],
+        values=None if data.values is None else data.values[sel],
+        nnz=None if data.nnz is None else data.nnz[sel],
+        num_samples=int(len(sel)))
+
+
+def shard_samples(data: PerRecordData, num_shards: int,
+                  shard_index: int) -> PerRecordData:
+    """Sample-level sharding: keep every num_shards-th record (offset
+    shard_index) — the reference's dataset.shard fallback when there are fewer
+    input files than workers (distribution_utils.py:11-47 consumed by
+    input_data_pipeline.py:129-220)."""
+    if num_shards <= 1:
+        return data
+    return slice_rows(data, np.arange(shard_index, data.num_samples,
+                                      num_shards))
+
+
 def _read_file_bytes(path: str) -> bytes:
     """Whole file, decompressed to raw TFRecord framing."""
     import gzip
@@ -95,7 +117,7 @@ def read_per_record(input_path, metadata: DatasetMetadata,
         module_name, fn_name = custom_input_fn.rsplit(".", 1)
         fn = getattr(importlib.import_module(module_name), fn_name)
         return fn(input_path, metadata, feature_bag, num_shards, shard_index)
-    files, _ = shard_input_files(input_path, num_shards, shard_index)
+    files, sample_level = shard_input_files(input_path, num_shards, shard_index)
     tensors = metadata.tensors()
     dense_names = [name for name, t in tensors.items()
                    if not t.is_sparse and t.dtype not in ("bytes", "string")]
@@ -106,6 +128,8 @@ def read_per_record(input_path, metadata: DatasetMetadata,
         native_out = _read_per_record_native(files, metadata, dense_names,
                                              feature_bag, align)
         if native_out is not None:
+            if sample_level:
+                native_out = shard_samples(native_out, num_shards, shard_index)
             return native_out
 
     cols: Dict[str, list] = {name: [] for name in dense_names + string_names}
@@ -140,8 +164,11 @@ def read_per_record(input_path, metadata: DatasetMetadata,
     if feature_bag:
         indices, values = _pad_ragged(ragged_idx, ragged_val, align)
         nnz = np.asarray([len(r) for r in ragged_idx], dtype=np.int32)
-    return PerRecordData(columns=columns, indices=indices, values=values, nnz=nnz,
-                         num_samples=n)
+    out = PerRecordData(columns=columns, indices=indices, values=values, nnz=nnz,
+                        num_samples=n)
+    if sample_level:
+        out = shard_samples(out, num_shards, shard_index)
+    return out
 
 
 def load_per_record(input_path, metadata: DatasetMetadata,
@@ -268,7 +295,7 @@ def read_per_entity_grouped(input_path, metadata: DatasetMetadata,
     """
     if entity_name not in metadata.feature_names:
         raise ValueError(f"entity name {entity_name} is not found among the features")
-    files, _ = shard_input_files(input_path, num_shards, shard_index)
+    files, sample_level = shard_input_files(input_path, num_shards, shard_index)
     tensors = metadata.tensors()
     idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
     val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
@@ -293,6 +320,10 @@ def read_per_entity_grouped(input_path, metadata: DatasetMetadata,
                 g.ragged_values = [np.asarray(r, dtype=np.float64)
                                    for r in sequence.get(val_key, [])]
             groups.append(g)
+    if sample_level and num_shards > 1:
+        # each TFRecord is one entity's SequenceExample, so record-level
+        # sharding shards entities (reference dataset.shard semantics)
+        groups = groups[shard_index::num_shards]
     return groups
 
 

@@ -20,6 +20,7 @@ predictionScorePerCoordinate; SIMPLE/FULL training variance; photon-ml avro expo
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Dict, Optional, Tuple
@@ -46,6 +47,21 @@ from gdmix_tpu.util.model_utils import threshold_coefficients
 logger = logging.getLogger(__name__)
 
 _EPSILON = 1.0e-12
+
+
+# Module-level cached jitted scorer: one trace per (has_intercept, shape) —
+# fresh jit wrappers per call would defeat jax's jit cache (recompiles are
+# expensive on remote TPU backends; see CLAUDE.md conventions).
+@functools.lru_cache(maxsize=None)
+def _fe_scorer(has_intercept: bool):
+    @jax.jit
+    def score(xx, b):
+        z_no_off = predict_logits(
+            xx, SparseBatch(b.indices, b.values, jnp.zeros_like(b.offsets),
+                            b.labels, b.weights),
+            has_intercept=has_intercept, intercept_at_end=True)
+        return z_no_off, z_no_off + b.offsets
+    return score
 
 
 class FixedEffectLRModel(Model):
@@ -82,6 +98,7 @@ class FixedEffectLRModel(Model):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.model_coefficients: Optional[np.ndarray] = None
         self.variances: Optional[np.ndarray] = None
+        self._solve_fn = None  # lazily-built jitted solver, reused across calls
 
     # ------------------------------------------------------------------ data --
 
@@ -117,7 +134,17 @@ class FixedEffectLRModel(Model):
             values = np.zeros((n, 8), dtype=np.float64)
 
         ndev = len(self.mesh.devices.flatten())
-        n_pad = pad_to_multiple(max(n, 1), ndev * 8)
+        if jax.process_count() > 1:
+            # Uneven file shards leave processes with different local row
+            # counts; every process must pad to ONE agreed local shape or
+            # make_array_from_process_local_data infers inconsistent global
+            # shapes. Agree on the max via a host allgather.
+            from jax.experimental import multihost_utils
+            all_n = multihost_utils.process_allgather(np.asarray(n, np.int64))
+            n_common = int(np.max(all_n))
+        else:
+            n_common = n
+        n_pad = pad_to_multiple(max(n_common, 1), ndev * 8)
 
         def pad(a, fill=0.0):
             if len(a) == n_pad:
@@ -258,11 +285,14 @@ class FixedEffectLRModel(Model):
         x0 = jax.device_put(x0, replicated(self.mesh))
 
         p = self.model_params
-        solve = jax.jit(lambda x, b: lbfgs(
-            self._objective_fun(b), x, m=p.num_of_lbfgs_curvature_pairs,
-            ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol,
-            maxiter=p.num_of_lbfgs_iterations))
-        res = solve(x0, batch)
+        if self._solve_fn is None:
+            # one jit wrapper per model instance: repeated fits (multi-sweep
+            # pipeline) reuse the compiled computation per input shape
+            self._solve_fn = jax.jit(lambda x, b: lbfgs(
+                self._objective_fun(b), x, m=p.num_of_lbfgs_curvature_pairs,
+                ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol,
+                maxiter=p.num_of_lbfgs_iterations))
+        res = self._solve_fn(x0, batch)
         logger.info("f_min: %s, iters: %s, funcalls: %s, converged: %s",
                     float(res.f), int(res.num_iterations), int(res.num_funcalls),
                     bool(res.converged))
@@ -357,16 +387,7 @@ class FixedEffectLRModel(Model):
     def _score_arrays(self, batch: SparseBatch, uid: np.ndarray, n: int,
                       schema_params) -> Dict[str, np.ndarray]:
         x = jnp.asarray(self.model_coefficients, self.dtype)
-
-        @jax.jit
-        def score(xx, b):
-            z_no_off = predict_logits(
-                xx, SparseBatch(b.indices, b.values, jnp.zeros_like(b.offsets),
-                                b.labels, b.weights),
-                has_intercept=self.has_intercept, intercept_at_end=True)
-            return z_no_off, z_no_off + b.offsets
-
-        z_pc, z = score(x, batch)
+        z_pc, z = _fe_scorer(self.has_intercept)(x, batch)
         per_coordinate = self._to_host_local(z_pc, n)
         total = self._to_host_local(z, n)
         out = {"uid": uid, "total": total, "per_coordinate": per_coordinate}

@@ -14,29 +14,35 @@ import jax.numpy as jnp
 
 def auc(scores: jnp.ndarray, labels: jnp.ndarray,
         weights: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Area under the ROC curve with tie averaging. labels in {0,1}."""
+    """Area under the ROC curve with tie averaging. labels in {0,1}.
+
+    With `weights`, computes the weighted Mann-Whitney statistic
+    Σ_{i∈pos,j∈neg} wᵢwⱼ·[sᵢ>sⱼ] + ½·wᵢwⱼ·[sᵢ=sⱼ], normalized by W₊·W₋ —
+    identical to sklearn.roc_auc_score(sample_weight=...).
+    """
     scores = jnp.asarray(scores)
     labels = jnp.asarray(labels, scores.dtype)
     n = scores.shape[0]
+    w = (jnp.ones_like(scores) if weights is None
+         else jnp.asarray(weights, scores.dtype))
     order = jnp.argsort(scores)
     s_sorted = scores[order]
     y_sorted = labels[order]
+    w_sorted = w[order]
 
-    # Average ranks over tied groups: rank_i = 1-based position, then for each tie
-    # group replace by the group's mean rank via segment sums over boundaries.
-    pos = jnp.arange(1, n + 1, dtype=scores.dtype)
+    # Tie groups: per group, positives beat the negative weight strictly below
+    # and half-beat the negative weight inside the group.
     new_group = jnp.concatenate([jnp.ones((1,), jnp.int32),
                                  (s_sorted[1:] != s_sorted[:-1]).astype(jnp.int32)])
     group_id = jnp.cumsum(new_group) - 1                    # 0-based tie-group ids
-    group_sum = jax.ops.segment_sum(pos, group_id, num_segments=n)
-    group_cnt = jax.ops.segment_sum(jnp.ones_like(pos), group_id, num_segments=n)
-    mean_rank = (group_sum / jnp.maximum(group_cnt, 1))[group_id]
-
-    n_pos = jnp.sum(labels)
-    n_neg = n - n_pos
-    rank_sum_pos = jnp.sum(mean_rank * y_sorted)
-    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
-    return u / jnp.maximum(n_pos * n_neg, 1.0)
+    pos_w = w_sorted * y_sorted
+    neg_w = w_sorted * (1.0 - y_sorted)
+    g_pos = jax.ops.segment_sum(pos_w, group_id, num_segments=n)
+    g_neg = jax.ops.segment_sum(neg_w, group_id, num_segments=n)
+    neg_below = jnp.cumsum(g_neg) - g_neg                   # exclusive per group
+    u = jnp.sum(g_pos * (neg_below + 0.5 * g_neg))
+    total = jnp.sum(pos_w) * jnp.sum(neg_w)
+    return u / jnp.maximum(total, 1e-30)
 
 
 def mse(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

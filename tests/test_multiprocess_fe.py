@@ -18,12 +18,12 @@ from gdmix_tpu.io.scores import read_scores
 from tests.test_fixed_effect_lr import _scipy_fe_oracle
 
 D = 6
-N_PER_FILE = 64  # equal shards → identical local padded shapes per process
 
 
-def _write_two_file_dataset(root):
+def _write_dataset(root, file_sizes, seed=5):
+    """Write len(file_sizes) TFRecord files with the given row counts."""
     from scipy.special import expit
-    rng = np.random.RandomState(5)
+    rng = np.random.RandomState(seed)
     md_json = {"features": [
         {"name": "global", "dtype": "float", "shape": [D], "isSparse": True},
         {"name": "uid", "dtype": "long", "shape": [], "isSparse": False},
@@ -39,62 +39,130 @@ def _write_two_file_dataset(root):
     X_all, y_all, w_all = [], [], []
     uid = 0
     w_true = rng.randn(D)
-    for fi in range(2):
-        X = rng.randn(N_PER_FILE, D) * (rng.rand(N_PER_FILE, D) < 0.6)
-        y = (rng.rand(N_PER_FILE) < expit(X @ w_true)).astype(np.int64)
-        weight = np.ones(N_PER_FILE, np.float32)
-        cols = {"uid": np.arange(uid, uid + N_PER_FILE, dtype=np.int64),
+    for fi, n in enumerate(file_sizes):
+        X = rng.randn(n, D) * (rng.rand(n, D) < 0.6)
+        y = (rng.rand(n) < expit(X @ w_true)).astype(np.int64)
+        weight = np.ones(n, np.float32)
+        cols = {"uid": np.arange(uid, uid + n, dtype=np.int64),
                 "weight": weight, "response": y}
-        ragged_idx = [np.flatnonzero(X[i]).astype(np.int64)
-                      for i in range(N_PER_FILE)]
-        ragged_val = [X[i][X[i] != 0] for i in range(N_PER_FILE)]
+        ragged_idx = [np.flatnonzero(X[i]).astype(np.int64) for i in range(n)]
+        ragged_val = [X[i][X[i] != 0] for i in range(n)]
         write_per_record(os.path.join(train_dir, f"part-{fi}.tfrecord"), md,
                          cols, "global", ragged_idx, ragged_val)
         X_all.append(X)
         y_all.append(y)
         w_all.append(weight)
-        uid += N_PER_FILE
+        uid += n
     write_feature_list([(f"f{i}", "") for i in range(D)],
                        os.path.join(root, "features.csv"))
     return (np.concatenate(X_all), np.concatenate(y_all).astype(np.float64),
             np.concatenate(w_all).astype(np.float64))
 
 
-def test_two_process_training_matches_oracle(tmp_path):
-    root = str(tmp_path)
-    X, y, w = _write_two_file_dataset(root)
-    os.makedirs(os.path.join(root, "models_mp"))
-    os.makedirs(os.path.join(root, "scores_mp"))
-
+def _run_two_procs(root, port, variance_mode="none"):
+    os.makedirs(os.path.join(root, "models_mp"), exist_ok=True)
+    os.makedirs(os.path.join(root, "scores_mp"), exist_ok=True)
     runner = os.path.join(os.path.dirname(__file__), "multiproc_runner.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen([sys.executable, runner, str(pid), "2", root],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT)
-             for pid in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, runner, str(pid), "2", root, variance_mode, str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
     outs = [p.communicate(timeout=540)[0].decode() for p in procs]
     for pid, p in enumerate(procs):
         assert p.returncode == 0, f"proc {pid} failed:\n{outs[pid]}"
-
     (coeffs,) = load_linear_models_from_avro(
         os.path.join(root, "models_mp", "part-00000.avro"),
         os.path.join(root, "features.csv"))
-    oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
-                              regularize_bias=False)
-    np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
+    return coeffs
 
-    # each process wrote its own score shard with its local uids
+
+def _check_scores(root, X, coeffs):
     from gdmix_tpu.params import Params
     sp = Params(action="train", stage="fixed_effect",
                 label_column_name="response", uid_column_name="uid",
                 weight_column_name="weight",
                 prediction_score_column_name="predictionScore")
     got = read_scores(os.path.join(root, "scores_mp"), sp)
-    assert len(got["uid"]) == 2 * N_PER_FILE
-    np.testing.assert_array_equal(np.sort(got["uid"]),
-                                  np.arange(2 * N_PER_FILE))
+    n = len(X)
+    assert len(got["uid"]) == n
+    np.testing.assert_array_equal(np.sort(got["uid"]), np.arange(n))
     wq, b = coeffs[:-1], coeffs[-1]
     order = np.argsort(got["uid"])
     np.testing.assert_allclose(got["predictionScorePerCoordinate"][order],
                                X @ wq + b, atol=1e-6)
+
+
+def test_two_process_training_matches_oracle(tmp_path):
+    root = str(tmp_path)
+    X, y, w = _write_dataset(root, [64, 64])
+    coeffs = _run_two_procs(root, port=9923)
+    oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
+                              regularize_bias=False)
+    np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
+    _check_scores(root, X, coeffs)
+
+
+def test_two_process_uneven_shards(tmp_path):
+    """Processes hold different local row counts (64 vs 40): they must agree
+    on one padded local shape (round-1 bug: per-process n_pad broke
+    make_array_from_process_local_data)."""
+    root = str(tmp_path)
+    X, y, w = _write_dataset(root, [64, 40], seed=6)
+    coeffs = _run_two_procs(root, port=9925)
+    oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
+                              regularize_bias=False)
+    np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
+    _check_scores(root, X, coeffs)
+
+
+def test_two_process_single_file_sample_sharding(tmp_path):
+    """One input file, two workers: sample-level sharding must split records
+    (round-1 bug: both processes trained on every sample → doubled loss)."""
+    root = str(tmp_path)
+    X, y, w = _write_dataset(root, [96], seed=7)
+    coeffs = _run_two_procs(root, port=9927)
+    oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
+                              regularize_bias=False)
+    np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
+    _check_scores(root, X, coeffs)
+
+
+def test_two_process_full_variance(tmp_path):
+    """FULL variance with the Hessian all-reduced across processes
+    (reference fixed_effect_lr_lbfgs_model.py:302-306), validated against a
+    finite-difference Hessian of the actual loss — an oracle independent of
+    the XᵀDX formula."""
+    root = str(tmp_path)
+    X, y, w = _write_dataset(root, [48, 48], seed=8)
+    coeffs = _run_two_procs(root, port=9929, variance_mode="full")
+    variances = np.load(os.path.join(root, "variances_mp.npy"))
+
+    # FD Hessian of the UN-regularized data loss at the optimum, then add λ
+    # with the intercept excluded (regularize_bias=False) — mirrors
+    # _compute_variance's construction but derives H independently.
+    from scipy.special import expit
+
+    def data_loss(x):
+        wq, b = x[:-1], x[-1]
+        z = X @ wq + b
+        per = np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+        return np.sum(w * per)
+
+    dim = D + 1
+    eps = 1e-5
+    H = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(dim):
+            e_i = np.eye(dim)[i] * eps
+            e_j = np.eye(dim)[j] * eps
+            H[i, j] = (data_loss(coeffs + e_i + e_j)
+                       - data_loss(coeffs + e_i - e_j)
+                       - data_loss(coeffs - e_i + e_j)
+                       + data_loss(coeffs - e_i - e_j)) / (4 * eps * eps)
+    lam = 0.7
+    H += np.diag([lam + 1e-12] * dim)
+    H[-1, -1] -= lam
+    expected = np.diagonal(np.linalg.inv(H))
+    np.testing.assert_allclose(variances, expected, rtol=1e-3)
