@@ -36,6 +36,7 @@ from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, fixed_effect_value_and_grad,
+                                    fixed_effect_value_and_grad_block,
                                     fixed_effect_value_and_grad_onehot,
                                     hessian_diag, hessian_full, l2_value_and_grad,
                                     predict_logits)
@@ -47,6 +48,10 @@ from gdmix_tpu.util.model_utils import threshold_coefficients
 logger = logging.getLogger(__name__)
 
 _EPSILON = 1.0e-12
+
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "float32": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
 
 
 # Module-level cached jitted scorer: one trace per (has_intercept, shape) —
@@ -210,6 +215,31 @@ class FixedEffectLRModel(Model):
                     x, self.l2_reg_weight, has_intercept=self.has_intercept,
                     regularize_bias=self.is_regularize_bias, intercept_at_end=True)
                 return v.astype(x.dtype) + lv, g + lg
+            return fun
+
+        use_block = (p.grad_mode == "block"
+                     or (p.grad_mode == "auto"
+                         and num_features > p.block_min_features))
+        if use_block:
+            bl_chunk = chunk or max(256, min(n, p.block_chunk_size))
+
+            def fun(x):
+                nn = pad_to_multiple(n, bl_chunk)
+                bb = batch
+                if nn != n:
+                    def fill(a):
+                        filler = jnp.zeros((nn - n,) + a.shape[1:], a.dtype)
+                        return jnp.concatenate([a, filler], axis=0)
+                    bb = SparseBatch(*[fill(a) for a in batch])
+                v, g = fixed_effect_value_and_grad_block(
+                    x, bb, num_features, chunk=bl_chunk,
+                    has_intercept=self.has_intercept,
+                    model_type=self.model_type,
+                    precision=_PRECISIONS[p.block_precision])
+                lv, lg = l2_value_and_grad(
+                    x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                    regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+                return v + lv, g + lg
             return fun
 
         use_onehot = (p.grad_mode == "onehot"

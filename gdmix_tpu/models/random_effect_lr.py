@@ -41,7 +41,9 @@ from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
                                     per_entity_value_and_grad, predict_logits)
 from gdmix_tpu.ops.newton import densify_bucket, newton_lr_batch
-from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh
+from gdmix_tpu.ops.segment import ENTITY_SENTINEL
+from gdmix_tpu.parallel.entity_sharding import route_and_bucket, shard_rows
+from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh, pad_to_multiple
 from gdmix_tpu.params import Params, REParams, from_argv
 from gdmix_tpu.util.model_utils import threshold_coefficients
 
@@ -292,6 +294,182 @@ class RandomEffectLRModel(Model):
                 model_id=entity_id, theta=theta, variance=variance,
                 unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
         return out
+
+    # ------------------------------------------------- multi-chip sharded fit --
+
+    @staticmethod
+    def _entity_supports(inv: np.ndarray, indices, values, nnz,
+                         num_entities: int, num_features: int):
+        """Per-entity sorted unique feature support from per-record padded-COO
+        data, fully vectorized (mirrors bucketize's compact support)."""
+        if indices is None:
+            return [np.zeros(0, np.int64) for _ in range(num_entities)]
+        k = indices.shape[1]
+        if nnz is not None:
+            entry_ok = np.arange(k)[None, :] < nnz[:, None]
+        else:
+            entry_ok = values != 0
+        flat_ent = np.repeat(inv, k)[entry_ok.reshape(-1)]
+        flat_feat = indices.reshape(-1)[entry_ok.reshape(-1)].astype(np.int64)
+        keys = np.unique(flat_ent.astype(np.int64) * num_features + flat_feat)
+        sup_ent = keys // num_features
+        sup_feat = keys % num_features
+        starts = np.searchsorted(sup_ent, np.arange(num_entities))
+        ends = np.searchsorted(sup_ent, np.arange(num_entities) + 1)
+        return [sup_feat[starts[e]:ends[e]] for e in range(num_entities)]
+
+    def fit_records_sharded(self, data, schema_params,
+                            model_weights: Optional[Dict[str, SparseModel]] = None,
+                            mesh=None) -> Dict[str, SparseModel]:
+        """Multi-chip training straight from per-record data: records are routed
+        over ICI to the shard owning their entity (parallel/entity_sharding ≡
+        the Spark shuffle-by-entity, DataPartitioner.scala:235-276), grouped and
+        packed into solver blocks on device, and each chip solves its own
+        entities with the shared cached vmapped solver (row-sharded coefficient
+        table). Uses GLOBAL feature indexing (theta dim = num_features + 1), so
+        it suits the moderate per-entity feature spaces random effects have;
+        output is identical to fit_groups (equality-tested).
+        """
+        model_weights = dict(model_weights or {})
+        mesh = mesh if mesh is not None else get_mesh()
+        num_shards = len(mesh.devices.flatten())
+        p = self.model_params
+        n = data.num_samples
+        dt = self.dtype
+        D = self.num_features
+        off = 1 if self.has_intercept else 0
+        dim = D + off
+
+        ent_col = data.columns[p.partition_entity]
+        ent_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                              for e in ent_col], dtype=object)
+        uniq, inv = np.unique(ent_str, return_inverse=True)
+        E = len(uniq)
+        # round-robin ownership over sorted entity ids (≡ hash partitioning:
+        # any deterministic balanced assignment works)
+        owner_of_entity = (np.arange(E) % num_shards).astype(np.int32)
+        owner_rows = owner_of_entity[inv]
+
+        labels = (data.columns[schema_params.label_column_name]
+                  .astype(np.float64)
+                  if schema_params.label_column_name in data.columns
+                  else np.zeros(n))
+        weights = (data.columns[schema_params.weight_column_name]
+                   .astype(np.float64)
+                   if schema_params.weight_column_name
+                   and schema_params.weight_column_name in data.columns
+                   else np.ones(n))
+        offsets = (data.columns[p.offset_column_name].astype(np.float64)
+                   if p.offset_column_name in data.columns else np.zeros(n))
+        if data.indices is not None:
+            indices, values = data.indices, data.values
+        else:
+            indices = np.zeros((n, 1), np.int32)
+            values = np.zeros((n, 1))
+
+        # pad the record axis so it shards evenly; padding rows carry weight 0
+        # and the entity sentinel (they can never enter a block)
+        n_pad = pad_to_multiple(max(n, 1), num_shards * 8)
+        rows_per_shard = n_pad // num_shards
+        extra = n_pad - n
+
+        def padr(a, fill=0.0):
+            if not extra:
+                return a
+            block = np.full((extra,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, block], axis=0)
+
+        ent_rows = padr(inv.astype(np.int32), int(ENTITY_SENTINEL))
+        owner_pad = padr(owner_rows, 0)
+        if extra:  # spread padding rows round-robin (they carry the sentinel)
+            owner_pad[n:] = np.arange(extra) % num_shards
+
+        # exact capacity planning (host): max records any source shard sends
+        # to any destination; max entities owned by one shard; max entity size
+        src = np.arange(n_pad) // rows_per_shard
+        pair = np.bincount(src * num_shards + owner_pad,
+                           minlength=num_shards * num_shards)
+        capacity = pad_to_multiple(max(int(pair.max()), 1), 8)
+        b_cap = pad_to_multiple(
+            max(int(np.bincount(owner_of_entity, minlength=num_shards).max()),
+                1), 8)
+        b_cap = min(b_cap, num_shards * capacity)
+        n_cap = pad_to_multiple(max(int(np.bincount(inv).max()), 1), 8)
+
+        arrays = dict(
+            indices=shard_rows(mesh, padr(indices)),
+            values=shard_rows(mesh, padr(values).astype(dt)),
+            offsets=shard_rows(mesh, padr(offsets).astype(dt)),
+            labels=shard_rows(mesh, padr(labels).astype(dt)),
+            weights=shard_rows(mesh, padr(weights).astype(dt)),
+        )
+        sb = route_and_bucket(mesh, arrays, shard_rows(mesh, ent_rows),
+                              shard_rows(mesh, owner_pad),
+                              capacity=capacity, b_cap=b_cap, n_cap=n_cap)
+        dropped = int(np.sum(np.asarray(jax.device_get(sb.dropped))))
+        assert dropped == 0, (
+            f"entity routing dropped {dropped} records (capacity={capacity}, "
+            f"b_cap={b_cap}, n_cap={n_cap}) — capacities are planned exactly, "
+            f"this is a bug")
+        slot_ent = np.asarray(jax.device_get(sb.slot_entity))
+        slot_n = np.asarray(jax.device_get(sb.slot_count)).astype(np.float64)
+
+        # warm start (global layout [b, w(D)]), restricted to each entity's
+        # CURRENT support — the reference's prior-model reconciliation
+        # (job_consumers.py:260-288)
+        supports = self._entity_supports(inv, data.indices, data.values,
+                                         data.nnz, E, D)
+        theta0 = np.zeros((num_shards * b_cap, dim))
+        for slot, e in enumerate(slot_ent):
+            if e < 0:
+                continue
+            prior = model_weights.get(uniq[e])
+            if prior is None:
+                continue
+            if off:
+                theta0[slot, 0] = prior.theta[0]
+            sup = supports[e]
+            if len(prior.unique_global_indices) and len(sup):
+                p_idx = np.asarray(prior.unique_global_indices)
+                order = np.argsort(p_idx, kind="stable")
+                p_sorted = p_idx[order]
+                p_theta = np.asarray(prior.theta[off:])[order]
+                pos = np.clip(np.searchsorted(p_sorted, sup), 0,
+                              len(p_sorted) - 1)
+                hit = p_sorted[pos] == sup
+                theta0[slot, off + sup[hit]] = p_theta[pos[hit]]
+
+        solver_arrays = dict(
+            sb.blocks,
+            sample_count=shard_rows(mesh, slot_n.astype(dt)),
+            theta0=shard_rows(mesh, theta0.astype(dt)),
+        )
+        use_newton = (p.batch_solver == "newton"
+                      or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
+        solve = (_newton_solver(D, *self._solver_key()) if use_newton
+                 else _lbfgs_solver(D, *self._solver_key()))
+        thetas, variances, _ = (np.asarray(jax.device_get(t), np.float64)
+                                for t in solve(solver_arrays))
+
+        results: Dict[str, SparseModel] = {}
+        for slot, e in enumerate(slot_ent):
+            if e < 0:
+                continue
+            sup = supports[e]
+            theta_slot = threshold_coefficients(thetas[slot],
+                                                p.sparsity_threshold)
+            theta = np.concatenate([theta_slot[:off], theta_slot[off + sup]])
+            variance = (np.concatenate([variances[slot][:off],
+                                        variances[slot][off + sup]])
+                        if self.variance_mode else None)
+            results[uniq[e]] = SparseModel(
+                model_id=uniq[e], theta=theta, variance=variance,
+                unique_global_indices=sup.astype(np.int64))
+        model_weights.update(results)
+        logger.info("sharded fit: %d entities over %d shards (b_cap=%d, "
+                    "n_cap=%d, capacity=%d); %d models total", E, num_shards,
+                    b_cap, n_cap, capacity, len(model_weights))
+        return model_weights
 
     def _solve_two_phase(self, bucket: EntityBucket, arrays, u_cap: int):
         """Phase 1: everyone runs newton_phase1_iters. Phase 2: unconverged

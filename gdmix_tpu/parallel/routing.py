@@ -10,6 +10,10 @@ destination, packs them into [P, C] capacity-padded slots, and one
 Capacity C is static (XLA needs static shapes); records beyond a destination's
 capacity are dropped and reported via the per-shard overflow count, so callers
 size C with headroom (or re-route the remainder in a second pass).
+
+Production caller: parallel/entity_sharding.route_and_bucket (used by
+RandomEffectLRModel.fit_records_sharded and the in-HBM pipeline's sharded RE
+mode), which plans C exactly on host and asserts zero overflow.
 """
 from __future__ import annotations
 

@@ -158,12 +158,16 @@ class FixedLRParams(LRParams):
     fixed_effect_variance_mode: Optional[str] = None
     dtype: str = "float32"
     train_chunk_size: int = 0       # 0 = whole shard in one chunk
-    # gradient strategy: "onehot" densifies chunks and uses MXU matmuls (faster
-    # on TPU up to moderate feature counts — scatters serialize), "scatter" is
-    # the gather/scatter-add path, "pallas" the fused VMEM kernel
+    # gradient strategy: "block" is the two-level one-hot decomposition (MXU
+    # gather/scatter via hi/lo matmuls, any feature count), "onehot" densifies
+    # chunks against the full D (fast only at small D), "scatter" is the
+    # gather/scatter-add path, "pallas" the fused VMEM kernel
     # (ops/pallas/fe_grad.py), "auto" picks by feature count
-    grad_mode: str = "auto"         # "auto" | "onehot" | "scatter" | "pallas"
+    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"
     onehot_max_features: int = 16384
+    block_min_features: int = 1024  # auto: block above, onehot at/below
+    block_chunk_size: int = 8192    # records per scan step in block mode
+    block_precision: str = "highest"  # "highest"|"float32"|"default" MXU dots
 
     def __post_init__(self):
         super().__post_init__()

@@ -74,12 +74,30 @@ class _Ledger:
 
 
 class InMemoryPipeline:
-    """Runs fixed effect + random effects with the score ledger in memory."""
+    """Runs fixed effect + random effects with the score ledger in memory.
 
-    def __init__(self, config: WorkflowConfig, num_sweeps: int = 1):
+    re_mode selects the random-effect training plane:
+      * "host":    group entities on host (numpy) and solve vmapped buckets
+      * "sharded": route records to entity-owner shards over ICI and group on
+                   device (parallel/entity_sharding) — the multi-chip path
+      * "auto":    "sharded" when the mesh has more than one device
+    """
+
+    def __init__(self, config: WorkflowConfig, num_sweeps: int = 1,
+                 re_mode: str = "host"):
+        assert re_mode in ("host", "sharded", "auto")
         self.config = config
         self.num_sweeps = num_sweeps
+        self.re_mode = re_mode
         self.metrics: Dict[str, float] = {}
+
+    def _use_sharded_re(self) -> bool:
+        if self.re_mode == "auto":
+            import jax
+            from gdmix_tpu.parallel.mesh import get_mesh
+            return (len(get_mesh().devices.flatten()) > 1
+                    and jax.process_count() == 1)
+        return self.re_mode == "sharded"
 
     def run(self) -> Dict[str, float]:
         cfg = self.config
@@ -164,9 +182,15 @@ class InMemoryPipeline:
                     max_samples=item["max_samples"],
                     uid_column_name=params.uid_column_name,
                     offset_column_name=mp.offset_column_name)
-                groups = self._group(item["train"], pcfg, model.metadata,
-                                     active_only=True)
-                item["weights"] = model.fit_groups(groups, item["weights"], params)
+                if self._use_sharded_re():
+                    active = self._active_records(item["train"], pcfg)
+                    item["weights"] = model.fit_records_sharded(
+                        active, params, model_weights=item["weights"])
+                else:
+                    groups = self._group(item["train"], pcfg, model.metadata,
+                                         active_only=True)
+                    item["weights"] = model.fit_groups(groups, item["weights"],
+                                                       params)
 
                 # score ALL training rows (active + passive) for the ledger —
                 # dense-table record scoring, no re-grouping needed
@@ -221,6 +245,21 @@ class InMemoryPipeline:
         data.columns[offset_column] = total.astype(np.float32)
 
     @staticmethod
+    def _active_records(data: PerRecordData, pcfg: PartitionerConfig
+                        ) -> PerRecordData:
+        """Active-only record view for the sharded RE path (group id 0 —
+        DataPartitioner's min/max bounding, getGroupId :332-379)."""
+        if not (pcfg.min_samples or pcfg.max_samples):
+            return data
+        from gdmix_tpu.io.input_pipeline import slice_rows
+        uids = data.columns[pcfg.uid_column_name].astype(np.int64)
+        entity_col = data.columns[pcfg.partition_entity]
+        entity_str = np.asarray([str(e) for e in entity_col], dtype=object)
+        gids = assign_group_ids(entity_str, uids, pcfg.min_samples,
+                                pcfg.max_samples)
+        return slice_rows(data, np.flatnonzero(gids == 0))
+
+    @staticmethod
     def _group(data: PerRecordData, pcfg: PartitionerConfig,
                metadata: DatasetMetadata, active_only: bool):
         uids = data.columns[pcfg.uid_column_name].astype(np.int64)
@@ -246,8 +285,9 @@ class InMemoryPipeline:
             json.dump({"auc": self.metrics[name]}, f)
 
 
-def run_gdmix_in_memory(config_path_or_obj, num_sweeps: int = 1
-                        ) -> Dict[str, float]:
+def run_gdmix_in_memory(config_path_or_obj, num_sweeps: int = 1,
+                        re_mode: str = "host") -> Dict[str, float]:
     config = (config_path_or_obj if isinstance(config_path_or_obj, WorkflowConfig)
               else WorkflowConfig.from_file(config_path_or_obj))
-    return InMemoryPipeline(config, num_sweeps=num_sweeps).run()
+    return InMemoryPipeline(config, num_sweeps=num_sweeps,
+                            re_mode=re_mode).run()

@@ -36,6 +36,36 @@ def test_matches_file_based_workflow(ml_data, tmp_path):
                                        "metric", "evalSummary.json"))
 
 
+def test_sharded_re_mode_matches_host_mode(ml_data, tmp_path):
+    """The multi-chip RE plane (ICI all-to-all routing + on-device grouping
+    over the 8-device virtual mesh) must reproduce the host-grouped pipeline:
+    same per-coordinate AUC ladder, same exported models."""
+    from gdmix_tpu.io.model_avro import load_sparse_models_from_avro
+    host_metrics = run_gdmix_in_memory(_config(ml_data, str(tmp_path / "h")),
+                                       re_mode="host")
+    shard_metrics = run_gdmix_in_memory(_config(ml_data, str(tmp_path / "s")),
+                                        re_mode="sharded")
+    assert set(host_metrics) == set(shard_metrics)
+    # same optimum reached through different summation orders (compact vs
+    # global indexing) in f32 — tight but not bit-identical (the f64
+    # model-for-model equality lives in test_sharded_re.py)
+    for name in host_metrics:
+        assert abs(host_metrics[name] - shard_metrics[name]) < 1e-4, \
+            (name, host_metrics[name], shard_metrics[name])
+    for coord, bag in (("per-user", "per_user"), ("per-movie", "per_movie")):
+        ff = os.path.join(ml_data, bag, "featureList", bag)
+        h = load_sparse_models_from_avro(
+            os.path.join(str(tmp_path / "h"), coord, "models",
+                         "part-00000.avro"), ff)
+        s = load_sparse_models_from_avro(
+            os.path.join(str(tmp_path / "s"), coord, "models",
+                         "part-00000.avro"), ff)
+        assert set(h) == set(s)
+        for eid in h:
+            np.testing.assert_allclose(s[eid].theta, h[eid].theta, atol=1e-3,
+                                       err_msg=f"{coord}/{eid}")
+
+
 def test_multi_sweep_improves_or_holds(ml_data, tmp_path):
     one = run_gdmix_in_memory(_config(ml_data, str(tmp_path / "s1")),
                               num_sweeps=1)

@@ -246,3 +246,54 @@ def test_sorted_coo_gradient_equivalence():
                                          sorted_coo=coo)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
+
+
+# --- two-level one-hot ("block") fixed-effect path ------------------------------
+
+@pytest.mark.parametrize("model_type", ["logistic_regression",
+                                        "linear_regression"])
+@pytest.mark.parametrize("has_intercept", [True, False])
+def test_block_grad_matches_reference_path(model_type, has_intercept):
+    """fixed_effect_value_and_grad_block ≡ fixed_effect_value_and_grad on the
+    data term, at a feature count that is NOT a multiple of the lane width and
+    with a batch needing chunking."""
+    from gdmix_tpu.ops.logistic import fixed_effect_value_and_grad_block
+    d = 300  # 2 hi-blocks + remainder (lane=128)
+    n, k = 96, 7
+    indices, values, X, y, offsets, weights = _random_sparse(n=n, d=d, k=k,
+                                                             seed=11)
+    if model_type == "linear_regression":
+        y = y + 0.3 * np.random.RandomState(3).randn(n)
+    batch = _batch(indices, values, offsets, y, weights)
+    dim = d + (1 if has_intercept else 0)
+    x = jnp.asarray(np.random.RandomState(4).randn(dim))
+
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        x, batch, d, has_intercept=has_intercept, regularize_bias=True,
+        l2_reg_weight=0.0, model_type=model_type)
+    v_blk, g_blk = jax.jit(
+        lambda xx, bb: fixed_effect_value_and_grad_block(
+            xx, bb, d, chunk=32, has_intercept=has_intercept,
+            model_type=model_type))(x, batch)
+    np.testing.assert_allclose(float(v_blk), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_ref),
+                               atol=1e-10)
+
+
+def test_block_grad_model_fit_matches_oracle(tmp_path):
+    """End-to-end FE fit with grad_mode=block equals the scipy oracle."""
+    from tests.test_fixed_effect_lr import (_make_dataset, _params,
+                                            _scipy_fe_oracle)
+    from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+    from gdmix_tpu import constants
+    ds = _make_dataset(tmp_path, seed=21)
+    model_params, base_params = _params(ds, tmp_path, grad_mode="block",
+                                        block_chunk_size=32)
+    model = FixedEffectLRModel(model_params, base_params)
+    model.train(ds["train_dir"], None, ds["md_file"], model.checkpoint_path,
+                {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+                 constants.IS_CHIEF: True}, base_params)
+    oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
+                              lam=model_params.l2_reg_weight,
+                              regularize_bias=model_params.regularize_bias)
+    np.testing.assert_allclose(model.model_coefficients, oracle, atol=1e-6)

@@ -1,0 +1,171 @@
+"""Multi-chip random-effect path: records routed over the 8-device virtual mesh
+to entity-owner shards (parallel/entity_sharding), grouped + packed on device
+(ops/segment.build_entity_blocks), solved with the shared cached solver — and
+the result must equal the host-grouped fit_groups path model-for-model.
+
+This is the production caller for routing/segment (VERDICT round-1 item 1):
+the TPU equivalent of Spark's shuffle-by-entity (DataPartitioner.scala:235-276)
++ fully parallel per-entity training (random_effect_driver.py:60-68)."""
+import numpy as np
+import pytest
+
+from gdmix_tpu.io.input_pipeline import PerRecordData
+from gdmix_tpu.io.model_avro import SparseModel
+from gdmix_tpu.parallel.mesh import get_mesh
+
+from tests.test_random_effect_lr import (D, _build_model, _make_groups,
+                                         _write_dataset)
+
+
+def _groups_to_records(groups):
+    """Flatten EntityGroups into a PerRecordData (the in-HBM pipeline's form)."""
+    cols = {"uid": [], "response": [], "offset": [], "weight": [],
+            "user_id": []}
+    ragged_i, ragged_v = [], []
+    for g in groups:
+        n = g.sample_count
+        cols["uid"].append(g.columns["uid"])
+        cols["response"].append(g.columns["response"])
+        cols["offset"].append(g.columns["offset"])
+        cols["weight"].append(g.columns["weight"])
+        cols["user_id"].extend([g.entity_id] * n)
+        for ri, rv in g.iter_ragged():
+            ragged_i.append(ri)
+            ragged_v.append(rv)
+    k = max(max((len(r) for r in ragged_i), default=1), 1)
+    n_total = len(ragged_i)
+    indices = np.zeros((n_total, k), np.int32)
+    values = np.zeros((n_total, k))
+    nnz = np.zeros(n_total, np.int32)
+    for i, (ri, rv) in enumerate(zip(ragged_i, ragged_v)):
+        indices[i, :len(ri)] = ri
+        values[i, :len(rv)] = rv
+        nnz[i] = len(ri)
+    columns = {
+        "uid": np.concatenate(cols["uid"]),
+        "response": np.concatenate(cols["response"]),
+        "offset": np.concatenate(cols["offset"]),
+        "weight": np.concatenate(cols["weight"]),
+        "user_id": np.asarray(cols["user_id"], dtype=object),
+    }
+    return PerRecordData(columns=columns, indices=indices, values=values,
+                         nnz=nnz, num_samples=n_total)
+
+
+def _dense(sm: SparseModel):
+    """SparseModel → dense [1 + D] coefficient vector (layout-independent)."""
+    v = np.zeros(1 + D)
+    v[0] = sm.theta[0]
+    if len(sm.unique_global_indices):
+        v[1 + np.asarray(sm.unique_global_indices)] = sm.theta[1:]
+    return v
+
+
+def _fit_both(tmp_path, groups, prior=None, **over):
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file,
+                                      tmp_path, **over)
+    host = model.fit_groups(groups, dict(prior or {}), base_params)
+    data = _groups_to_records(groups)
+    sharded = model.fit_records_sharded(data, base_params,
+                                        model_weights=dict(prior or {}),
+                                        mesh=get_mesh())
+    return host, sharded
+
+
+def _assert_equal_models(host, sharded, atol=5e-6):
+    assert set(host) == set(sharded)
+    for eid in host:
+        np.testing.assert_allclose(_dense(sharded[eid]), _dense(host[eid]),
+                                   atol=atol, err_msg=f"entity {eid}")
+        np.testing.assert_array_equal(
+            np.sort(sharded[eid].unique_global_indices),
+            np.sort(host[eid].unique_global_indices))
+
+
+def test_sharded_equals_host_path(tmp_path):
+    groups, _ = _make_groups(num_entities=23, seed=3)
+    host, sharded = _fit_both(tmp_path, groups)
+    _assert_equal_models(host, sharded)
+
+
+def test_sharded_equals_host_path_lbfgs(tmp_path):
+    groups, _ = _make_groups(num_entities=11, seed=4)
+    host, sharded = _fit_both(tmp_path, groups, batch_solver="lbfgs")
+    _assert_equal_models(host, sharded)
+
+
+def test_sharded_skewed_entity_sizes(tmp_path):
+    """One giant entity (n_cap stress) among tiny ones; fewer entities than
+    shards on some devices."""
+    rng = np.random.RandomState(9)
+    groups, _ = _make_groups(num_entities=5, seed=5)
+    # inflate entity 0 to 150 records
+    from gdmix_tpu.io.input_pipeline import EntityGroup
+    n = 150
+    ragged_i = [np.sort(rng.choice(D, rng.randint(1, D + 1), replace=False))
+                for _ in range(n)]
+    ragged_v = [rng.randn(len(r)) for r in ragged_i]
+    y = rng.randint(0, 2, n).astype(np.float64)
+    big = EntityGroup(
+        entity_id="99999",
+        columns={"uid": np.arange(10_000, 10_000 + n, dtype=np.int64),
+                 "response": y,
+                 "offset": np.zeros(n, np.float32),
+                 "weight": np.ones(n, np.float32)},
+        ragged_indices=ragged_i, ragged_values=ragged_v)
+    groups = groups + [big]
+    host, sharded = _fit_both(tmp_path, groups)
+    _assert_equal_models(host, sharded)
+
+
+def test_sharded_warm_start_reconciliation(tmp_path):
+    """Prior models (including one with out-of-support features and one for an
+    entity absent from the data) reconcile identically; prior-only entities
+    carry forward untouched."""
+    groups, _ = _make_groups(num_entities=9, seed=6)
+    prior = {
+        groups[0].entity_id: SparseModel(
+            model_id=groups[0].entity_id,
+            theta=np.array([0.5, 0.3, -0.2]), variance=None,
+            unique_global_indices=np.array([0, D - 1])),
+        "ghost-entity": SparseModel(
+            model_id="ghost-entity", theta=np.array([1.0, 2.0]),
+            variance=None, unique_global_indices=np.array([2])),
+    }
+    host, sharded = _fit_both(tmp_path, groups, prior=prior)
+    assert "ghost-entity" in sharded
+    np.testing.assert_array_equal(sharded["ghost-entity"].theta,
+                                  prior["ghost-entity"].theta)
+    _assert_equal_models(host, sharded)
+
+
+def test_sharded_variance(tmp_path):
+    groups, _ = _make_groups(num_entities=7, seed=7)
+    host, sharded = _fit_both(tmp_path, groups,
+                              random_effect_variance_mode="full")
+    assert set(host) == set(sharded)
+    for eid in host:
+        hv = np.zeros(1 + D)
+        sv = np.zeros(1 + D)
+        hv[0], sv[0] = host[eid].variance[0], sharded[eid].variance[0]
+        hv[1 + np.asarray(host[eid].unique_global_indices)] = \
+            host[eid].variance[1:]
+        sv[1 + np.asarray(sharded[eid].unique_global_indices)] = \
+            sharded[eid].variance[1:]
+        np.testing.assert_allclose(sv, hv, rtol=1e-5, atol=1e-8,
+                                   err_msg=f"entity {eid}")
+
+
+def test_sharded_single_device_mesh(tmp_path):
+    """P=1 degenerate mesh: all_to_all over a singleton axis must be identity."""
+    import jax
+    groups, _ = _make_groups(num_entities=4, seed=8)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file,
+                                      tmp_path)
+    host = model.fit_groups(groups, {}, base_params)
+    data = _groups_to_records(groups)
+    mesh1 = get_mesh([jax.devices()[0]])
+    sharded = model.fit_records_sharded(data, base_params, mesh=mesh1)
+    _assert_equal_models(host, sharded)
