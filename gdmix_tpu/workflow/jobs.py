@@ -4,10 +4,12 @@
 camelCase flag names (gdmix-data scopt parsers,
 /root/reference/gdmix-data/src/main/scala/com/linkedin/gdmix/parsers/*.scala):
 
-  partitioner       ↔ com.linkedin.gdmix.data.DataPartitioner
-  evaluator         ↔ com.linkedin.gdmix.evaluation.Evaluator
-  best-model        ↔ com.linkedin.gdmix.data.BestModelSelector
-  lr-model-splitter ↔ com.linkedin.gdmix.model.LrModelSplitter
+  partitioner        ↔ com.linkedin.gdmix.data.DataPartitioner
+  evaluator          ↔ com.linkedin.gdmix.evaluation.Evaluator
+  best-model         ↔ com.linkedin.gdmix.data.BestModelSelector
+  lr-model-splitter  ↔ com.linkedin.gdmix.model.LrModelSplitter
+  offset-updater     ↔ com.linkedin.gdmix.data.OffsetUpdater
+  metadata-generator ↔ com.linkedin.gdmix.data.MetadataGenerator
 """
 from __future__ import annotations
 
@@ -122,11 +124,80 @@ def _splitter(argv) -> None:
     print({"models": n})
 
 
+def _offset_updater(argv) -> None:
+    """Flags mirror the reference's OffsetUpdaterParser.scala:8-135; the TPU
+    build additionally takes --metadataFile (+ optional --outputMetadataFile,
+    --featureBag) because TFRecord reads need declared metadata where Spark
+    infers a DataFrame schema."""
+    p = argparse.ArgumentParser(prog="offset-updater")
+    p.add_argument("--trainingDataDir", required=True)
+    p.add_argument("--trainingScoreDir", required=True)
+    p.add_argument("--trainingScorePerCoordinateDir", default=None)
+    p.add_argument("--outputTrainingDataDir", required=True)
+    p.add_argument("--validationDataDir", default=None)
+    p.add_argument("--validationScoreDir", default=None)
+    p.add_argument("--validationScorePerCoordinateDir", default=None)
+    p.add_argument("--outputValidationDataDir", default=None)
+    p.add_argument("--predictionScoreColumnName", default="predictionScore")
+    p.add_argument("--predictionScorePerCoordinateColumnName",
+                   default="predictionScorePerCoordinate")
+    p.add_argument("--dataFormat", default="tfrecord")
+    p.add_argument("--offsetColumnName", default="offset")
+    p.add_argument("--uidColumnName", default="uid")
+    p.add_argument("--numPartitions", type=int, default=0)  # compat no-op
+    p.add_argument("--metadataFile", required=True)
+    p.add_argument("--outputMetadataFile", default=None)
+    p.add_argument("--featureBag", default=None)
+    a = p.parse_args(argv)
+
+    from gdmix_tpu.data.offset import run_offset_updater
+    common = dict(
+        metadata_file=a.metadataFile, output_metadata_file=a.outputMetadataFile,
+        data_format=a.dataFormat, feature_bag=a.featureBag,
+        offset_column_name=a.offsetColumnName,
+        uid_column_name=a.uidColumnName,
+        prediction_score_column_name=a.predictionScoreColumnName,
+        prediction_score_per_coordinate_column_name=
+        a.predictionScorePerCoordinateColumnName)
+    n = run_offset_updater(
+        a.trainingDataDir, a.trainingScoreDir, a.outputTrainingDataDir,
+        per_coordinate_score_dir=a.trainingScorePerCoordinateDir, **common)
+    if a.validationDataDir and a.validationScoreDir \
+            and a.outputValidationDataDir:
+        n += run_offset_updater(
+            a.validationDataDir, a.validationScoreDir,
+            a.outputValidationDataDir,
+            per_coordinate_score_dir=a.validationScorePerCoordinateDir,
+            **common)
+    print({"records": n})
+
+
+def _metadata_generator(argv) -> None:
+    p = argparse.ArgumentParser(prog="metadata-generator")
+    p.add_argument("--dataDir", default=None,
+                   help="dataset to sniff columns from (optional)")
+    p.add_argument("--inputMetadataFile", required=True)
+    p.add_argument("--outputMetadataFile", required=True)
+    p.add_argument("--dataFormat", default="tfrecord")
+    p.add_argument("--extraColumns", default=None,
+                   help="name:dtype[,name:dtype...] to declare explicitly")
+    a = p.parse_args(argv)
+    from gdmix_tpu.data.metadata_gen import run_metadata_generator
+    extras = None
+    if a.extraColumns:
+        extras = dict(kv.split(":") for kv in a.extraColumns.split(","))
+    md = run_metadata_generator(a.dataDir, a.inputMetadataFile,
+                                a.outputMetadataFile, a.dataFormat, extras)
+    print({"columns": len(md.features) + len(md.labels)})
+
+
 _JOBS = {
     "partitioner": _partitioner,
     "evaluator": _evaluator,
     "best-model": _best_model,
     "lr-model-splitter": _splitter,
+    "offset-updater": _offset_updater,
+    "metadata-generator": _metadata_generator,
 }
 
 

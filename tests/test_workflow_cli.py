@@ -83,3 +83,93 @@ def test_compile_dag_cli(tmp_path):
     with open(dag_file) as f:
         dag = json.load(f)
     assert len(dag["jobs"]) == 8
+
+
+def test_jobs_cli_offset_updater_and_metadata_generator(tmp_path):
+    """6/6 data-job parity: the standalone OffsetUpdater iterating loop
+    (OffsetUpdater.scala:30-91 — offset = score − perCoordinate joined on uid)
+    and MetadataGenerator schema derivation (MetadataGenerator.scala:59-82)."""
+    from gdmix_tpu.io.input_pipeline import read_per_record, write_per_record
+    from gdmix_tpu.io.metadata import DatasetMetadata
+    from gdmix_tpu.io.scores import write_scores
+    from gdmix_tpu.params import Params
+    from gdmix_tpu.workflow import jobs
+
+    root = str(tmp_path)
+    rng = np.random.RandomState(0)
+    n, d = 12, 4
+    md_json = {"features": [
+        {"name": "global", "dtype": "float", "shape": [d], "isSparse": True},
+        {"name": "uid", "dtype": "long", "shape": [], "isSparse": False}],
+        "labels": [{"name": "response", "dtype": "int", "shape": [],
+                    "isSparse": False}]}
+    md_file = os.path.join(root, "md.json")
+    with open(md_file, "w") as f:
+        json.dump(md_json, f)
+    md = DatasetMetadata.from_file(md_file)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir)
+    uids = rng.permutation(n).astype(np.int64)
+    write_per_record(os.path.join(data_dir, "d.tfrecord"), md,
+                     {"uid": uids, "response": rng.randint(0, 2, n)},
+                     "global", [np.array([i % d]) for i in range(n)],
+                     [np.array([1.5]) for _ in range(n)])
+    sp = Params(action="train", stage="fixed_effect",
+                label_column_name="response", uid_column_name="uid",
+                prediction_score_column_name="predictionScore")
+    score_uids = np.arange(n, dtype=np.int64)
+    scores = rng.randn(n)
+    pc = 0.1 * rng.randn(n)
+    write_scores(os.path.join(root, "scores", "part-00000.avro"), sp,
+                 score_uids, scores, scores_per_coordinate=pc)
+
+    out_dir = os.path.join(root, "out")
+    out_md = os.path.join(root, "out_md.json")
+    jobs.main(["offset-updater",
+               "--trainingDataDir", data_dir,
+               "--trainingScoreDir", os.path.join(root, "scores"),
+               "--trainingScorePerCoordinateDir", os.path.join(root, "scores"),
+               "--outputTrainingDataDir", out_dir,
+               "--metadataFile", md_file,
+               "--outputMetadataFile", out_md,
+               "--featureBag", "global"])
+    out_metadata = DatasetMetadata.from_file(out_md)
+    assert "offset" in out_metadata.feature_names
+    got = read_per_record(out_dir, out_metadata, "global")
+    order = np.argsort(got.columns["uid"])
+    expected = (scores.astype(np.float32).astype(np.float64) - pc)
+    np.testing.assert_allclose(
+        got.columns["offset"][order].astype(np.float64),
+        expected[np.argsort(score_uids)][got.columns["uid"][order]],
+        atol=1e-6)
+    # feature bag survives the round trip
+    np.testing.assert_allclose(np.sort(got.values[:, 0]), np.full(n, 1.5))
+
+    # metadata-generator: sniff an undeclared column from data
+    md2 = {"features": [
+        {"name": "uid", "dtype": "long", "shape": [], "isSparse": False}],
+        "labels": []}
+    md2_file = os.path.join(root, "md2.json")
+    with open(md2_file, "w") as f:
+        json.dump(md2, f)
+    out_md2 = os.path.join(root, "md2_out.json")
+    jobs.main(["metadata-generator",
+               "--dataDir", out_dir,
+               "--inputMetadataFile", md2_file,
+               "--outputMetadataFile", out_md2,
+               "--extraColumns", "extra_weight:float"])
+    got_md = DatasetMetadata.from_file(out_md2)
+    for name in ("offset", "response", "extra_weight"):
+        assert name in got_md.feature_names, name
+    # sparse components of an UNDECLARED bag surface as plain array columns
+    assert "global_indices" in got_md.feature_names
+
+    # ...but with the bag declared sparse they are skipped (tfrecord rule)
+    out_md3 = os.path.join(root, "md3_out.json")
+    jobs.main(["metadata-generator",
+               "--dataDir", out_dir,
+               "--inputMetadataFile", md_file,
+               "--outputMetadataFile", out_md3])
+    got_md3 = DatasetMetadata.from_file(out_md3)
+    assert "global_indices" not in got_md3.feature_names
+    assert "global" in got_md3.feature_names
