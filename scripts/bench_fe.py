@@ -48,24 +48,27 @@ def _gen(key):
 
 
 def _mk_fun(mode, batch):
+    # batch rides as a jit ARGUMENT: closed-over device arrays become baked-in
+    # constants that the axon relay ships with the program (HTTP 413 at 640MB)
     def with_l2(core):
-        def fun(x):
-            v, g = core(x)
+        @jax.jit
+        def fun(x, b):
+            v, g = core(x, b)
             lv, lg = l2_value_and_grad(x, 1.0, has_intercept=True,
                                        regularize_bias=False,
                                        intercept_at_end=True)
             return v + lv, g + lg
-        return jax.jit(fun)
+        return lambda x: fun(x, batch)
     if mode == "block":
-        return with_l2(lambda x: fixed_effect_value_and_grad_block(
-            x, batch, D, chunk=CHUNK, precision=PREC))
+        return with_l2(lambda x, b: fixed_effect_value_and_grad_block(
+            x, b, D, chunk=CHUNK, precision=PREC))
     if mode == "onehot":
         oh_chunk = 2048  # dense [chunk, D] block ~80MB at D=10k (round-1 cfg)
-        return with_l2(lambda x: fixed_effect_value_and_grad_onehot(
-            x, batch, D, chunk=oh_chunk))
+        return with_l2(lambda x, b: fixed_effect_value_and_grad_onehot(
+            x, b, D, chunk=oh_chunk))
     if mode == "scatter":
-        return with_l2(lambda x: fixed_effect_value_and_grad(
-            x, batch, D, l2_reg_weight=0.0))
+        return with_l2(lambda x, b: fixed_effect_value_and_grad(
+            x, b, D, l2_reg_weight=0.0))
     raise SystemExit(f"unknown mode {mode}")
 
 
