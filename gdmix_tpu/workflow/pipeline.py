@@ -92,12 +92,38 @@ class InMemoryPipeline:
         self.metrics: Dict[str, float] = {}
 
     def _use_sharded_re(self) -> bool:
+        import jax
+        if jax.process_count() > 1:
+            # cross-process RE uses entity partitioning + model-file exchange
+            # (the reference's partition architecture), not device routing
+            return False
         if self.re_mode == "auto":
-            import jax
             from gdmix_tpu.parallel.mesh import get_mesh
-            return (len(get_mesh().devices.flatten()) > 1
-                    and jax.process_count() == 1)
+            return len(get_mesh().devices.flatten()) > 1
         return self.re_mode == "sharded"
+
+    @staticmethod
+    def _exchange_re_models(model_dir: str, sweep: int, name: str, partial,
+                            model) -> Dict:
+        """Multi-host model merge: each process owns a disjoint entity subset
+        (round-robin ≡ random_effect_driver.py:60-68 partition assignment),
+        writes its partial avro, barriers, and reads everyone's — the
+        reference's partition-model-files contract, with the filesystem as the
+        exchange fabric."""
+        import jax
+        if jax.process_count() == 1:
+            return partial
+        from jax.experimental import multihost_utils
+        ex_dir = os.path.join(model_dir, f".exchange-sweep{sweep}")
+        os.makedirs(ex_dir, exist_ok=True)
+        mine = os.path.join(ex_dir, f"part-{jax.process_index():05d}.avro")
+        model._save_model(mine, partial)
+        multihost_utils.sync_global_devices(f"re-models-{name}-{sweep}")
+        merged: Dict = {}
+        for f in sorted(os.listdir(ex_dir)):
+            if f.endswith(".avro"):
+                merged.update(model._load_weights(os.path.join(ex_dir, f)))
+        return merged
 
     def run(self) -> Dict[str, float]:
         cfg = self.config
@@ -146,6 +172,10 @@ class InMemoryPipeline:
                                  min_samples=min_samples,
                                  max_samples=max_samples, weights={}))
 
+        import jax
+        nproc = jax.process_count()
+        rank = jax.process_index()
+
         for sweep in range(self.num_sweeps):
             logger.info("=== coordinate-descent sweep %d ===", sweep + 1)
             # ---- fixed effect ----
@@ -153,7 +183,15 @@ class InMemoryPipeline:
                               fe_model_params.offset_column_name,
                               uid_col)
             warm = fe_model.model_coefficients if sweep else None
-            fe_model.fit_data(fe_train, fe_params, warm_start=warm)
+            if nproc > 1:
+                # every process holds the full in-HBM dataset; FE trains on
+                # its sample shard (SPMD all-reduce keeps replicas identical)
+                from gdmix_tpu.io.input_pipeline import slice_rows
+                fe_fit_view = slice_rows(
+                    fe_train, np.arange(rank, fe_train.num_samples, nproc))
+            else:
+                fe_fit_view = fe_train
+            fe_model.fit_data(fe_fit_view, fe_params, warm_start=warm)
             tr_scores = fe_model.score_data(fe_train, fe_params)
             train_ledger.apply_coordinate(fe_name, tr_scores["uid"],
                                           tr_scores["per_coordinate"])
@@ -189,8 +227,22 @@ class InMemoryPipeline:
                 else:
                     groups = self._group(item["train"], pcfg, model.metadata,
                                          active_only=True)
-                    item["weights"] = model.fit_groups(groups, item["weights"],
-                                                       params)
+                    if nproc > 1:
+                        # round-robin entity ownership over the (identical)
+                        # full group list; merge via model-file exchange
+                        owned = [g for i, g in enumerate(groups)
+                                 if i % nproc == rank]
+                        partial = model.fit_groups(owned, item["weights"],
+                                                   params)
+                        partial = {g.entity_id: partial[g.entity_id]
+                                   for g in owned}
+                        merged = self._exchange_re_models(
+                            os.path.join(cfg.output_dir, name, MODELS),
+                            sweep, name, partial, model)
+                        item["weights"] = dict(item["weights"], **merged)
+                    else:
+                        item["weights"] = model.fit_groups(
+                            groups, item["weights"], params)
 
                 # score ALL training rows (active + passive) for the ledger —
                 # dense-table record scoring, no re-grouping needed
@@ -210,16 +262,18 @@ class InMemoryPipeline:
                         valid_ledger.total,
                         self._labels(item["valid"], params)))
 
-        # ---- persist final artifacts ----
-        os.makedirs(os.path.join(cfg.output_dir, fe_name, MODELS), exist_ok=True)
-        fe_model._save_model()
-        self._write_metric(fe_name)
-        for item in re_items:
-            model_dir = os.path.join(cfg.output_dir, item["name"], MODELS)
-            os.makedirs(model_dir, exist_ok=True)
-            item["model"]._save_model(
-                os.path.join(model_dir, "part-00000.avro"), item["weights"])
-            self._write_metric(item["name"])
+        # ---- persist final artifacts (chief only under multi-host) ----
+        if rank == 0:
+            os.makedirs(os.path.join(cfg.output_dir, fe_name, MODELS),
+                        exist_ok=True)
+            fe_model._save_model()
+            self._write_metric(fe_name)
+            for item in re_items:
+                model_dir = os.path.join(cfg.output_dir, item["name"], MODELS)
+                os.makedirs(model_dir, exist_ok=True)
+                item["model"]._save_model(
+                    os.path.join(model_dir, "part-00000.avro"), item["weights"])
+                self._write_metric(item["name"])
         return dict(self.metrics)
 
     # ------------------------------------------------------------------ utils --
