@@ -1,14 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: random-effect models trained per second per chip.
+"""Benchmark: random-effect models trained per second per chip + sub-metrics.
 
-This is the BASELINE.json headline metric ("random-effect models trained/sec/chip
-on movieLens; AUC parity"), with the driver-set target of ≥1M models/min/chip
-(16,667 models/sec). The workload is a movieLens-per-user-shaped fleet of
-independent per-entity logistic regressions (long-tail sample counts, sparse
-movie-feature bags), solved by the bucketed vmapped on-device L-BFGS
+Primary metric (BASELINE.json headline, driver target ≥1M models/min/chip =
+16,667 models/sec): a movieLens-per-user-shaped fleet of independent per-entity
+logistic regressions solved by the bucketed vmapped on-device solver
 (gdmix_tpu/models/random_effect_lr.py path).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Named sub-metrics in the same JSON line:
+  re_heavy_tail_models_per_sec — pareto sample counts 2..2048 (straggler mix)
+  re_wide_support_models_per_sec — u_cap ≥ 256 per-entity feature support
+  fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 via the
+      two-level one-hot "block" path (round-1 one-hot baseline: 1.03 s/funcall)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
 """
 import json
 import os
@@ -25,15 +29,14 @@ import jax.numpy as jnp
 from gdmix_tpu.data.bucketing import bucketize
 from gdmix_tpu.io.input_pipeline import EntityGroup
 from gdmix_tpu.models.random_effect_lr import _lbfgs_solver, _newton_solver
-from gdmix_tpu.ops.lbfgs import lbfgs
-from gdmix_tpu.ops.logistic import SparseBatch, per_entity_value_and_grad
-from gdmix_tpu.ops.newton import densify_bucket, newton_lr_batch
 
 TARGET_MODELS_PER_SEC = 1_000_000 / 60.0   # ≥1M models/min/chip
 
 NUM_ENTITIES = int(os.environ.get("BENCH_ENTITIES", 100_000))
-D = 24          # movieLens per-user feature-space width (movie features)
-MAX_NNZ = 4     # nnz per record (genres + release date)
+HEAVY_ENTITIES = int(os.environ.get("BENCH_HEAVY_ENTITIES", 20_000))
+WIDE_ENTITIES = int(os.environ.get("BENCH_WIDE_ENTITIES", 4_096))
+RUN_FE = os.environ.get("BENCH_FE", "1") != "0"
+FE_ROUND1_FUNCALL_S = 1.03  # round-1 one-hot path at N=5M, D=10k, K=16
 
 
 class _Schema:
@@ -44,18 +47,21 @@ class _Schema:
     prediction_score_per_coordinate_column_name = "predictionScorePerCoordinate"
 
 
-def make_workload(num_entities: int, seed: int = 0):
-    """Long-tail per-entity datasets (Zipf-ish sample counts, 2..64).
-    Fully vectorized generation: one draw for every record, then per-entity
-    slices exposed as padded blocks (the partitioner's fast representation)."""
+def make_workload(num_entities: int, seed: int = 0, d: int = 24,
+                  max_nnz: int = 4, count_lo: int = 2, count_hi: int = 64,
+                  pareto_a: float = 1.5):
+    """Long-tail per-entity datasets. Fully vectorized generation: one draw for
+    every record, then per-entity slices exposed as padded blocks (the
+    partitioner's fast representation)."""
     rng = np.random.RandomState(seed)
-    counts = np.clip((rng.pareto(1.5, num_entities) * 8 + 2).astype(int), 2, 64)
+    counts = np.clip((rng.pareto(pareto_a, num_entities) * 8
+                      + count_lo).astype(int), count_lo, count_hi)
     total = int(counts.sum())
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    idx_all = rng.randint(0, D, size=(total, MAX_NNZ)).astype(np.int32)
-    val_all = rng.randn(total, MAX_NNZ)
-    nnz_all = rng.randint(1, MAX_NNZ + 1, size=total).astype(np.int32)
-    mask = np.arange(MAX_NNZ)[None, :] < nnz_all[:, None]
+    idx_all = rng.randint(0, d, size=(total, max_nnz)).astype(np.int32)
+    val_all = rng.randn(total, max_nnz)
+    nnz_all = rng.randint(1, max_nnz + 1, size=total).astype(np.int32)
+    mask = np.arange(max_nnz)[None, :] < nnz_all[:, None]
     val_all = val_all * mask
     w_true = np.repeat(rng.randn(num_entities), counts)
     z = val_all.sum(1) * 0.5 + w_true
@@ -87,7 +93,10 @@ def _solver(u_cap, maxiter):
     key = (u_cap, _KEY["has_intercept"], _KEY["regularize_bias"], _KEY["lam"],
            maxiter, _KEY["ftol"], _KEY["pgtol"], _KEY["m"],
            _KEY["variance_mode"])
-    return (_newton_solver(*key) if SOLVER == "newton" else _lbfgs_solver(*key))
+    # mirror REParams.batch_solver="auto": Newton–Cholesky up to
+    # newton_max_dim=128, L-BFGS beyond (wide-support buckets)
+    use_newton = SOLVER == "newton" and u_cap + 1 <= 128
+    return (_newton_solver(*key) if use_newton else _lbfgs_solver(*key))
 
 
 def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
@@ -126,9 +135,9 @@ def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
     return thetas, conv
 
 
-def main():
+def run_re(groups, tag: str, reps: int) -> float:
+    """Time the production bucketed solve over `groups`; returns models/sec."""
     t_setup = time.time()
-    groups = make_workload(NUM_ENTITIES)
     buckets = bucketize(groups, _Schema, "offset", has_intercept=True,
                         batch_align=256)
     setup_s = time.time() - t_setup
@@ -156,7 +165,6 @@ def main():
     # Timed reps: perturb the warm start each rep so no layer can reuse
     # results; host checksum fetches are the sync (dispatch is pipelined
     # across buckets in the single-phase path).
-    reps = int(os.environ.get("BENCH_REPS", 5))
     rep_times = []
     results = None
     for rep in range(reps):
@@ -179,17 +187,87 @@ def main():
                                for (x, c), (b, _, _) in zip(results,
                                                            np_buckets)]))
     models_per_sec = n_models / elapsed
-
+    u_max = max(b.u_cap for b in buckets)
     sys.stderr.write(
-        f"bench: {n_models} models in {elapsed:.3f}s (reps "
+        f"bench[{tag}]: {n_models} models in {elapsed:.3f}s (reps "
         f"{[round(t, 3) for t in rep_times]}) on {jax.devices()[0]} "
-        f"({len(buckets)} buckets, setup {setup_s:.1f}s, "
+        f"({len(buckets)} buckets, u_cap<= {u_max}, setup {setup_s:.1f}s, "
         f"converged {converged:.3f})\n")
+    return models_per_sec
+
+
+def run_fe(reps: int = 4) -> float:
+    """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 via the block
+    (two-level one-hot) path — the production grad_mode for large D. Data is
+    generated on device (host->device of 640MB is relay-bound, irrelevant to
+    the funcall rate being measured)."""
+    from gdmix_tpu.ops.logistic import (SparseBatch,
+                                        fixed_effect_value_and_grad_block,
+                                        l2_value_and_grad)
+    n, d, k, chunk = 4_996_096, 10_000, 16, 8192
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return SparseBatch(
+            jax.random.randint(k1, (n, k), 0, d, jnp.int32),
+            jax.random.normal(k2, (n, k), jnp.float32),
+            0.1 * jax.random.normal(k4, (n,), jnp.float32),
+            jax.random.bernoulli(k3, 0.5, (n,)).astype(jnp.float32),
+            jnp.ones((n,), jnp.float32))
+
+    @jax.jit
+    def fun(x, b):
+        # bf16x3 dots — the FixedLRParams.block_precision="float32" default
+        v, g = fixed_effect_value_and_grad_block(
+            x, b, d, chunk=chunk, precision=jax.lax.Precision.HIGH)
+        lv, lg = l2_value_and_grad(x, 1.0, has_intercept=True,
+                                   regularize_bias=False,
+                                   intercept_at_end=True)
+        return v + lv, g + lg
+
+    batch = gen(jax.random.PRNGKey(0))
+    float(jnp.sum(batch.values))
+    x = jnp.zeros((d + 1,), jnp.float32)
+    v, g = fun(x, batch)
+    float(v)  # compile + first call
+    times = []
+    for _ in range(reps):
+        x = x - 1e-4 * g
+        t0 = time.time()
+        v, g = fun(x, batch)
+        float(v), float(jnp.sum(g))  # host fetch = sync
+        times.append(time.time() - t0)
+    sys.stderr.write(f"bench[fe]: funcall min={min(times):.4f}s "
+                     f"(round-1 one-hot {FE_ROUND1_FUNCALL_S}s)\n")
+    return 1.0 / min(times)
+
+
+def main():
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    primary = run_re(make_workload(NUM_ENTITIES), "movielens", reps)
+    submetrics = {}
+    if HEAVY_ENTITIES:
+        heavy = make_workload(HEAVY_ENTITIES, seed=1, count_hi=2048,
+                              pareto_a=1.2)
+        submetrics["re_heavy_tail_models_per_sec"] = round(
+            run_re(heavy, "heavy-tail", max(reps - 2, 1)), 1)
+    if WIDE_ENTITIES:
+        wide = make_workload(WIDE_ENTITIES, seed=2, d=512, max_nnz=16,
+                             count_lo=32, count_hi=64)
+        submetrics["re_wide_support_models_per_sec"] = round(
+            run_re(wide, "wide-support", max(reps - 2, 1)), 1)
+    if RUN_FE:
+        fe_rate = run_fe()
+        submetrics["fe_funcalls_per_sec"] = round(fe_rate, 2)
+        submetrics["fe_speedup_vs_round1"] = round(
+            fe_rate * FE_ROUND1_FUNCALL_S, 2)
     print(json.dumps({
         "metric": "random_effect_models_per_sec_per_chip",
-        "value": round(models_per_sec, 1),
+        "value": round(primary, 1),
         "unit": "models/sec",
-        "vs_baseline": round(models_per_sec / TARGET_MODELS_PER_SEC, 3),
+        "vs_baseline": round(primary / TARGET_MODELS_PER_SEC, 3),
+        "submetrics": submetrics,
     }))
 
 

@@ -18,9 +18,9 @@ export behavior).
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
-import pickle
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -177,8 +177,11 @@ class DeepTowerModel(Model):
         weights = (data.column(schema_params.weight_column_name).astype(np.float32)
                    if md.has_feature(schema_params.weight_column_name)
                    else np.ones(n, np.float32))
-        offsets = (data.column(p.offset_column_name).astype(np.float32)
-                   if md.has_feature(p.offset_column_name)
+        # coordinate semantics: the offset may come from the dataset schema OR
+        # be injected by the in-memory pipeline's score ledger — column
+        # presence decides, exactly like the LR fixed effect
+        offsets = (data.columns[p.offset_column_name].astype(np.float32)
+                   if p.offset_column_name in data.columns
                    else np.zeros(n, np.float32))
         uid = data.column(schema_params.uid_column_name).astype(np.int64)
         return dict(tokens=tokens, mask=mask, indices=data.indices,
@@ -289,22 +292,52 @@ class DeepTowerModel(Model):
         logger.info("Wrote %d deep-tower scores to %s", arrays["n"], out)
 
     # ------------------------------------------------------------ checkpoint --
+    # Versioned orbax checkpoint (replaces DeText's TF checkpoints, reference
+    # fixed_effect_detext_model.py:31,67-69): an orbax PyTree dir plus a
+    # manifest recording format version + the hyperparameters the module was
+    # built with, so a loader can validate compatibility before restore.
 
-    def _ckpt_file(self) -> str:
-        return os.path.join(self.checkpoint_path, "deep_tower.ckpt")
+    CKPT_FORMAT_VERSION = 1
+
+    def _ckpt_dir(self) -> str:
+        return os.path.join(os.path.abspath(self.checkpoint_path),
+                            "deep_tower_ckpt")
 
     def _save_checkpoint(self) -> None:
+        import orbax.checkpoint as ocp
         os.makedirs(self.checkpoint_path, exist_ok=True)
         flat = jax.tree.map(lambda x: np.asarray(x), self.params_tree)
-        with open(self._ckpt_file(), "wb") as f:
-            pickle.dump({"params": flat,
-                         "hparams": dataclasses.asdict(self.model_params)}, f)
-        logger.info("Saved deep-tower checkpoint to %s", self._ckpt_file())
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(self._ckpt_dir(), "params"), flat, force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(self._ckpt_dir(), "manifest.json"), "w") as f:
+            json.dump({"format_version": self.CKPT_FORMAT_VERSION,
+                       "model": "deep_tower",
+                       "vocab_size": len(self.vocab),
+                       "num_wide": self.num_wide,
+                       "hparams": dataclasses.asdict(self.model_params)}, f,
+                      indent=2)
+        logger.info("Saved deep-tower checkpoint to %s", self._ckpt_dir())
 
     def _load_checkpoint(self) -> None:
-        with open(self._ckpt_file(), "rb") as f:
-            state = pickle.load(f)
-        self.params_tree = jax.tree.map(jnp.asarray, state["params"])
+        import orbax.checkpoint as ocp
+        with open(os.path.join(self._ckpt_dir(), "manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["format_version"] == self.CKPT_FORMAT_VERSION, \
+            f"unsupported checkpoint version {manifest['format_version']}"
+        assert manifest["vocab_size"] == len(self.vocab) \
+            and manifest["num_wide"] == self.num_wide, \
+            "checkpoint was trained with a different vocab/feature space"
+        # restore against the module's own structure (safe topology check)
+        rng = jax.random.PRNGKey(0)
+        template = self.module.init(
+            rng, np.zeros((1, self.model_params.max_len), np.int32),
+            np.zeros((1, self.model_params.max_len), np.float32),
+            np.zeros((1, 1), np.int32), np.zeros((1, 1), np.float32))
+        template = jax.tree.map(lambda x: np.asarray(x), template)
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.join(self._ckpt_dir(), "params"), template)
+        self.params_tree = jax.tree.map(jnp.asarray, restored)
 
     def export(self, output_model_dir):
         if self.params_tree is not None:

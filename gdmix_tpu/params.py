@@ -167,7 +167,10 @@ class FixedLRParams(LRParams):
     onehot_max_features: int = 16384
     block_min_features: int = 1024  # auto: block above, onehot at/below
     block_chunk_size: int = 8192    # records per scan step in block mode
-    block_precision: str = "highest"  # "highest"|"float32"|"default" MXU dots
+    # MXU dot precision for block mode: "float32" = bf16x3 (~f32-accurate —
+    # measured identical objective to "highest" at N=5M/D=10k, 15% faster;
+    # the one-hot operand is exact in bf16). "default" (1-pass bf16) rounds θ.
+    block_precision: str = "float32"  # "highest"|"float32"|"default"
 
     def __post_init__(self):
         super().__post_init__()

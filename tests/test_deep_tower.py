@@ -67,7 +67,13 @@ def test_train_score_predict(detext_data, tmp_path):
     vauc = float(auc_metric(got["predictionScore"], got["response"]))
     assert vauc > 0.6, f"validation AUC {vauc}"
     assert "predictionScorePerCoordinate" in got
-    assert os.path.isfile(os.path.join(out_root, "models", "deep_tower.ckpt"))
+    # versioned orbax checkpoint: params dir + manifest with format version
+    ckpt = os.path.join(out_root, "models", "deep_tower_ckpt")
+    assert os.path.isdir(os.path.join(ckpt, "params"))
+    import json as _json
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["format_version"] == 1 and manifest["model"] == "deep_tower"
 
     # cold predict from the checkpoint reproduces training-time scoring
     model2, base2 = _build(detext_data, out_root)
