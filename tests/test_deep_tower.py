@@ -84,3 +84,81 @@ def test_train_score_predict(detext_data, tmp_path):
     ow, oc = np.argsort(got["uid"]), np.argsort(cold["uid"])
     np.testing.assert_allclose(got["predictionScore"][ow],
                                cold["predictionScore"][oc], atol=1e-4)
+
+
+# --- DeText breadth: encoders / ranking loss / multi-field docs ----------------
+
+def _train_and_auc(detext_data, tmp_path, **over):
+    out_root = str(tmp_path / "out")
+    model, base = _build(detext_data, out_root, **over)
+    ctx = {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+           constants.IS_CHIEF: True}
+    model.train(model.training_data_dir, model.validation_data_dir,
+                model.metadata_file, model.checkpoint_path, ctx, base)
+    got = read_scores(base.validation_score_dir, base)
+    return model, base, float(auc_metric(got["predictionScore"],
+                                         got["response"]))
+
+
+def test_lstm_encoder_learns(detext_data, tmp_path):
+    _, _, vauc = _train_and_auc(detext_data, tmp_path, ftr_ext="lstm",
+                                num_epochs=3, num_layers=1)
+    assert vauc > 0.55, vauc
+
+
+def test_transformer_encoder_learns(detext_data, tmp_path):
+    _, _, vauc = _train_and_auc(detext_data, tmp_path, ftr_ext="bert",
+                                num_epochs=3, num_layers=1, num_heads=2)
+    assert vauc > 0.55, vauc
+
+
+def test_ranking_loss_learns(detext_data, tmp_path):
+    """Pairwise in-batch ranking grouped by user: planted signal still ranks
+    positives above negatives overall."""
+    _, _, vauc = _train_and_auc(detext_data, tmp_path, task_type="ranking",
+                                query_column="user_id", num_epochs=4)
+    assert vauc > 0.55, vauc
+
+
+def test_multi_field_docs_train_and_predict(detext_data, tmp_path):
+    """Two doc fields (shared embedding, per-field encoders) incl. checkpoint
+    round trip through the F=2 restore template."""
+    out_root = str(tmp_path / "out")
+    model, base = _build(detext_data, out_root,
+                         doc_text_columns="doc_query,doc_query",
+                         num_epochs=2)
+    ctx = {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+           constants.IS_CHIEF: True}
+    model.train(model.training_data_dir, model.validation_data_dir,
+                model.metadata_file, model.checkpoint_path, ctx, base)
+    warm = read_scores(base.validation_score_dir, base)
+
+    cold_model, _ = _build(detext_data, out_root,
+                           doc_text_columns="doc_query,doc_query")
+    pred_dir = os.path.join(out_root, "pred")
+    cold_model.predict(pred_dir, cold_model.validation_data_dir,
+                       cold_model.metadata_file, cold_model.checkpoint_path,
+                       ctx, base)
+    cold = read_scores(pred_dir, base)
+    order_w, order_c = np.argsort(warm["uid"]), np.argsort(cold["uid"])
+    np.testing.assert_allclose(
+        np.asarray(warm["predictionScore"])[order_w],
+        np.asarray(cold["predictionScore"])[order_c], atol=1e-5)
+
+
+def test_pairwise_ranking_loss_math():
+    from gdmix_tpu.models.deep_tower import pairwise_ranking_loss
+    import jax.numpy as jnp
+    logits = jnp.array([2.0, 0.0, 1.0, -1.0])
+    labels = jnp.array([1.0, 0.0, 1.0, 0.0])
+    weights = jnp.ones(4)
+    # two groups: (0,1) and (2,3); pairs: (0>1) and (2>3)
+    gid = jnp.array([0, 0, 1, 1])
+    got = float(pairwise_ranking_loss(logits, labels, weights, gid))
+    expected = np.mean([np.log1p(np.exp(-2.0)), np.log1p(np.exp(-2.0))])
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    # one global group: pairs (0>1),(0>3),(2>1),(2>3)
+    gid1 = jnp.zeros(4, jnp.int32)
+    got1 = float(pairwise_ranking_loss(logits, labels, weights, gid1))
+    expected1 = np.mean([np.log1p(np.exp(-d)) for d in (2.0, 3.0, 1.0, 2.0)])
+    np.testing.assert_allclose(got1, expected1, rtol=1e-6)
