@@ -89,14 +89,19 @@ _KEY = dict(has_intercept=True, regularize_bias=False, lam=1.0,
             ftol=1e-12, pgtol=1e-5, m=10, variance_mode=None)
 
 
-def _solver(u_cap, maxiter):
+def _solver(u_cap, maxiter, batch_elems=0):
+    from gdmix_tpu.models.random_effect_lr import _lbfgs_dense_solver
     key = (u_cap, _KEY["has_intercept"], _KEY["regularize_bias"], _KEY["lam"],
            maxiter, _KEY["ftol"], _KEY["pgtol"], _KEY["m"],
            _KEY["variance_mode"])
     # mirror REParams.batch_solver="auto": Newton–Cholesky up to
-    # newton_max_dim=128, L-BFGS beyond (wide-support buckets)
-    use_newton = SOLVER == "newton" and u_cap + 1 <= 128
-    return (_newton_solver(*key) if use_newton else _lbfgs_solver(*key))
+    # newton_max_dim=128, dense-X L-BFGS beyond when the bucket fits, sparse
+    # vmapped L-BFGS as the last resort
+    if SOLVER == "newton" and u_cap + 1 <= 128:
+        return _newton_solver(*key)
+    if batch_elems <= 200_000_000:
+        return _lbfgs_dense_solver(*key)
+    return _lbfgs_solver(*key)
 
 
 def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
@@ -105,7 +110,8 @@ def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
     a = arrays_dev if arrays_dev is not None else {
         k: (jnp.asarray(v) if k == "indices" else jnp.asarray(v, dt))
         for k, v in arrays_np.items()}
-    th1, _, c1 = _solver(u_cap, PHASE1 if PHASE1 else maxiter)(a)
+    elems = a["indices"].shape[0] * a["indices"].shape[1] * (u_cap + 1)
+    th1, _, c1 = _solver(u_cap, PHASE1 if PHASE1 else maxiter, elems)(a)
     if not PHASE1:
         # defer the sync to the caller (pipelined dispatch across buckets)
         return th1, c1
@@ -129,7 +135,8 @@ def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
                                      dt),
             theta0=jnp.asarray(thetas[pad_sel], dt),
         )
-        th2, _, c2 = _solver(u_cap, maxiter)(a2)
+        elems2 = b2 * a2["indices"].shape[1] * (u_cap + 1)
+        th2, _, c2 = _solver(u_cap, maxiter, elems2)(a2)
         thetas[sel] = np.asarray(jax.device_get(th2))[:len(sel)]
         conv[sel] = np.asarray(jax.device_get(c2))[:len(sel)]
     return thetas, conv
@@ -204,7 +211,7 @@ def run_fe(reps: int = 4) -> float:
     from gdmix_tpu.ops.logistic import (SparseBatch,
                                         fixed_effect_value_and_grad_block,
                                         l2_value_and_grad)
-    n, d, k, chunk = 4_996_096, 10_000, 16, 8192
+    n, d, k, chunk = 4_997_120, 10_000, 16, 8192
 
     @jax.jit
     def gen(key):

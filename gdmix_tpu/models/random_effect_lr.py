@@ -108,6 +108,63 @@ def _newton_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
 
 
 @functools.lru_cache(maxsize=None)
+def _lbfgs_dense_solver(u_cap, has_intercept, regularize_bias, lam, maxiter,
+                        ftol, pgtol, m, variance_mode):
+    """L-BFGS over DENSIFIED per-entity matrices: every funcall is batched MXU
+    matvec work ([B,n,d] einsums) instead of per-lane gather/scatter chains,
+    which serialize on TPU. The fast path for wide-support buckets past
+    newton_max_dim (measured 250× over the sparse vmapped L-BFGS at
+    u_cap=376, B=4096, n=64 on v5e)."""
+    dim = u_cap + (1 if has_intercept else 0)
+    unreg_bias = has_intercept and not regularize_bias
+
+    @jax.jit
+    def solve(a):
+        X = densify_bucket(a["indices"], a["values"], u_cap, has_intercept)
+        mask = jnp.ones((dim,), X.dtype)
+        if unreg_bias:
+            mask = mask.at[0].set(0.0)
+
+        def one(theta0, Xe, off, lab, wt, cnt):
+            inv_n = 1.0 / jnp.maximum(cnt, 1.0)
+
+            def fun(th):
+                z = Xe @ th + off
+                bce = jnp.maximum(z, 0) - z * lab \
+                    + jnp.log1p(jnp.exp(-jnp.abs(z)))
+                v = (jnp.sum(wt * bce)
+                     + 0.5 * lam * jnp.sum(mask * th * th)) * inv_n
+                r = wt * (jax.nn.sigmoid(z) - lab)
+                g = (Xe.T @ r + lam * mask * th) * inv_n
+                return v, g
+
+            res = lbfgs(fun, theta0, m=m, ftol=ftol, pgtol=pgtol,
+                        maxiter=maxiter)
+            if variance_mode:
+                z = Xe @ res.x + off
+                p = jax.nn.sigmoid(z)
+                d = wt * p * (1 - p)
+                if variance_mode == constants.SIMPLE:
+                    hd = jnp.einsum("nd,n->d", Xe * Xe, d) + lam
+                    if unreg_bias:
+                        hd = hd.at[0].add(-lam)
+                    var = 1.0 / (hd + _EPSILON)
+                else:
+                    H = Xe.T @ (d[:, None] * Xe) \
+                        + (lam + _EPSILON) * jnp.eye(dim, dtype=Xe.dtype)
+                    if unreg_bias:
+                        H = H.at[0, 0].add(-lam)
+                    var = jnp.diagonal(jnp.linalg.inv(H))
+            else:
+                var = jnp.zeros_like(res.x)
+            return res.x, var, res.converged
+
+        return jax.vmap(one)(a["theta0"], X, a["offsets"], a["labels"],
+                             a["weights"], a["sample_count"])
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
 def _lbfgs_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
                   pgtol, m, variance_mode):
     @jax.jit
@@ -269,6 +326,9 @@ class RandomEffectLRModel(Model):
         arrays = self._bucket_device_arrays(bucket)
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
+        use_dense_lbfgs = (not use_newton and
+                           bucket.indices.shape[0] * bucket.n_cap * dim
+                           <= p.dense_lbfgs_max_elems)
         # Solvers are cached at module level so identical (config, shape) pairs
         # reuse one jitted computation — fresh closures per bucket would defeat
         # jax's jit cache and recompile every call (very costly on remote TPU).
@@ -280,6 +340,8 @@ class RandomEffectLRModel(Model):
                                                                  u_cap)
         else:
             solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
+                     else _lbfgs_dense_solver(u_cap, *self._solver_key())
+                     if use_dense_lbfgs
                      else _lbfgs_solver(u_cap, *self._solver_key()))
             thetas, variances, converged = (
                 np.asarray(jax.device_get(t), np.float64) for t in solve(arrays))
@@ -446,7 +508,10 @@ class RandomEffectLRModel(Model):
         )
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
+        use_dense = (num_shards * b_cap * n_cap * dim
+                     <= p.dense_lbfgs_max_elems)
         solve = (_newton_solver(D, *self._solver_key()) if use_newton
+                 else _lbfgs_dense_solver(D, *self._solver_key()) if use_dense
                  else _lbfgs_solver(D, *self._solver_key()))
         thetas, variances, _ = (np.asarray(jax.device_get(t), np.float64)
                                 for t in solve(solver_arrays))

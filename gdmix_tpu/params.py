@@ -199,6 +199,10 @@ class REParams(LRParams):
     # L-BFGS otherwise; both reach the same convex optimum (tests verify).
     batch_solver: str = "auto"      # "auto" | "lbfgs" | "newton"
     newton_max_dim: int = 128       # auto threshold on 1+u_cap
+    # past newton_max_dim, L-BFGS runs on DENSIFIED [B, n, dim] matrices (MXU
+    # matvecs) whenever the bucket fits this element budget; per-lane sparse
+    # gather/scatter (which serializes on TPU) is the last resort
+    dense_lbfgs_max_elems: int = 200_000_000
     # two-phase Newton: run everyone for this many iterations, then compact the
     # unconverged stragglers into a small batch and finish them (0 = disabled).
     # Default off: the phase-1 theta fetch is transfer-bound on relay-attached

@@ -6,6 +6,8 @@ Modes:
   in_memory   — the TPU-native fast path: in-HBM score ledger, no stage files
   distributed — initialize jax.distributed from env and run single_node SPMD;
                 with --compile_dag_to, emit the job DAG instead of running
+  dag         — generate the job DAG and EXECUTE it (one subprocess per job,
+                dependency-ordered — the reference's launcher role)
 """
 from __future__ import annotations
 
@@ -24,11 +26,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="gdmix-tpu workflow")
     parser.add_argument("--config_path", required=True)
     parser.add_argument("--mode", default="single_node",
-                        choices=["single_node", "in_memory", "distributed"])
+                        choices=["single_node", "in_memory", "distributed",
+                                 "dag"])
     parser.add_argument("--num_sweeps", type=int, default=1,
                         help="coordinate-descent sweeps (in_memory mode)")
     parser.add_argument("--compile_dag_to", default=None,
                         help="emit the job DAG json here instead of running")
+    parser.add_argument("--max_parallel", type=int, default=1,
+                        help="concurrent ready jobs (dag mode)")
     # accepted for reference-config compatibility; unused on TPU:
     parser.add_argument("--jar_path", default="", help=argparse.SUPPRESS)
     return parser
@@ -43,6 +48,14 @@ def main(args=None) -> dict:
     if args.mode == "distributed":
         from gdmix_tpu.workflow.distributed import maybe_initialize_distributed
         maybe_initialize_distributed()
+    if args.mode == "dag":
+        from gdmix_tpu.workflow.config import WorkflowConfig
+        from gdmix_tpu.workflow.distributed import (execute_job_dag,
+                                                    generate_job_dag)
+        dag = generate_job_dag(WorkflowConfig.from_file(args.config_path))
+        order = execute_job_dag(dag, max_parallel=args.max_parallel)
+        logger.info("DAG complete: %s", order)
+        return {"jobs": order}
     if args.mode == "in_memory":
         from gdmix_tpu.workflow.pipeline import run_gdmix_in_memory
         metrics = run_gdmix_in_memory(args.config_path,

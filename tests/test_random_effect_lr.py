@@ -378,3 +378,48 @@ def test_model_save_load_save_idempotent(tmp_path):
     for eid in first:
         np.testing.assert_allclose(second[eid].theta, first[eid].theta,
                                    atol=1e-15)
+
+
+@pytest.mark.parametrize("variance_mode", [constants.SIMPLE, constants.FULL])
+def test_dense_lbfgs_solver_wide_support_oracle(variance_mode):
+    """_lbfgs_dense_solver (the MXU path for buckets past newton_max_dim) must
+    match both the sparse vmapped L-BFGS and the scipy per-entity oracle at
+    dim > 128, including SIMPLE/FULL variances (reference solver semantics:
+    binary_logistic_regression.py:144-239)."""
+    from gdmix_tpu.models.random_effect_lr import (_lbfgs_dense_solver,
+                                                   _lbfgs_solver)
+    rng = np.random.RandomState(5)
+    B, n_cap, k, u_cap, lam = 3, 48, 6, 150, 0.7
+    counts = np.array([40, 25, 33])
+    # unique indices per record (records never list a feature twice; duplicate
+    # ids would make the quadratic Hessian terms representation-dependent)
+    indices = np.stack([
+        np.stack([rng.choice(u_cap, k, replace=False) for _ in range(n_cap)])
+        for _ in range(B)]).astype(np.int32)
+    values = rng.randn(B, n_cap, k)
+    labels = (rng.rand(B, n_cap) < 0.5).astype(np.float64)
+    offsets = 0.1 * rng.randn(B, n_cap)
+    weights = (rng.rand(B, n_cap) + 0.5)
+    row_live = np.arange(n_cap)[None, :] < counts[:, None]
+    # padding is inert by construction: pad rows carry weight 0, pad entries 0
+    values *= row_live[:, :, None]
+    weights *= row_live
+    a = dict(theta0=np.zeros((B, u_cap + 1)), indices=indices, values=values,
+             offsets=offsets * row_live, labels=labels * row_live,
+             weights=weights, sample_count=counts.astype(np.float64))
+    key = (u_cap, True, False, lam, 500, 1e-14, 1e-10, 10, variance_mode)
+    th_d, var_d, conv_d = (np.asarray(t) for t in _lbfgs_dense_solver(*key)(a))
+    th_s, var_s, conv_s = (np.asarray(t) for t in _lbfgs_solver(*key)(a))
+    assert conv_d.all() and conv_s.all()
+    np.testing.assert_allclose(th_d, th_s, atol=5e-6)
+    np.testing.assert_allclose(var_d, var_s, rtol=1e-4, atol=1e-8)
+    for e in range(B):
+        X = np.zeros((int(counts[e]), u_cap))
+        for r in range(int(counts[e])):
+            np.add.at(X[r], indices[e, r], values[e, r])
+        oracle = _scipy_entity_oracle(X, labels[e, :counts[e]],
+                                      offsets[e, :counts[e]],
+                                      weights[e, :counts[e]], lam,
+                                      np.arange(u_cap))
+        np.testing.assert_allclose(th_d[e], oracle, atol=2e-5,
+                                   err_msg=f"entity {e}")
