@@ -20,17 +20,22 @@ from gdmix_tpu.params import Params, REParams
 D = 5  # global feature-space width
 
 
-def _make_groups(num_entities=7, seed=0, entity_dtype="long"):
-    """Ragged synthetic per-entity data with heterogeneous sizes/support."""
+def _make_groups(num_entities=7, seed=0, entity_dtype="long", width=D,
+                 max_support=None):
+    """Ragged synthetic per-entity data with heterogeneous sizes/support.
+    `width` is the global feature-space size (default the module D=5;
+    pass >128 to land past newton_max_dim on the dense L-BFGS path)."""
     rng = np.random.RandomState(seed)
+    max_support = max_support or width
     groups = []
     dense = {}
     uid = 0
     for e in range(num_entities):
         n = int(rng.randint(4, 20))
-        support = np.sort(rng.choice(D, rng.randint(1, D + 1), replace=False))
+        support = np.sort(rng.choice(
+            width, rng.randint(1, max_support + 1), replace=False))
         ragged_idx, ragged_val = [], []
-        X = np.zeros((n, D))
+        X = np.zeros((n, width))
         for r in range(n):
             nnz = rng.randint(1, len(support) + 1)
             cols = np.sort(rng.choice(support, nnz, replace=False))
@@ -38,7 +43,7 @@ def _make_groups(num_entities=7, seed=0, entity_dtype="long"):
             ragged_idx.append(cols.astype(np.int64))
             ragged_val.append(vals)
             X[r, cols] = vals
-        w_true = rng.randn(D)
+        w_true = rng.randn(width)
         y = (rng.rand(n) < expit(X @ w_true)).astype(np.float64)
         # Degenerate single-class entities make the unregularized intercept
         # diverge (solver-dependent ridge) — force both classes present.
@@ -61,11 +66,13 @@ def _make_groups(num_entities=7, seed=0, entity_dtype="long"):
     return groups, dense
 
 
-def _write_dataset(tmp_path, groups, entity_dtype="long", subdir="active"):
+def _write_dataset(tmp_path, groups, entity_dtype="long", subdir="active",
+                   width=D):
     root = str(tmp_path)
     md_json = {
         "features": [
-            {"name": "per_entity", "dtype": "float", "shape": [D], "isSparse": True},
+            {"name": "per_entity", "dtype": "float", "shape": [width],
+             "isSparse": True},
             {"name": "user_id", "dtype": entity_dtype, "shape": [], "isSparse": False},
             {"name": "uid", "dtype": "long", "shape": [], "isSparse": False},
             {"name": "weight", "dtype": "float", "shape": [], "isSparse": False},
@@ -82,7 +89,7 @@ def _write_dataset(tmp_path, groups, entity_dtype="long", subdir="active"):
     write_per_entity_grouped(os.path.join(data_dir, "data.tfrecord"), groups,
                              "user_id", entity_dtype, "per_entity")
     feature_file = os.path.join(root, "features.csv")
-    write_feature_list([(f"f{i}", "") for i in range(D)], feature_file)
+    write_feature_list([(f"f{i}", "") for i in range(width)], feature_file)
     return md_file, os.path.join(root, "trainingData"), feature_file
 
 

@@ -169,3 +169,29 @@ def test_sharded_single_device_mesh(tmp_path):
     mesh1 = get_mesh([jax.devices()[0]])
     sharded = model.fit_records_sharded(data, base_params, mesh=mesh1)
     _assert_equal_models(host, sharded)
+
+
+def test_sharded_wide_support_dense_path(tmp_path):
+    """Global feature space wider than newton_max_dim: both the host bucket
+    path and fit_records_sharded must route to the densified L-BFGS solver
+    (_lbfgs_dense_solver) and still agree model-for-model."""
+    width = 140  # dim = 141 > newton_max_dim=128 -> dense L-BFGS under "auto"
+    groups, _ = _make_groups(num_entities=9, seed=11, width=width,
+                             max_support=12)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups,
+                                                      width=width)
+    model, base_params = _build_model(md_file, train_dir, feature_file,
+                                      tmp_path)
+    host = model.fit_groups(groups, {}, base_params)
+    data = _groups_to_records(groups)
+    sharded = model.fit_records_sharded(data, base_params, mesh=get_mesh())
+    assert set(host) == set(sharded)
+    for eid in host:
+        hv = np.zeros(1 + width)
+        sv = np.zeros(1 + width)
+        hv[0], sv[0] = host[eid].theta[0], sharded[eid].theta[0]
+        hv[1 + np.asarray(host[eid].unique_global_indices)] = \
+            host[eid].theta[1:]
+        sv[1 + np.asarray(sharded[eid].unique_global_indices)] = \
+            sharded[eid].theta[1:]
+        np.testing.assert_allclose(sv, hv, atol=5e-6, err_msg=f"entity {eid}")
