@@ -194,20 +194,27 @@ class FixedEffectLRModel(Model):
         n = batch.labels.shape[0]
 
         p = self.model_params
-        # the fused kernel assumes the intercept-last layout with an intercept
-        if p.grad_mode == "pallas" and self.has_intercept:
-            from gdmix_tpu.ops.pallas.fe_grad import TILE, fe_loss_grad_pallas
+        # the fused kernels assume the intercept-last layout with an intercept
+        if p.grad_mode in ("pallas", "pallas_block") and self.has_intercept:
+            if p.grad_mode == "pallas_block":
+                from gdmix_tpu.ops.pallas.fe_block import (
+                    fe_loss_grad_block_pallas as _pallas_fn)
+                tile = 1024
+            else:
+                from gdmix_tpu.ops.pallas.fe_grad import (TILE,
+                                                          fe_loss_grad_pallas)
+                _pallas_fn, tile = fe_loss_grad_pallas, TILE
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
 
             def fun(x):
-                nn = pad_to_multiple(n, TILE)
+                nn = pad_to_multiple(n, tile)
                 bb = batch
                 if nn != n:
                     def fill(a):
                         filler = jnp.zeros((nn - n,) + a.shape[1:], a.dtype)
                         return jnp.concatenate([a, filler], axis=0)
                     bb = SparseBatch(*[fill(a) for a in batch])
-                v, g = fe_loss_grad_pallas(
+                v, g = _pallas_fn(
                     x, bb.indices, bb.values, bb.labels, bb.weights, bb.offsets,
                     num_features, linear=(self.model_type == "linear_regression"),
                     interpret=interpret)
