@@ -346,13 +346,21 @@ class DeepTowerModel(Model):
         if is_chief:
             self._save_checkpoint()
 
-        # Score train + validation with the best checkpoint.
+        # Score train + validation with the best checkpoint. Multi-process:
+        # training is lockstep-replicated (same data order + seed on every
+        # process → bitwise-identical params, ≡ the reference FE design where
+        # every worker runs an identical deterministic solver), so only the
+        # scoring work is sharded — each process writes every num_workers-th
+        # record, keeping the union of score files duplicate-free.
         task_index = execution_context.get(constants.TASK_INDEX, 0)
+        num_workers = execution_context.get(constants.NUM_WORKERS, 1)
         self._write_scores(score_fn, train, schema_params,
-                           self.base_params.training_score_dir, task_index)
+                           self.base_params.training_score_dir, task_index,
+                           num_workers=num_workers)
         if valid is not None:
             self._write_scores(score_fn, valid, schema_params,
-                               self.base_params.validation_score_dir, task_index)
+                               self.base_params.validation_score_dir, task_index,
+                               num_workers=num_workers)
 
     def _batch_slice(self, arrays, idx):
         batch = (arrays["tokens"][idx], arrays["mask"][idx],
@@ -378,9 +386,16 @@ class DeepTowerModel(Model):
         return np.concatenate(out) if out else np.zeros(0)
 
     def _write_scores(self, score_fn, arrays, schema_params, output_dir,
-                      task_index):
+                      task_index, num_workers: int = 1):
         if not output_dir:
             return
+        if num_workers > 1:
+            keep = np.arange(task_index, arrays["n"], num_workers)
+            arrays = dict(arrays, n=len(keep),
+                          **{k: arrays[k][keep]
+                             for k in ("tokens", "mask", "indices", "values",
+                                       "labels", "weights", "offsets", "uid",
+                                       "groups")})
         per_coordinate = self._score_all(score_fn, self.params_tree, arrays)
         total = per_coordinate + arrays["offsets"]
         out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
@@ -455,8 +470,9 @@ class DeepTowerModel(Model):
             return self.module.apply(params, tokens, mask, indices, values)
 
         task_index = execution_context.get(constants.TASK_INDEX, 0)
+        num_workers = execution_context.get(constants.NUM_WORKERS, 1)
         self._write_scores(score_fn, arrays, schema_params, output_dir,
-                           task_index)
+                           task_index, num_workers=num_workers)
 
     @staticmethod
     def from_argv(argv, base_params: Params) -> "DeepTowerModel":

@@ -281,8 +281,12 @@ class RandomEffectLRModel(Model):
                             has_intercept=self.has_intercept,
                             prior_models=model_weights)
         results: Dict[str, SparseModel] = {}
-        for bucket in buckets:
-            results.update(self._train_bucket(bucket))
+        # dispatch every bucket's solve before fetching any result: device work
+        # for bucket k+1 overlaps the host marshaling of bucket k (on remote
+        # relays this also hides one round-trip per bucket)
+        pending = [(bucket, self._dispatch_bucket(bucket)) for bucket in buckets]
+        for bucket, solved in pending:
+            results.update(self._collect_bucket(bucket, solved))
         model_weights = dict(model_weights)
         model_weights.update(results)
         logger.info("%d models in total after training/refreshing.",
@@ -319,7 +323,9 @@ class RandomEffectLRModel(Model):
                 float(p.lbfgs_pgtol), p.num_of_lbfgs_curvature_pairs,
                 self.variance_mode)
 
-    def _train_bucket(self, bucket: EntityBucket) -> Dict[str, SparseModel]:
+    def _dispatch_bucket(self, bucket: EntityBucket):
+        """Dispatch the bucket's batched solve; returns unsynced device arrays
+        (thetas, variances, converged) so callers can pipeline buckets."""
         p = self.model_params
         u_cap = bucket.u_cap
         dim = u_cap + (1 if self.has_intercept else 0)
@@ -336,26 +342,35 @@ class RandomEffectLRModel(Model):
                      and self.variance_mode is None
                      and p.num_of_lbfgs_iterations > p.newton_phase1_iters)
         if two_phase:
-            thetas, variances, converged = self._solve_two_phase(bucket, arrays,
-                                                                 u_cap)
-        else:
-            solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
-                     else _lbfgs_dense_solver(u_cap, *self._solver_key())
-                     if use_dense_lbfgs
-                     else _lbfgs_solver(u_cap, *self._solver_key()))
-            thetas, variances, converged = (
-                np.asarray(jax.device_get(t), np.float64) for t in solve(arrays))
+            # the inter-phase straggler compaction needs a host sync anyway
+            return self._solve_two_phase(bucket, arrays, u_cap)
+        solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
+                 else _lbfgs_dense_solver(u_cap, *self._solver_key())
+                 if use_dense_lbfgs
+                 else _lbfgs_solver(u_cap, *self._solver_key()))
+        return solve(arrays)
+
+    def _collect_bucket(self, bucket: EntityBucket,
+                        solved) -> Dict[str, SparseModel]:
+        thetas, variances, converged = (
+            np.asarray(jax.device_get(t), np.float64) for t in solved)
         out: Dict[str, SparseModel] = {}
         off = 1 if self.has_intercept else 0
+        # vectorized thresholding over the whole bucket (entity slices below
+        # are views into the already-thresholded array)
+        tau = self.model_params.sparsity_threshold
+        thetas = np.where(np.abs(thetas) <= tau, 0.0, thetas)
         for slot, entity_id in enumerate(bucket.entity_ids):
             u = int(bucket.u_count[slot])
-            theta = threshold_coefficients(thetas[slot][:off + u],
-                                           self.model_params.sparsity_threshold)
             variance = variances[slot][:off + u] if self.variance_mode else None
             out[entity_id] = SparseModel(
-                model_id=entity_id, theta=theta, variance=variance,
+                model_id=entity_id, theta=thetas[slot][:off + u],
+                variance=variance,
                 unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
         return out
+
+    def _train_bucket(self, bucket: EntityBucket) -> Dict[str, SparseModel]:
+        return self._collect_bucket(bucket, self._dispatch_bucket(bucket))
 
     # ------------------------------------------------- multi-chip sharded fit --
 

@@ -162,3 +162,37 @@ def test_pairwise_ranking_loss_math():
     got1 = float(pairwise_ranking_loss(logits, labels, weights, gid1))
     expected1 = np.mean([np.log1p(np.exp(-d)) for d in (2.0, 3.0, 1.0, 2.0)])
     np.testing.assert_allclose(got1, expected1, rtol=1e-6)
+
+
+def test_multi_worker_sharded_scoring(detext_data, tmp_path):
+    """With NUM_WORKERS=2 (simulated), the two workers' score files partition
+    the rows exactly (no duplicates — the reference duplicates none either) and
+    match the single-worker scores row-for-row (training is lockstep-replicated,
+    so params are identical across workers)."""
+    # single-worker oracle
+    out1 = str(tmp_path / "one")
+    model, base = _build(detext_data, out1)
+    ctx1 = {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+            constants.IS_CHIEF: True}
+    model.train(model.training_data_dir, model.validation_data_dir,
+                model.metadata_file, model.checkpoint_path, ctx1, base)
+    ref = read_scores(base.validation_score_dir, base)
+
+    # two simulated workers share one output dir (distinct part files)
+    out2 = str(tmp_path / "two")
+    got = {}
+    for task in (0, 1):
+        m, b = _build(detext_data, out2)
+        ctx = {constants.TASK_INDEX: task, constants.NUM_WORKERS: 2,
+               constants.IS_CHIEF: task == 0}
+        m.train(m.training_data_dir, m.validation_data_dir, m.metadata_file,
+                m.checkpoint_path, ctx, b)
+        got[task] = b
+    merged = read_scores(got[0].validation_score_dir, got[0])
+    # exact partition: union of uids == single-worker uids, no duplicates
+    assert len(merged["uid"]) == len(ref["uid"])
+    assert len(np.unique(merged["uid"])) == len(merged["uid"])
+    ow, om = np.argsort(ref["uid"]), np.argsort(merged["uid"])
+    np.testing.assert_array_equal(ref["uid"][ow], merged["uid"][om])
+    np.testing.assert_allclose(ref["predictionScore"][ow],
+                               merged["predictionScore"][om], atol=1e-4)
