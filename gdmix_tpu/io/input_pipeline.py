@@ -282,20 +282,70 @@ class EntityGroup:
             yield from zip(self.ragged_indices, self.ragged_values)
 
 
+def _read_per_entity_grouped_native(files, metadata: DatasetMetadata,
+                                    entity_name: str,
+                                    feature_bag: Optional[str]
+                                    ) -> Optional[List[EntityGroup]]:
+    """C++ SequenceExample fast path: whole-buffer columnar decode, entity
+    groups built as zero-copy views (padded-block form). Returns None when the
+    native lib is unavailable or a file carries context columns outside the
+    metadata schema (string extras etc.) — the python codec then decodes them."""
+    from gdmix_tpu import native
+    if not native.available():
+        return None
+    tensors = metadata.tensors()
+    ctx_names = [n for n, t in tensors.items()
+                 if n != entity_name and n != feature_bag
+                 and not t.is_sparse and t.dtype != "string"]
+    if any(t.dtype == "string" for n, t in tensors.items()
+           if n != entity_name and not t.is_sparse):
+        return None   # a declared string context column needs the python path
+    int_names = [n for n in ctx_names if tensors[n].dtype in ("int", "long")]
+    groups: List[EntityGroup] = []
+    for f in files:
+        out = native.parse_per_entity_grouped(
+            _read_file_bytes(f), ctx_names, entity_name, feature_bag,
+            int_names=int_names)
+        if out is None:
+            return None
+        entity_ids, counts, ctx, present, indices, values, nnz = out
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for e, entity_id in enumerate(entity_ids):
+            sl = slice(int(starts[e]), int(starts[e + 1]))
+            columns = {name: ctx[name][sl].astype(tensors[name].np_dtype,
+                                                  copy=False)
+                       for name in ctx_names if present[name][e]}
+            g = EntityGroup(entity_id=entity_id, columns=columns)
+            if feature_bag:
+                g.padded_indices = indices[sl]
+                g.padded_values = values[sl]
+                g.rec_nnz = nnz[sl]
+            groups.append(g)
+    return groups
+
+
 def read_per_entity_grouped(input_path, metadata: DatasetMetadata,
                             entity_name: str,
                             feature_bag: Optional[str] = None,
-                            num_shards: int = 1, shard_index: int = 0
-                            ) -> List[EntityGroup]:
+                            num_shards: int = 1, shard_index: int = 0,
+                            use_native: bool = True) -> List[EntityGroup]:
     """Read a grouped SequenceExample dataset: one record per entity.
 
     Context carries the scalar entity id plus VarLen per-record columns
     (uid/weight/offset/label); the sequence carries the ragged sparse feature bag.
     Mirrors the reference per_entity_grouped_input_fn (input_data_pipeline.py:223-332).
+    A C++ decoder (gdmix_tpu.native) handles the schema-complete fast path.
     """
     if entity_name not in metadata.feature_names:
         raise ValueError(f"entity name {entity_name} is not found among the features")
     files, sample_level = shard_input_files(input_path, num_shards, shard_index)
+    if use_native:
+        groups = _read_per_entity_grouped_native(files, metadata, entity_name,
+                                                 feature_bag)
+        if groups is not None:
+            if sample_level and num_shards > 1:
+                groups = groups[shard_index::num_shards]
+            return groups
     tensors = metadata.tensors()
     idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
     val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None

@@ -71,6 +71,36 @@ def _load():
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.gdx_free.argtypes = [ctypes.c_void_p]
+    lib.gdx_seq_parse.restype = ctypes.c_void_p
+    lib.gdx_seq_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    for fn in ("gdx_seq_num_entities", "gdx_seq_total_records",
+               "gdx_seq_id_bytes"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ("gdx_seq_max_nnz", "gdx_seq_has_unknown_context"):
+        getattr(lib, fn).restype = ctypes.c_int32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.gdx_seq_fill_meta.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    lib.gdx_seq_fill_ctx.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    lib.gdx_seq_fill_ctx_i64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    lib.gdx_seq_fill_sparse.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.gdx_seq_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -131,6 +161,73 @@ def parse_per_record(buf: bytes, dense_names: List[str],
         return dense, present, indices, values, nnz
     finally:
         lib.gdx_free(h)
+
+
+def parse_per_entity_grouped(buf: bytes, ctx_names: List[str],
+                             entity_name: str, feature_bag: Optional[str],
+                             int_names: Optional[List[str]] = None,
+                             align: int = 8):
+    """Decode an in-memory TFRecord buffer of grouped SequenceExamples into
+    COLUMNAR arrays (≡ TF's C++ parse_sequence_example kernel for the schema
+    the framework uses, reference input_data_pipeline.py:223-332).
+
+    Returns (entity_ids, counts[E], ctx {name: flat [total]}, ctx_present
+    {name: [E]}, indices [total,K], values [total,K], nnz [total]) or None if
+    the native path is unavailable, parse failed, or the record carries context
+    columns outside `ctx_names` (caller falls back to the python codec so no
+    column is silently dropped).
+    """
+    int_names = set(int_names or ())
+    lib = _load()
+    if lib is None:
+        return None
+    names_arr = (ctypes.c_char_p * max(len(ctx_names), 1))(
+        *[n.encode() for n in ctx_names] or [b""])
+    idx_name = f"{feature_bag}_indices".encode() if feature_bag else b""
+    val_name = f"{feature_bag}_values".encode() if feature_bag else b""
+    h = lib.gdx_seq_parse(buf, len(buf), names_arr, len(ctx_names),
+                          entity_name.encode(), idx_name, val_name)
+    if not h:
+        return None
+    try:
+        if lib.gdx_seq_has_unknown_context(h):
+            return None
+        e = lib.gdx_seq_num_entities(h)
+        total = lib.gdx_seq_total_records(h)
+        counts = np.zeros(e, np.int32)
+        id_buf = ctypes.create_string_buffer(int(lib.gdx_seq_id_bytes(h)) + 1)
+        id_offs = np.zeros(e + 1, np.int64)
+        if e:
+            lib.gdx_seq_fill_meta(h, counts, id_buf, id_offs)
+        raw = id_buf.raw
+        entity_ids = [raw[id_offs[i]:id_offs[i + 1]].decode("utf-8")
+                      for i in range(e)]
+        ctx: Dict[str, np.ndarray] = {}
+        ctx_present: Dict[str, np.ndarray] = {}
+        for i, name in enumerate(ctx_names):
+            flags = np.zeros(e, np.uint8)
+            if name in int_names:
+                out = np.zeros(total, np.int64)
+                if e:
+                    lib.gdx_seq_fill_ctx_i64(h, i, out, flags)
+            else:
+                out = np.zeros(total, np.float64)
+                if e:
+                    lib.gdx_seq_fill_ctx(h, i, out, flags)
+            ctx[name] = out
+            ctx_present[name] = flags
+        indices = values = nnz = None
+        if feature_bag:
+            k = max(int(lib.gdx_seq_max_nnz(h)), 1)
+            k = ((k + align - 1) // align) * align
+            indices = np.zeros((total, k), np.int64)
+            values = np.zeros((total, k), np.float64)
+            nnz = np.zeros(total, np.int32)
+            if e:
+                lib.gdx_seq_fill_sparse(h, k, indices, values, nnz)
+        return entity_ids, counts, ctx, ctx_present, indices, values, nnz
+    finally:
+        lib.gdx_seq_free(h)
 
 
 # ---------------------------------------------------------------------------
