@@ -78,7 +78,9 @@ def test_reference_grouped_tfrecord_reads():
     assert len(groups) > 0
     for g in groups:
         assert g.sample_count > 0
-        assert len(g.ragged_indices) == g.sample_count
+        # sparse rows come back in either storage form (ragged from the pure-
+        # python decoder, padded blocks from the native columnar fast path)
+        assert len(list(g.iter_ragged())) == g.sample_count
         assert "response" in g.columns
 
 
