@@ -89,16 +89,23 @@ _KEY = dict(has_intercept=True, regularize_bias=False, lam=1.0,
             ftol=1e-12, pgtol=1e-5, m=10, variance_mode=None)
 
 
-def _solver(u_cap, maxiter, batch_elems=0):
-    from gdmix_tpu.models.random_effect_lr import _lbfgs_dense_solver
+def _solver(u_cap, maxiter, batch_elems=0, n_cap=0, batch_b=0):
+    from gdmix_tpu.models.random_effect_lr import (_lbfgs_dense_solver,
+                                                   _newton_dual_solver)
     key = (u_cap, _KEY["has_intercept"], _KEY["regularize_bias"], _KEY["lam"],
            maxiter, _KEY["ftol"], _KEY["pgtol"], _KEY["m"],
            _KEY["variance_mode"])
     # mirror REParams.batch_solver="auto": Newton–Cholesky up to
-    # newton_max_dim=128, dense-X L-BFGS beyond when the bucket fits, sparse
+    # newton_max_dim=128, sample-space (dual) Newton for wide buckets with
+    # n_cap < dim, dense-X L-BFGS beyond when the bucket fits, sparse
     # vmapped L-BFGS as the last resort
-    if SOLVER == "newton" and u_cap + 1 <= 128:
+    dim = u_cap + 1
+    if SOLVER == "newton" and dim <= 128:
         return _newton_solver(*key)
+    if SOLVER != "lbfgs" and 0 < n_cap < dim \
+            and batch_b * n_cap * n_cap <= 200_000_000 \
+            and batch_elems <= 200_000_000:
+        return _newton_dual_solver(*key)
     if batch_elems <= 200_000_000:
         return _lbfgs_dense_solver(*key)
     return _lbfgs_solver(*key)
@@ -111,7 +118,9 @@ def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
         k: (jnp.asarray(v) if k == "indices" else jnp.asarray(v, dt))
         for k, v in arrays_np.items()}
     elems = a["indices"].shape[0] * a["indices"].shape[1] * (u_cap + 1)
-    th1, _, c1 = _solver(u_cap, PHASE1 if PHASE1 else maxiter, elems)(a)
+    th1, _, c1 = _solver(u_cap, PHASE1 if PHASE1 else maxiter, elems,
+                         n_cap=a["indices"].shape[1],
+                         batch_b=a["indices"].shape[0])(a)
     if not PHASE1:
         # defer the sync to the caller (pipelined dispatch across buckets)
         return th1, c1
@@ -136,7 +145,8 @@ def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
             theta0=jnp.asarray(thetas[pad_sel], dt),
         )
         elems2 = b2 * a2["indices"].shape[1] * (u_cap + 1)
-        th2, _, c2 = _solver(u_cap, maxiter, elems2)(a2)
+        th2, _, c2 = _solver(u_cap, maxiter, elems2,
+                             n_cap=a2["indices"].shape[1], batch_b=b2)(a2)
         thetas[sel] = np.asarray(jax.device_get(th2))[:len(sel)]
         conv[sel] = np.asarray(jax.device_get(c2))[:len(sel)]
     return thetas, conv

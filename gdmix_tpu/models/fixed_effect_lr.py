@@ -69,6 +69,24 @@ def _fe_scorer(has_intercept: bool):
     return score
 
 
+@functools.lru_cache(maxsize=None)
+def _fe_hessian_diag(num_features: int, has_intercept: bool):
+    @jax.jit
+    def hd(xx, b):
+        return hessian_diag(xx, b, num_features, has_intercept=has_intercept,
+                            intercept_at_end=True)
+    return hd
+
+
+@functools.lru_cache(maxsize=None)
+def _fe_hessian_full(num_features: int, has_intercept: bool):
+    @jax.jit
+    def hf(xx, b):
+        return hessian_full(xx, b, num_features, has_intercept=has_intercept,
+                            intercept_at_end=True)
+    return hf
+
+
 class FixedEffectLRModel(Model):
     """Distributed full-batch LR/linear-regression with on-device L-BFGS."""
 
@@ -455,21 +473,15 @@ class FixedEffectLRModel(Model):
         λ removed when unregularized (reference :442-463)."""
         lam = self.l2_reg_weight
         if self.variance_mode == constants.SIMPLE:
-            H = np.array(jax.device_get(jax.jit(
-                lambda xx, b: hessian_diag(xx, b, self.num_features,
-                                           has_intercept=self.has_intercept,
-                                           intercept_at_end=True))(x, batch)),
-                         np.float64)
+            H = np.array(jax.device_get(_fe_hessian_diag(
+                self.num_features, self.has_intercept)(x, batch)), np.float64)
             H += lam
             if self.has_intercept and not self.is_regularize_bias:
                 H[-1] -= lam
             self.variances = 1.0 / (H + _EPSILON)
         elif self.variance_mode == constants.FULL:
-            H = np.array(jax.device_get(jax.jit(
-                lambda xx, b: hessian_full(xx, b, self.num_features,
-                                           has_intercept=self.has_intercept,
-                                           intercept_at_end=True))(x, batch)),
-                         np.float64)
+            H = np.array(jax.device_get(_fe_hessian_full(
+                self.num_features, self.has_intercept)(x, batch)), np.float64)
             H += np.diag([lam + _EPSILON] * H.shape[0])
             if self.has_intercept and not self.is_regularize_bias:
                 H[-1][-1] -= lam

@@ -108,6 +108,35 @@ def _newton_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
 
 
 @functools.lru_cache(maxsize=None)
+def _newton_dual_solver(u_cap, has_intercept, regularize_bias, lam, maxiter,
+                        ftol, pgtol, m, variance_mode):
+    """Sample-space (Woodbury) Newton: the wide-support fast path. Newton-rate
+    convergence at O(n²·dim) per iteration — the n×n kernel Cholesky replaces
+    the dim×dim one, so buckets far past newton_max_dim stay all-MXU with no
+    [B, dim, dim] Hessian. Selected when samples-per-entity < dim (auto)."""
+    from gdmix_tpu.ops.newton import dual_variance
+    dim = u_cap + (1 if has_intercept else 0)
+
+    @jax.jit
+    def solve(a):
+        X = densify_bucket(a["indices"], a["values"], u_cap, has_intercept)
+        l2_mask = jnp.ones((dim,), X.dtype)
+        if has_intercept and not regularize_bias:
+            l2_mask = l2_mask.at[0].set(0.0)
+        res = newton_lr_batch(
+            a["theta0"], X, a["labels"], a["weights"], a["offsets"],
+            a["sample_count"], l2_reg_weight=lam, l2_mask=l2_mask,
+            maxiter=maxiter, ftol=ftol, pgtol=pgtol, dual=True)
+        var = dual_variance(
+            res.theta, X, a["labels"], a["weights"], a["offsets"],
+            l2_reg_weight=lam, l2_mask=l2_mask,
+            full=(variance_mode == constants.FULL), epsilon=_EPSILON) \
+            if variance_mode else jnp.zeros_like(res.theta)
+        return res.theta, var, res.converged
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
 def _lbfgs_dense_solver(u_cap, has_intercept, regularize_bias, lam, maxiter,
                         ftol, pgtol, m, variance_mode):
     """L-BFGS over DENSIFIED per-entity matrices: every funcall is batched MXU
@@ -330,11 +359,16 @@ class RandomEffectLRModel(Model):
         u_cap = bucket.u_cap
         dim = u_cap + (1 if self.has_intercept else 0)
         arrays = self._bucket_device_arrays(bucket)
+        B, n_cap = bucket.indices.shape[0], bucket.n_cap
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
-        use_dense_lbfgs = (not use_newton and
-                           bucket.indices.shape[0] * bucket.n_cap * dim
-                           <= p.dense_lbfgs_max_elems)
+        use_dual = (not use_newton
+                    and p.batch_solver in ("auto", "newton_dual")
+                    and n_cap < dim
+                    and B * n_cap * n_cap <= p.dual_newton_max_elems
+                    and B * n_cap * dim <= p.dense_lbfgs_max_elems)
+        use_dense_lbfgs = (not use_newton and not use_dual
+                           and B * n_cap * dim <= p.dense_lbfgs_max_elems)
         # Solvers are cached at module level so identical (config, shape) pairs
         # reuse one jitted computation — fresh closures per bucket would defeat
         # jax's jit cache and recompile every call (very costly on remote TPU).
@@ -345,6 +379,8 @@ class RandomEffectLRModel(Model):
             # the inter-phase straggler compaction needs a host sync anyway
             return self._solve_two_phase(bucket, arrays, u_cap)
         solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
+                 else _newton_dual_solver(u_cap, *self._solver_key())
+                 if use_dual
                  else _lbfgs_dense_solver(u_cap, *self._solver_key())
                  if use_dense_lbfgs
                  else _lbfgs_solver(u_cap, *self._solver_key()))
@@ -523,9 +559,17 @@ class RandomEffectLRModel(Model):
         )
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
+        use_dual = (not use_newton
+                    and p.batch_solver in ("auto", "newton_dual")
+                    and n_cap < dim
+                    and num_shards * b_cap * n_cap * n_cap
+                    <= p.dual_newton_max_elems
+                    and num_shards * b_cap * n_cap * dim
+                    <= p.dense_lbfgs_max_elems)
         use_dense = (num_shards * b_cap * n_cap * dim
                      <= p.dense_lbfgs_max_elems)
         solve = (_newton_solver(D, *self._solver_key()) if use_newton
+                 else _newton_dual_solver(D, *self._solver_key()) if use_dual
                  else _lbfgs_dense_solver(D, *self._solver_key()) if use_dense
                  else _lbfgs_solver(D, *self._solver_key()))
         thetas, variances, _ = (np.asarray(jax.device_get(t), np.float64)

@@ -28,6 +28,13 @@ class NewtonResult(NamedTuple):
     num_iterations: jnp.ndarray  # [B]
 
 
+def _cho_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """K⁻¹·rhs from L = chol(K); L [B, n, n], rhs [B, n, r]."""
+    y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                           transpose_a=True)
+
+
 def newton_lr_batch(theta0: jnp.ndarray,
                     X: jnp.ndarray,
                     labels: jnp.ndarray,
@@ -39,12 +46,22 @@ def newton_lr_batch(theta0: jnp.ndarray,
                     l2_mask: jnp.ndarray,
                     maxiter: int = 50,
                     ftol: float = 1e-12,
-                    pgtol: float = 1e-5) -> NewtonResult:
+                    pgtol: float = 1e-5,
+                    dual: bool = False) -> NewtonResult:
     """Minimize the per-entity LR objective for a whole bucket at once.
 
     theta0  [B, dim]; X [B, n, dim] (dense, intercept column included by the
     caller); labels/weights/offsets [B, n] (padding rows have weight 0);
     counts [B] true sample counts; l2_mask [dim] (0 on unregularized intercept).
+
+    dual=True computes the Newton step in SAMPLE space (Woodbury): with
+    Ũ = √D·X and D = diag(w·p·(1−p)), the primal Hessian λM + XᵀDX is
+    inverted through the n×n kernel K = αI_n + ŨŨᵀ instead of a dim×dim
+    Cholesky — O(n²·dim) per iteration instead of O(n·dim² + dim³), and no
+    [B, dim, dim] Hessian is ever materialized. The fast path for wide-support
+    buckets where samples-per-entity < feature dim. Requires l2_mask to be all
+    ones except an optional 0 at coordinate 0 (the unregularized-intercept
+    layout); the mask's rank-1 hole is folded back in by Sherman–Morrison.
     """
     dtype = theta0.dtype
     B, n, dim = X.shape
@@ -96,13 +113,57 @@ def newton_lr_batch(theta0: jnp.ndarray,
         chol, low = jax.scipy.linalg.cho_factor(Hd)
         return jax.scipy.linalg.cho_solve((chol, low), g)
 
-    def body(s: _S):
-        H = hess(s.p)
+    n_f = jnp.maximum(counts.astype(dtype), 1.0)               # [B]
+
+    def _delta_primal(g, p):
+        H = hess(p)
         # Levenberg damping keeps padded/degenerate lanes solvable.
         damp = eps * (1.0 + jnp.abs(jnp.diagonal(H, axis1=1, axis2=2)))
         Hd = H + jnp.zeros_like(H).at[
             :, jnp.arange(dim), jnp.arange(dim)].set(damp)
-        delta = _solve(Hd, s.g)                                 # [B, dim]
+        return _solve(Hd, g)
+
+    if dual:
+        # The Gram matrix is iteration-invariant: Ũ = √d·X changes with the
+        # sigmoid curvature d each Newton step, but ŨŨᵀ = √d√dᵀ ⊙ (XXᵀ) — so
+        # the only per-iteration matmuls are O(n·dim) matvecs, and the n×n
+        # kernel build is elementwise.
+        G = jnp.einsum("bnd,bmd->bnm", X, X)
+        eye_n = jnp.eye(n, dtype=dtype)
+
+    def _delta_dual(g, p):
+        # Solve (λI + XᵀDX − c·e₀e₀ᵀ + μI)·δ = g_un in sample space.
+        d = weights * p * (1 - p)                               # [B, n]
+        g_un = g * n_f[:, None]                                 # drop the 1/n
+        diag_un = lam * mask[None, :] \
+            + jnp.einsum("bnd,bn->bd", X * X, d)                # diag of H_un
+        mu = eps * (1.0 + jnp.max(diag_un, axis=1))             # scalar damping
+        alpha = lam + mu                                        # [B]
+        sd = jnp.sqrt(d)
+        K = sd[:, :, None] * sd[:, None, :] * G \
+            + alpha[:, None, None] * eye_n[None]
+        t = sd * jnp.einsum("bnd,bd->bn", X, g_un)              # Ũ·g_un
+        rhs = jnp.stack([t, sd * X[:, :, 0]], axis=-1)          # [B, n, 2]
+        if use_pallas and n <= 128:
+            from gdmix_tpu.ops.pallas.linsolve import spd_solve_batched_mrhs
+            sol = spd_solve_batched_mrhs(K, rhs)
+        else:
+            sol = _cho_solve_batched(jnp.linalg.cholesky(K), rhs)
+        # A⁻¹v = (v − Ũᵀ K⁻¹ Ũ v)/α  for A = αI + ŨᵀŨ; Ũᵀw = Xᵀ(√d ⊙ w)
+        Ag = (g_un - jnp.einsum("bnd,bn->bd", X, sd * sol[..., 0])) \
+            / alpha[:, None]
+        c = lam * (1.0 - mask[0])                               # intercept hole
+        e0 = jnp.zeros((dim,), dtype).at[0].set(1.0)
+        Ae0 = (e0[None, :] - jnp.einsum("bnd,bn->bd", X, sd * sol[..., 1])) \
+            / alpha[:, None]
+        # Sherman–Morrison for −c·e₀e₀ᵀ; denom ≥ μ/α > 0 by construction.
+        denom = 1.0 - c * Ae0[:, 0]
+        return Ag + c * Ae0 * (Ag[:, 0] / denom)[:, None]
+
+    _delta = _delta_dual if dual else _delta_primal
+
+    def body(s: _S):
+        delta = _delta(s.g, s.p)                                # [B, dim]
         gdot = jnp.sum(s.g * delta, axis=1)                     # ≥ 0 for PD H
 
         # Backtracking Armijo: while_loop exits as soon as every live lane
@@ -150,6 +211,44 @@ def newton_lr_batch(theta0: jnp.ndarray,
               iters=jnp.zeros((B,), jnp.int32), k=jnp.asarray(0, jnp.int32))
     s = jax.lax.while_loop(cond, body, init)
     return NewtonResult(theta=s.theta, converged=s.done, num_iterations=s.iters)
+
+
+def dual_variance(theta: jnp.ndarray, X: jnp.ndarray, labels: jnp.ndarray,
+                  weights: jnp.ndarray, offsets: jnp.ndarray, *,
+                  l2_reg_weight: float, l2_mask: jnp.ndarray,
+                  full: bool, epsilon: float = 1e-12) -> jnp.ndarray:
+    """Per-entity coefficient variance without materializing [B, dim, dim].
+
+    Same estimator as the primal path (reference
+    binary_logistic_regression.py:144-189, un-normalized Hessian H = λM + XᵀDX
+    with ε ridge): SIMPLE = 1/diag(H), FULL = diag(H⁻¹) — the FULL inverse
+    diagonal computed in sample space: diag(A⁻¹) = (1 − colnorms²(L⁻¹Ũ))/α
+    for A = αI + ŨᵀŨ, plus the Sherman–Morrison diag correction for the
+    unregularized-intercept hole. l2_mask must be all ones except an optional
+    0 at coordinate 0 (same contract as newton_lr_batch(dual=True))."""
+    dtype = theta.dtype
+    B, n, dim = X.shape
+    lam = jnp.asarray(l2_reg_weight, dtype)
+    mask = l2_mask.astype(dtype)
+    z = jnp.einsum("bnd,bd->bn", X, theta) + offsets
+    p = jax.nn.sigmoid(z)
+    d = weights * p * (1 - p)                                   # [B, n]
+    diag_un = lam * mask[None, :] + jnp.einsum("bnd,bn->bd", X * X, d)
+    if not full:
+        return 1.0 / (diag_un + epsilon)
+    alpha = lam + epsilon
+    Xs = X * jnp.sqrt(d)[..., None]                             # Ũ
+    K = jnp.einsum("bnd,bmd->bnm", Xs, Xs) \
+        + alpha * jnp.eye(n, dtype=dtype)[None]
+    L = jnp.linalg.cholesky(K)
+    W = jax.lax.linalg.triangular_solve(L, Xs, left_side=True, lower=True)
+    diag_A = (1.0 - jnp.sum(W * W, axis=1)) / alpha             # [B, dim]
+    c = lam * (1.0 - mask[0])
+    yu = _cho_solve_batched(L, Xs[:, :, 0:1])[..., 0]           # K⁻¹·Ũe₀
+    e0 = jnp.zeros((dim,), dtype).at[0].set(1.0)
+    Ae0 = (e0[None, :] - jnp.einsum("bnd,bn->bd", Xs, yu)) / alpha
+    denom = 1.0 - c * Ae0[:, 0]                                 # = ε/(λ+ε) > 0
+    return diag_A + c * (Ae0 * Ae0) / denom[:, None]
 
 
 def densify_bucket(indices: jnp.ndarray, values: jnp.ndarray, u_cap: int,

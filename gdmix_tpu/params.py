@@ -199,9 +199,14 @@ class REParams(LRParams):
     dtype: str = "float32"
     # "auto" = Newton–Cholesky for small per-entity dims (fast MXU path),
     # L-BFGS otherwise; both reach the same convex optimum (tests verify).
-    batch_solver: str = "auto"      # "auto" | "lbfgs" | "newton"
+    batch_solver: str = "auto"   # "auto"|"lbfgs"|"newton"|"newton_dual"
     newton_max_dim: int = 128       # auto threshold on 1+u_cap
-    # past newton_max_dim, L-BFGS runs on DENSIFIED [B, n, dim] matrices (MXU
+    # past newton_max_dim, when samples-per-entity < dim, Newton runs in
+    # SAMPLE space (Woodbury: n×n kernel Cholesky instead of dim×dim) —
+    # Newton-rate convergence with no [B, dim, dim] Hessian; this caps the
+    # [B, n, n] kernel memory
+    dual_newton_max_elems: int = 200_000_000
+    # otherwise L-BFGS runs on DENSIFIED [B, n, dim] matrices (MXU
     # matvecs) whenever the bucket fits this element budget; per-lane sparse
     # gather/scatter (which serializes on TPU) is the last resort
     dense_lbfgs_max_elems: int = 200_000_000
@@ -215,4 +220,4 @@ class REParams(LRParams):
         super().__post_init__()
         assert self.random_effect_variance_mode is None \
             or self.random_effect_variance_mode in _VARIANCE_MODES
-        assert self.batch_solver in ("auto", "lbfgs", "newton")
+        assert self.batch_solver in ("auto", "lbfgs", "newton", "newton_dual")

@@ -24,3 +24,15 @@ def test_degenerate_identity_rows():
     g = np.arange(B * d, dtype=np.float64).reshape(B, d)
     x = spd_solve_batched(jnp.asarray(H), jnp.asarray(g), interpret=True)
     np.testing.assert_allclose(np.asarray(x), g, atol=1e-12)
+
+
+@pytest.mark.parametrize("B,d,r", [(4, 8, 2), (130, 13, 3), (200, 29, 2)])
+def test_mrhs_matches_numpy(B, d, r):
+    from gdmix_tpu.ops.pallas.linsolve import spd_solve_batched_mrhs
+    rng = np.random.RandomState(1)
+    Q = rng.randn(B, d, d)
+    H = np.einsum("bij,bkj->bik", Q, Q) / d + np.eye(d)[None]
+    g = rng.randn(B, d, r)
+    x = spd_solve_batched_mrhs(jnp.asarray(H), jnp.asarray(g), interpret=True)
+    want = np.linalg.solve(H, g)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-8, atol=1e-8)

@@ -430,3 +430,76 @@ def test_dense_lbfgs_solver_wide_support_oracle(variance_mode):
                                       np.arange(u_cap))
         np.testing.assert_allclose(th_d[e], oracle, atol=2e-5,
                                    err_msg=f"entity {e}")
+
+
+@pytest.mark.parametrize("variance_mode", [constants.SIMPLE, constants.FULL])
+def test_dual_newton_solver_wide_support_oracle(variance_mode):
+    """_newton_dual_solver (sample-space Newton, the auto path for wide buckets
+    where samples-per-entity < dim) must match the sparse L-BFGS solver and the
+    scipy per-entity oracle, including SIMPLE/FULL variances."""
+    from gdmix_tpu.models.random_effect_lr import (_lbfgs_solver,
+                                                   _newton_dual_solver)
+    rng = np.random.RandomState(9)
+    B, n_cap, k, u_cap, lam = 3, 48, 6, 150, 0.7
+    counts = np.array([40, 25, 33])
+    indices = np.stack([
+        np.stack([rng.choice(u_cap, k, replace=False) for _ in range(n_cap)])
+        for _ in range(B)]).astype(np.int32)
+    values = rng.randn(B, n_cap, k)
+    labels = (rng.rand(B, n_cap) < 0.5).astype(np.float64)
+    offsets = 0.1 * rng.randn(B, n_cap)
+    weights = (rng.rand(B, n_cap) + 0.5)
+    row_live = np.arange(n_cap)[None, :] < counts[:, None]
+    values *= row_live[:, :, None]
+    weights *= row_live
+    a = dict(theta0=np.zeros((B, u_cap + 1)), indices=indices, values=values,
+             offsets=offsets * row_live, labels=labels * row_live,
+             weights=weights, sample_count=counts.astype(np.float64))
+    key = (u_cap, True, False, lam, 500, 1e-14, 1e-10, 10, variance_mode)
+    th_d, var_d, conv_d = (np.asarray(t) for t in _newton_dual_solver(*key)(a))
+    th_s, var_s, conv_s = (np.asarray(t) for t in _lbfgs_solver(*key)(a))
+    assert conv_d.all() and conv_s.all()
+    np.testing.assert_allclose(th_d, th_s, atol=5e-6)
+    np.testing.assert_allclose(var_d, var_s, rtol=1e-4, atol=1e-8)
+    for e in range(B):
+        X = np.zeros((int(counts[e]), u_cap))
+        for r in range(int(counts[e])):
+            np.add.at(X[r], indices[e, r], values[e, r])
+        oracle = _scipy_entity_oracle(X, labels[e, :counts[e]],
+                                      offsets[e, :counts[e]],
+                                      weights[e, :counts[e]], lam,
+                                      np.arange(u_cap))
+        np.testing.assert_allclose(th_d[e], oracle, atol=2e-5,
+                                   err_msg=f"entity {e}")
+
+
+def test_auto_solver_selects_dual_newton_for_wide_buckets(tmp_path):
+    """batch_solver='auto' must route wide buckets (n_cap < dim past
+    newton_max_dim) to the sample-space Newton solver and produce models equal
+    to the forced-lbfgs run."""
+    import gdmix_tpu.models.random_effect_lr as re_mod
+    groups, dense = _make_groups(seed=31, num_entities=8, width=300)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups,
+                                                      width=300)
+    results = {}
+    dual_calls = []
+    orig = re_mod._newton_dual_solver
+
+    def spy(*key):
+        dual_calls.append(key)
+        return orig(*key)
+
+    for solver in ("auto", "lbfgs"):
+        re_mod._newton_dual_solver = spy if solver == "auto" else orig
+        try:
+            model, base_params = _build_model(md_file, train_dir, feature_file,
+                                              tmp_path, batch_solver=solver)
+            results[solver] = model.fit_groups(groups, {}, base_params)
+        finally:
+            re_mod._newton_dual_solver = orig
+    assert dual_calls, "auto never dispatched the dual Newton solver"
+    assert set(results["auto"]) == set(results["lbfgs"])
+    for eid in results["auto"]:
+        np.testing.assert_allclose(results["auto"][eid].theta,
+                                   results["lbfgs"][eid].theta, atol=5e-6,
+                                   err_msg=f"entity {eid}")
