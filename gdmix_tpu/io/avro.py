@@ -356,6 +356,54 @@ def write_records(path_or_file, schema: Union[str, SchemaType], records: Iterabl
             f.close()
 
 
+def write_encoded_blocks(path_or_file, schema: Union[str, SchemaType],
+                         blocks: Iterable[Tuple[int, bytes]],
+                         codec: str = "null") -> int:
+    """Write an OCF from pre-encoded block payloads.
+
+    `blocks` yields (record_count, raw_datum_bytes) — e.g. from the native
+    columnar encoder (gdmix_tpu.native.encode_avro_column_blocks). Same
+    container framing as write_records; returns total records written.
+    """
+    parsed, _ = parse_schema(schema)
+    own = isinstance(path_or_file, (str, os.PathLike))
+    f = open(path_or_file, "wb") if own else path_or_file
+    try:
+        header = bytearray()
+        header += MAGIC
+        meta = {
+            "avro.schema": json.dumps(parsed).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+        }
+        _encode_long(len(meta), header)
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            _encode_long(len(kb), header)
+            header += kb
+            _encode_long(len(v), header)
+            header += v
+        _encode_long(0, header)
+        header += DEFAULT_SYNC
+        f.write(bytes(header))
+        total = 0
+        for count, payload in blocks:
+            if not count:
+                continue
+            if codec == "deflate":
+                payload = zlib.compress(payload)[2:-1]
+            head = bytearray()
+            _encode_long(count, head)
+            _encode_long(len(payload), head)
+            f.write(bytes(head))
+            f.write(payload)
+            f.write(DEFAULT_SYNC)
+            total += count
+        return total
+    finally:
+        if own:
+            f.close()
+
+
 def append_records(path: str, records: Iterable[dict]) -> int:
     """Append records to an existing OCF (schema/codec read from its header)."""
     with open(path, "rb") as f:

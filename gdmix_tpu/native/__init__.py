@@ -277,6 +277,15 @@ def _load_avro():
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
     lib.gdx_avro_free.argtypes = [ctypes.c_void_p]
+    lib.gdx_avro_encode.restype = ctypes.c_int64
+    lib.gdx_avro_encode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64]
     _avro_lib = lib
     return _avro_lib
 
@@ -305,6 +314,72 @@ def _field_codes(schema: dict):
         else:
             return None
     return "".join(codes), "".join(subs), names
+
+
+_MAX_FIELD_BYTES = {"L": 11, "I": 11, "D": 9, "F": 5, "B": 2}  # incl. branch
+
+
+def encode_avro_column_blocks(schema: dict, columns: Dict[str, np.ndarray],
+                              present: Optional[Dict[str, np.ndarray]] = None,
+                              block_records: int = 65536):
+    """Encode parallel column arrays into Avro block payloads.
+
+    Yields (record_count, payload_bytes) per OCF block; the caller frames them
+    into a container (avro.write_encoded_blocks). Returns None if the native
+    library is unavailable or the schema isn't flat primitives — callers fall
+    back to the per-record Python datum writer. `present` maps nullable-union
+    field names to uint8 masks (0 → null branch); omitted names write the
+    value branch for every row.
+    """
+    lib = _load_avro()
+    if lib is None:
+        return None
+    fc = _field_codes(schema)
+    if fc is None or "S" in fc[0]:
+        return None
+    codes, subs, names = fc
+    if len(names) != len(codes):  # a skipped field can't be re-encoded
+        return None
+    cols = []
+    for (name, code), top in zip(names, codes):
+        arr = np.ascontiguousarray(
+            columns[name],
+            dtype=np.int64 if code in "LIB" else np.float64)
+        mask = (present or {}).get(name)
+        if mask is not None:
+            mask = np.ascontiguousarray(mask, dtype=np.uint8)
+        cols.append((code, top == "U", arr, mask))
+    n = len(cols[0][2])
+    if any(len(a) != n for _, _, a, _ in cols):
+        raise ValueError("score columns must have equal length")
+
+    ncols = len(cols)
+    code_str = "".join(c for c, _, _, _ in cols).encode()
+    nullable = (ctypes.c_uint8 * ncols)(*[int(u) for _, u, _, _ in cols])
+    ip = (ctypes.POINTER(ctypes.c_int64) * ncols)()
+    dp = (ctypes.POINTER(ctypes.c_double) * ncols)()
+    pp = (ctypes.POINTER(ctypes.c_uint8) * ncols)()
+    for i, (code, _, arr, mask) in enumerate(cols):
+        if code in "LIB":
+            ip[i] = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        else:
+            dp[i] = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if mask is not None:
+            pp[i] = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rec_bytes = sum(_MAX_FIELD_BYTES[c] for c, _, _, _ in cols)
+
+    def gen():
+        out = np.empty(block_records * rec_bytes, np.uint8)
+        for start in range(0, n, block_records):
+            count = min(block_records, n - start)
+            written = lib.gdx_avro_encode(
+                code_str, nullable, ncols, ip, dp, pp, start, count, out,
+                out.nbytes)
+            if written < 0:  # pragma: no cover - sizing bug guard
+                raise RuntimeError("native avro encode overflow")
+            yield count, out[:written].tobytes()
+
+    return gen() if n else iter(())
 
 
 def read_avro_columns(path: str):

@@ -228,4 +228,67 @@ void gdx_avro_fill_i64(void* handle, int32_t col, int64_t* out, uint8_t* present
 
 void gdx_avro_free(void* handle) { delete static_cast<Handle*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Columnar encoder: rows [start, start+count) of parallel column arrays →
+// concatenated Avro record datums (one block payload). The Python side owns
+// the OCF container framing (header/codec/sync); this is only the per-record
+// encoding loop that dominates score writing (io_utils.py:299-334 in the
+// reference writes these files via fastavro's per-record datum writer).
+//
+// codes[i]: 'L'/'I' (int64 col, varint zigzag), 'D' (double), 'F' (double col
+//           cast to float32), 'B' (int64 col, 1 byte).
+// nullable[i]: field is union ["null", <prim>] → a branch index is written;
+//              present[i] (uint8 per row, may be NULL = all present) picks it.
+// Returns bytes written, or -1 if `cap` is too small (caller sizes cap from
+// the per-type maxima, so this only fires on a caller bug).
+int64_t gdx_avro_encode(const char* codes, const uint8_t* nullable,
+                        int32_t ncols, const int64_t** icols,
+                        const double** dcols, const uint8_t** present,
+                        int64_t start, int64_t count, uint8_t* out,
+                        int64_t cap) {
+  uint8_t* p = out;
+  uint8_t* end = out + cap;
+  for (int64_t row = start; row < start + count; ++row) {
+    if (end - p < 16 * ncols) return -1;  // 16 ≥ max field footprint
+    for (int32_t f = 0; f < ncols; ++f) {
+      bool is_present = !present[f] || present[f][row];
+      if (nullable[f]) {
+        *p++ = is_present ? 0x02 : 0x00;  // zigzag(1)=2 / zigzag(0)=0
+        if (!is_present) continue;
+      }
+      switch (codes[f]) {
+        case 'L':
+        case 'I': {
+          uint64_t z = static_cast<uint64_t>(icols[f][row]);
+          z = (z << 1) ^ static_cast<uint64_t>(icols[f][row] >> 63);
+          while (z >= 0x80) {
+            *p++ = static_cast<uint8_t>(z) | 0x80;
+            z >>= 7;
+          }
+          *p++ = static_cast<uint8_t>(z);
+          break;
+        }
+        case 'D': {
+          std::memcpy(p, &dcols[f][row], 8);
+          p += 8;
+          break;
+        }
+        case 'F': {
+          float v = static_cast<float>(dcols[f][row]);
+          std::memcpy(p, &v, 4);
+          p += 4;
+          break;
+        }
+        case 'B': {
+          *p++ = icols[f][row] ? 1 : 0;
+          break;
+        }
+        default:
+          return -1;
+      }
+    }
+  }
+  return p - out;
+}
+
 }  // extern "C"
