@@ -101,6 +101,57 @@ def gen_one_avro_model(model_id: str, model_class: str,
     return record
 
 
+def _flat_model_columns(list_of_weight_indices, list_of_weight_values, biases,
+                        feature_list):
+    """Columnar (coef_ids, coef_vals, coef_vars, model_offs, icpt_vals,
+    icpt_vars) for the native encoder, or None when the inputs mix
+    variance/no-variance models (the per-record writer handles those)."""
+    icpt_vals = icpt_vars = None
+    if biases is not None:
+        tup = [isinstance(b, tuple) and len(b) == 2 and b[1] is not None
+               for b in biases]
+        if all(tup) and biases:
+            icpt_vals = np.asarray([b[0] for b in biases], np.float64)
+            icpt_vars = np.asarray([b[1] for b in biases], np.float64)
+        elif not any(tup):
+            icpt_vals = np.asarray(biases, np.float64)
+        else:
+            return None
+    coef_ids = coef_vals = coef_vars = model_offs = None
+    if (list_of_weight_indices is not None and list_of_weight_values is not None
+            and feature_list is not None):
+        tup = [isinstance(v, tuple) and len(v) == 2 and v[1] is not None
+               for v in list_of_weight_values]
+        with_var = all(tup) and bool(tup)
+        if any(tup) and not with_var:
+            return None
+        if (biases is not None and biases
+                and with_var != (icpt_vars is not None)):
+            return None  # per-record writer resolves mixed intercept/weights
+        means = [np.asarray(v[0] if with_var else v, np.float64).ravel()
+                 for v in list_of_weight_values]
+        model_offs = np.zeros(len(means) + 1, np.int64)
+        np.cumsum([m.size for m in means], out=model_offs[1:])
+        coef_vals = (np.concatenate(means) if means
+                     else np.zeros(0, np.float64))
+        coef_ids = (np.concatenate(
+            [np.asarray(i, np.int64).ravel() for i in list_of_weight_indices])
+            if list_of_weight_indices else np.zeros(0, np.int64))
+        if coef_ids.size != coef_vals.size:
+            return None
+        if coef_ids.size and (coef_ids.min() < 0
+                              or coef_ids.max() >= len(feature_list)):
+            return None
+        if with_var:
+            coef_vars = (np.concatenate(
+                [np.asarray(v[1], np.float64).ravel()
+                 for v in list_of_weight_values]) if means
+                else np.zeros(0, np.float64))
+            if coef_vars.size != coef_vals.size:
+                return None
+    return coef_ids, coef_vals, coef_vars, model_offs, icpt_vals, icpt_vars
+
+
 def export_linear_model_to_avro(model_ids: Sequence,
                                 list_of_weight_indices,
                                 list_of_weight_values,
@@ -112,6 +163,24 @@ def export_linear_model_to_avro(model_ids: Sequence,
     """Export models in photon-ml avro format (reference io_utils.py:163-212)."""
     feature_list = read_feature_list(feature_file) if feature_file else None
     num_models = len(list_of_weight_indices) if biases is None else len(biases)
+
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    # Columnar fast path: pre-encoded (name, term) table + native per-block
+    # encoder (the per-record datum writer below is ~100x slower at scale).
+    try:
+        from gdmix_tpu import native
+        flat = _flat_model_columns(list_of_weight_indices,
+                                   list_of_weight_values, biases, feature_list)
+        if flat is not None and len(model_ids) != num_models:
+            flat = None
+        blocks = None if flat is None else native.encode_model_blocks(
+            model_ids, feature_list, *flat, model_class=model_class,
+            threshold=sparsity_threshold)
+    except Exception:
+        blocks = None
+    if blocks is not None:
+        return avro.write_encoded_blocks(
+            output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, blocks)
 
     def gen_records() -> Iterator[dict]:
         for i in range(num_models):
@@ -129,10 +198,37 @@ def export_linear_model_to_avro(model_ids: Sequence,
     return avro.write_records(output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, gen_records())
 
 
+def _parse_native(model_file: str, feature_list):
+    """Native columnar parse of a model OCF, or None → per-record fallback."""
+    try:
+        from gdmix_tpu import native
+        return native.parse_model_file(model_file, feature_list)
+    except Exception:
+        return None
+
+
 def load_linear_models_from_avro(model_file: str, feature_file: Optional[str]
                                  ) -> Tuple[np.ndarray, ...]:
     """Load dense fixed-effect-layout models: intercept moved to the END
     (reference io_utils.py:45-83)."""
+    feature_list = read_feature_list(feature_file) if feature_file else None
+    parsed = _parse_native(model_file, feature_list)
+    if parsed is not None:
+        model_ids, mean_offs, mean_ids, mean_vals, _, _ = parsed
+        nf = len(feature_list) if feature_list is not None else 0
+        out = []
+        for e in range(len(model_ids)):
+            ids = mean_ids[mean_offs[e]:mean_offs[e + 1]]
+            vals = mean_vals[mean_offs[e]:mean_offs[e + 1]]
+            coef = np.zeros(nf + 1, np.float64)
+            known = ids >= 0
+            coef[ids[known]] = vals[known]
+            icpt = ids == -1
+            has_bias = bool(icpt.any())
+            if has_bias:
+                coef[nf] = vals[icpt][-1]
+            out.append(coef[:nf + has_bias])
+        return tuple(out)
     feature_map = get_feature_map(feature_file) if feature_file else None
 
     def one(record) -> np.ndarray:
@@ -166,6 +262,35 @@ def load_sparse_models_from_avro(model_file: str, feature_file: Optional[str],
                                  has_intercept: bool = True) -> Dict[str, SparseModel]:
     """Load random-effect-layout models keyed by modelId
     (reference random_effect_lr_lbfgs_model.py:256-309)."""
+    feature_list = read_feature_list(feature_file) if feature_file else None
+    parsed = _parse_native(model_file, feature_list)
+    if parsed is not None:
+        model_ids, mean_offs, mean_ids, mean_vals, var_vals, var_present = parsed
+        ok = True
+        out: Dict[str, SparseModel] = {}
+        for e in range(len(model_ids)):
+            ids = mean_ids[mean_offs[e]:mean_offs[e + 1]]
+            vals = mean_vals[mean_offs[e]:mean_offs[e + 1]]
+            tail = ids[1:] if has_intercept else ids
+            # anomalies (unknown feature, misplaced intercept, features on an
+            # intercept-only load) reuse the python path's exact errors
+            if ((has_intercept and (ids.size == 0 or ids[0] != -1))
+                    or (tail < 0).any()
+                    or (feature_list is None and tail.size)):
+                ok = False
+                break
+            variance = (var_vals[mean_offs[e]:mean_offs[e + 1]].copy()
+                        if var_present[e] else None)
+            theta = vals.copy()
+            indices = tail.copy()
+            if feature_list is None:
+                theta = np.append(theta, 0.0)
+                indices = np.array([0], np.int64)
+            out[model_ids[e]] = SparseModel(
+                model_id=model_ids[e], theta=theta, variance=variance,
+                unique_global_indices=indices)
+        if ok:
+            return out
     feature2global = get_feature_map(feature_file) if feature_file else None
     out: Dict[str, SparseModel] = {}
     for record in avro.read_records(model_file):

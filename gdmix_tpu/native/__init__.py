@@ -286,6 +286,32 @@ def _load_avro():
         ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int64]
+    _I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    _F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    _U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.gdx_model_encode.restype = ctypes.c_int64
+    lib.gdx_model_encode.argtypes = [
+        ctypes.c_char_p, _I64,                       # id bytes/offs
+        ctypes.c_char_p, _I64,                       # ntv table/offs
+        ctypes.c_char_p, ctypes.c_int64,             # intercept blob
+        ctypes.c_char_p, ctypes.c_int64,             # modelClass blob
+        ctypes.c_char_p, ctypes.c_int64,             # lossFunction blob
+        ctypes.c_void_p, ctypes.c_void_p,            # coef ids / vals
+        ctypes.c_void_p, ctypes.c_void_p,            # coef vars / model offs
+        ctypes.c_void_p, ctypes.c_void_p,            # icpt vals / vars
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        _U8, ctypes.c_int64]
+    lib.gdx_model_parse.restype = ctypes.c_void_p
+    lib.gdx_model_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, _I64,
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    for fn in ("gdx_model_num", "gdx_model_total_means",
+               "gdx_model_id_bytes_len"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.gdx_model_fill.argtypes = [ctypes.c_void_p, _U8, _I64, _I64, _I64,
+                                   _F64, _F64, _U8]
+    lib.gdx_model_free.argtypes = [ctypes.c_void_p]
     _avro_lib = lib
     return _avro_lib
 
@@ -380,6 +406,138 @@ def encode_avro_column_blocks(schema: dict, columns: Dict[str, np.ndarray],
             yield count, out[:written].tobytes()
 
     return gen() if n else iter(())
+
+
+# ---------------------------------------------------------------------------
+# photon-ml Bayesian linear model codec (columnar fast paths for
+# io/model_avro.py; reference pays per-record fastavro costs here,
+# io_utils.py:45-213)
+# ---------------------------------------------------------------------------
+
+def _enc_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    out = bytearray()
+    z = (len(b) << 1)
+    while z >= 0x80:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+    return bytes(out) + b
+
+
+def _ntv_table(feature_list) -> Tuple[bytes, np.ndarray]:
+    """Pre-encode every (name, term) pair once: varint(len)+name+varint(len)+term."""
+    blocks = [_enc_str(name) + _enc_str(term) for name, term in feature_list]
+    offs = np.zeros(len(blocks) + 1, np.int64)
+    np.cumsum([len(b) for b in blocks], out=offs[1:])
+    return b"".join(blocks), offs
+
+
+_INTERCEPT_BLOB = _enc_str("(INTERCEPT)") + _enc_str("")
+
+
+def encode_model_blocks(model_ids, feature_list, coef_ids, coef_vals,
+                        coef_vars, model_offs, icpt_vals, icpt_vars,
+                        model_class, threshold, block_models: int = 4096):
+    """Encode photon-ml model records into OCF block payloads.
+
+    Flat columnar inputs: coef_ids/coef_vals[/coef_vars] with model_offs [E+1]
+    ranges (all None for intercept-only models); icpt_vals/icpt_vars [E] or
+    None. Yields (count, payload) blocks. Returns None when the native lib is
+    missing — callers fall back to the per-record writer.
+    """
+    lib = _load_avro()
+    if lib is None:
+        return None
+    table, table_offs = _ntv_table(feature_list or [])
+    id_blobs = [str(m).encode("utf-8") for m in model_ids]
+    id_offs = np.zeros(len(id_blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in id_blobs], out=id_offs[1:])
+    id_bytes = b"".join(id_blobs)
+    mclass = (b"\x02" + _enc_str(model_class)
+              if model_class is not None else b"\x00")
+    loss = b"\x02" + _enc_str("")  # lossFunction = "" (gen_one_avro_model)
+    E = len(id_blobs)
+
+    def _ptr(arr, dt):
+        if arr is None:
+            return None
+        a = np.ascontiguousarray(arr, dtype=dt)
+        return a, a.ctypes.data_as(ctypes.c_void_p)
+
+    ids_k = _ptr(coef_ids, np.int64)
+    vals_k = _ptr(coef_vals, np.float64)
+    vars_k = _ptr(coef_vars, np.float64)
+    offs_k = _ptr(model_offs, np.int64)
+    iv_k = _ptr(icpt_vals, np.float64)
+    ivar_k = _ptr(icpt_vars, np.float64)
+
+    def gen():
+        for start in range(0, E, block_models):
+            count = min(block_models, E - start)
+            # exact-enough capacity: ids + fixed blobs + per-coef worst case
+            lo = int(offs_k[0][start]) if offs_k else 0
+            hi = int(offs_k[0][start + count]) if offs_k else 0
+            max_blk = int(np.max(np.diff(table_offs))) + 9 if len(table_offs) > 1 else 9
+            cap = (int(id_offs[start + count] - id_offs[start])
+                   + count * (64 + len(mclass) + len(loss)
+                              + 2 * (len(_INTERCEPT_BLOB) + 9 + 12))
+                   + 2 * (hi - lo) * max_blk)
+            out = np.empty(cap, np.uint8)
+            written = lib.gdx_model_encode(
+                id_bytes, id_offs, table, table_offs,
+                _INTERCEPT_BLOB, len(_INTERCEPT_BLOB),
+                mclass, len(mclass), loss, len(loss),
+                ids_k[1] if ids_k else None, vals_k[1] if vals_k else None,
+                vars_k[1] if vars_k else None, offs_k[1] if offs_k else None,
+                iv_k[1] if iv_k else None, ivar_k[1] if ivar_k else None,
+                float(threshold), start, count, out, cap)
+            if written < 0:  # pragma: no cover - sizing bug guard
+                raise RuntimeError("native model encode overflow")
+            yield count, out[:written].tobytes()
+
+    return gen() if E else iter(())
+
+
+def parse_model_file(path: str, feature_list):
+    """Decode a photon-ml model OCF into columnar arrays.
+
+    Returns (model_ids, mean_offs [E+1], mean_ids, mean_vals, var_vals,
+    var_present [E]) where mean_ids indexes feature_list, -1 = intercept,
+    -2 = (name, term) not in feature_list. None → caller falls back (native
+    lib missing, malformed/unsupported file, or variances misaligned with
+    means — the python path raises the reference's assertion instead).
+    """
+    lib = _load_avro()
+    if lib is None:
+        return None
+    table, table_offs = _ntv_table(feature_list or [])
+    with open(path, "rb") as f:
+        buf = f.read()
+    h = lib.gdx_model_parse(buf, len(buf), table, table_offs,
+                            len(feature_list or []), _INTERCEPT_BLOB,
+                            len(_INTERCEPT_BLOB))
+    if not h:
+        return None
+    try:
+        e = lib.gdx_model_num(h)
+        total = lib.gdx_model_total_means(h)
+        id_bytes = np.zeros(max(lib.gdx_model_id_bytes_len(h), 1), np.uint8)
+        id_offs = np.zeros(e + 1, np.int64)
+        mean_offs = np.zeros(e + 1, np.int64)
+        mean_ids = np.zeros(total, np.int64)
+        mean_vals = np.zeros(total, np.float64)
+        var_vals = np.zeros(total, np.float64)
+        var_present = np.zeros(e, np.uint8)
+        if e:
+            lib.gdx_model_fill(h, id_bytes, id_offs, mean_offs, mean_ids,
+                               mean_vals, var_vals, var_present)
+        raw = id_bytes.tobytes()
+        model_ids = [raw[id_offs[i]:id_offs[i + 1]].decode("utf-8")
+                     for i in range(e)]
+        return model_ids, mean_offs, mean_ids, mean_vals, var_vals, var_present
+    finally:
+        lib.gdx_model_free(h)
 
 
 def read_avro_columns(path: str):
