@@ -18,7 +18,31 @@ logging.basicConfig(
     datefmt="%Y/%m/%d %I:%M:%S", level=logging.INFO)
 
 
+def _print_help() -> None:
+    import dataclasses
+
+    from gdmix_tpu.params import FixedLRParams, REParams, SchemaParams
+    print("usage: python -m gdmix_tpu.gdmix --action=train|inference "
+          "--stage=fixed_effect|random_effect "
+          "--model_type=logistic_regression|detext --<flags>\n\n"
+          "One argv serves driver, schema, and model params; flags each parser"
+          " doesn't know are ignored (reference gdmix.py:13-40 behavior).\n")
+    for title, cls in (("driver params", Params),
+                       ("schema params", SchemaParams),
+                       ("fixed-effect LR params", FixedLRParams),
+                       ("random-effect LR params", REParams)):
+        print(f"{title}:")
+        for f in dataclasses.fields(cls):
+            default = "" if f.default is dataclasses.MISSING \
+                else f" (default: {f.default})"
+            print(f"  --{f.name}{default}")
+        print()
+
+
 def run(argv) -> None:
+    if not argv or "--help" in argv or "-h" in argv:
+        _print_help()
+        return
     params = from_argv(Params, argv)
     driver = get_driver(params, argv)
     if params.action == constants.ACTION_INFERENCE:

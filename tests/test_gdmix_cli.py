@@ -53,3 +53,17 @@ def test_cli_fixed_effect_train(tmp_path):
     assert model.shape == (7,)
     assert np.any(model != 0)
     assert os.path.isfile(os.path.join(score_dir, "part-00000.avro"))
+
+
+def test_cli_help_lists_flags(capsys):
+    """--help (and bare invocation) must print usage, not a traceback
+    (reference smart-arg prints generated help)."""
+    from gdmix_tpu.gdmix import run
+    run(["--help"])
+    out = capsys.readouterr().out
+    assert "usage: python -m gdmix_tpu.gdmix" in out
+    for flag in ("--l2_reg_weight", "--num_of_lbfgs_iterations",
+                 "--partition_entity", "--batch_solver"):
+        assert flag in out
+    run([])
+    assert "usage:" in capsys.readouterr().out
