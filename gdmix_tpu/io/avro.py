@@ -249,9 +249,13 @@ def _read_datum(buf: memoryview, pos: int, schema: SchemaType, names: _Names) ->
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t in ("bytes",):
         n, pos = _decode_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("Corrupt Avro datum (bad bytes length)")
         return bytes(buf[pos:pos + n]), pos + n
     if t == "string":
         n, pos = _decode_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("Corrupt Avro datum (bad string length)")
         return bytes(buf[pos:pos + n]).decode("utf-8"), pos + n
     if t == "fixed":
         n = schema["size"]
@@ -444,9 +448,13 @@ def _read_header(buf: memoryview) -> Tuple[dict, str, bytes, int]:
             _, pos = _decode_long(buf, pos)
         for _ in range(count):
             n, pos = _decode_long(buf, pos)
+            if n < 0 or pos + n > len(buf):  # corrupt length must not rewind
+                raise ValueError("Corrupt Avro header (bad metadata length)")
             key = bytes(buf[pos:pos + n]).decode("utf-8")
             pos += n
             n, pos = _decode_long(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise ValueError("Corrupt Avro header (bad metadata length)")
             meta[key] = bytes(buf[pos:pos + n])
             pos += n
     sync = bytes(buf[pos:pos + SYNC_SIZE])
@@ -471,6 +479,8 @@ def read_records(path_or_file) -> Iterator[dict]:
     while pos < len(buf):
         count, pos = _decode_long(buf, pos)
         size, pos = _decode_long(buf, pos)
+        if count < 0 or size < 0 or pos + size > len(buf):
+            raise ValueError("Corrupt Avro block header")
         payload = buf[pos:pos + size]
         pos += size
         if bytes(buf[pos:pos + SYNC_SIZE]) != sync:

@@ -324,7 +324,12 @@ def _field_codes(schema: dict):
     codes = []
     subs = []
     names = []
-    for f in schema.get("fields", []):
+    fields = schema.get("fields", [])
+    if not isinstance(fields, list):
+        return None
+    for f in fields:
+        if not isinstance(f, dict) or "type" not in f or "name" not in f:
+            return None
         t = f["type"]
         if isinstance(t, str) and t in _PRIM_CODE:
             codes.append(_PRIM_CODE[t])
@@ -533,8 +538,11 @@ def parse_model_file(path: str, feature_list):
             lib.gdx_model_fill(h, id_bytes, id_offs, mean_offs, mean_ids,
                                mean_vals, var_vals, var_present)
         raw = id_bytes.tobytes()
-        model_ids = [raw[id_offs[i]:id_offs[i + 1]].decode("utf-8")
-                     for i in range(e)]
+        try:
+            model_ids = [raw[id_offs[i]:id_offs[i + 1]].decode("utf-8")
+                         for i in range(e)]
+        except UnicodeDecodeError:  # corrupt file → per-record fallback
+            return None
         return model_ids, mean_offs, mean_ids, mean_vals, var_vals, var_present
     finally:
         lib.gdx_model_free(h)

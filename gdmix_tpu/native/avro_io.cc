@@ -44,8 +44,12 @@ struct Reader {
   }
 
   void skip_bytes(int64_t n) {
+    // negative lengths (corrupt varints) must fail, not rewind the cursor
+    if (n < 0 || end - p < n) {
+      ok = false;
+      return;
+    }
     p += n;
-    if (p > end) ok = false;
   }
 
   float f32() {
@@ -136,9 +140,11 @@ bool walk_container(const uint8_t* data, int64_t len, Fn&& decode) {
     if (n < 0) { n = -n; r.zigzag(); }
     for (int64_t i = 0; i < n && r.ok; ++i) {
       int64_t klen = r.zigzag();
+      if (!r.ok || klen < 0 || r.end - r.p < klen) return false;
       std::string key(reinterpret_cast<const char*>(r.p), klen);
       r.skip_bytes(klen);
       int64_t vlen = r.zigzag();
+      if (!r.ok || vlen < 0 || r.end - r.p < vlen) return false;
       if (key == "avro.codec")
         codec.assign(reinterpret_cast<const char*>(r.p), vlen);
       r.skip_bytes(vlen);
@@ -147,12 +153,14 @@ bool walk_container(const uint8_t* data, int64_t len, Fn&& decode) {
   if (!r.ok) return false;
   const uint8_t* sync = r.p;
   r.skip_bytes(16);
+  if (!r.ok) return false;
 
   std::vector<uint8_t> scratch;
   while (r.ok && r.p < r.end) {
     int64_t count = r.zigzag();
     int64_t size = r.zigzag();
-    if (!r.ok || r.p + size + 16 > r.end) return false;
+    if (!r.ok || size < 0 || r.end - r.p < 16 || r.end - r.p - 16 < size)
+      return false;
     const uint8_t* payload = r.p;
     int64_t payload_len = size;
     if (codec == "deflate") {
@@ -469,7 +477,7 @@ void* gdx_model_parse(const uint8_t* data, int64_t len, const uint8_t* table,
     for (int64_t rec = 0; rec < count; ++rec) {
       // modelId
       int64_t id_len = r.zigzag();
-      if (!r.ok || r.p + id_len > r.end) return false;
+      if (!r.ok || id_len < 0 || r.end - r.p < id_len) return false;
       h->id_bytes.insert(h->id_bytes.end(), r.p, r.p + id_len);
       r.skip_bytes(id_len);
       h->id_offs.push_back(static_cast<int64_t>(h->id_bytes.size()));

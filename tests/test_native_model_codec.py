@@ -161,3 +161,45 @@ def test_big_uid_and_long_names(tmp_path):
     (sm,) = models.values()
     assert sm.model_id == "id-" + "x" * 500
     np.testing.assert_allclose(sm.theta, [1.0, 4.25])
+
+
+def test_corrupt_files_never_hang_or_crash(tmp_path):
+    """Truncations and random byte corruption must yield clean failures
+    (None / ValueError), never hangs or native crashes. Regression: corrupt
+    negative varint lengths used to rewind the cursor (infinite loop in the
+    python header reader, reversed-range UB in the native parser)."""
+    import signal
+    import time
+
+    fl = [("a", "x"), ("b", "y")]
+    p = str(tmp_path / "features")
+    with open(p, "w") as f:
+        f.write("a,x\nb,y\n")
+    m = str(tmp_path / "m.avro")
+    model_avro.export_linear_model_to_avro(
+        ["m0", "m1"], [np.array([0, 1]), np.array([1])],
+        [np.array([1.0, 2.0]), np.array([3.0])], [0.5, 0.6], p, m)
+    buf = open(m, "rb").read()
+    rng = np.random.default_rng(3)
+    bad = str(tmp_path / "bad.avro")
+
+    def attack():
+        native.parse_model_file(bad, fl)
+        for fn in (native.read_avro_columns,
+                   lambda q: list(avro.read_records(q))):
+            try:
+                fn(bad)
+            except Exception:
+                pass
+
+    t0 = time.time()
+    for i in range(0, len(buf), 7):
+        open(bad, "wb").write(buf[:i])
+        attack()
+    for _ in range(300):
+        b = bytearray(buf)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        open(bad, "wb").write(bytes(b))
+        attack()
+    assert time.time() - t0 < 60, "corrupt-input handling too slow"
