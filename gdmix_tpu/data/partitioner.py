@@ -123,6 +123,53 @@ def group_by_entity(data: PerRecordData, config: PartitionerConfig,
     return out
 
 
+def group_flat(data: PerRecordData, config: PartitionerConfig,
+               group_ids: np.ndarray, active_only: bool = False):
+    """group_by_entity without the per-entity objects: one lexsort, then the
+    whole partition stays columnar (data/bucketing.FlatGroups). active_only
+    keeps group id 0 only (DataPartitioner's active tree); otherwise an
+    entity's groups are merged (scoring view)."""
+    from gdmix_tpu.data.bucketing import FlatGroups
+    entity_col = np.asarray(data.columns[config.partition_entity])
+    # Convert to string only once per UNIQUE entity; records sort by the
+    # string rank of their entity code, giving exactly group_by_entity's
+    # (string-sorted) order without N python str() calls.
+    uniq_vals, codes = np.unique(entity_col, return_inverse=True)
+    uniq_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                           for e in uniq_vals], dtype=object)
+    str_order = np.argsort(uniq_str, kind="stable")
+    rank = np.empty(len(uniq_vals), np.int64)
+    rank[str_order] = np.arange(len(uniq_vals))
+    order = np.lexsort((group_ids, rank[codes]))
+    sorted_codes = codes[order]
+    sorted_group = np.asarray(group_ids)[order]
+
+    if active_only:
+        keep = sorted_group == 0
+        order = order[keep]
+        sorted_codes = sorted_codes[keep]
+    if len(order) == 0:
+        return FlatGroups(entity_ids=np.zeros(0, object),
+                          counts=np.zeros(0, np.int64), columns={},
+                          indices=None, values=None, rec_nnz=None)
+    change = np.ones(len(order), bool)
+    change[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(order)))
+
+    columns = {name: arr[order] for name, arr in data.columns.items()
+               if name != config.partition_entity}
+    return FlatGroups(
+        entity_ids=uniq_str[sorted_codes[starts]],
+        counts=counts.astype(np.int64),
+        columns=columns,
+        indices=None if data.indices is None else data.indices[order],
+        values=None if data.values is None else data.values[order],
+        rec_nnz=(data.nnz[order] if data.nnz is not None
+                 else (np.full(len(order), data.indices.shape[1], np.int32)
+                       if data.indices is not None else None)))
+
+
 def _grouped_metadata(metadata: DatasetMetadata, config: PartitionerConfig,
                       has_offset: bool) -> DatasetMetadata:
     """Output metadata for the grouped dataset (MetadataGenerator equivalent):

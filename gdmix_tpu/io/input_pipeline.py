@@ -204,6 +204,75 @@ def load_per_entity_grouped(input_path, metadata: DatasetMetadata,
                                    feature_bag, num_shards, shard_index)
 
 
+def load_per_entity_grouped_flat(input_path, metadata: DatasetMetadata,
+                                 entity_name: str,
+                                 feature_bag: Optional[str] = None,
+                                 num_shards: int = 1, shard_index: int = 0,
+                                 data_format: str = "tfrecord"):
+    """Columnar grouped loader: native SequenceExample decode straight into a
+    data/bucketing.FlatGroups (no per-entity objects). Returns None when the
+    fast path doesn't apply (non-tfrecord format, native lib missing, string
+    context columns, or per-entity column presence gaps) — callers then fall
+    back to load_per_entity_grouped."""
+    if data_format != "tfrecord":
+        return None
+    from gdmix_tpu import native
+    if not native.available():
+        return None
+    from gdmix_tpu.data.bucketing import FlatGroups, select_entities
+    tensors = metadata.tensors()
+    ctx_names = [n for n, t in tensors.items()
+                 if n != entity_name and n != feature_bag
+                 and not t.is_sparse and t.dtype != "string"]
+    if any(t.dtype == "string" for n, t in tensors.items()
+           if n != entity_name and not t.is_sparse):
+        return None
+    int_names = [n for n in ctx_names if tensors[n].dtype in ("int", "long")]
+    files, sample_level = shard_input_files(input_path, num_shards, shard_index)
+    parts = []
+    for f in files:
+        out = native.parse_per_entity_grouped(
+            _read_file_bytes(f), ctx_names, entity_name, feature_bag,
+            int_names=int_names)
+        if out is None:
+            return None
+        _, _, _, present, _, _, _ = out
+        if any(not present[n].all() for n in ctx_names):
+            return None  # ragged presence → per-entity object path
+        parts.append(out)
+    if not parts:
+        return FlatGroups(entity_ids=np.zeros(0, object),
+                          counts=np.zeros(0, np.int64), columns={},
+                          indices=None, values=None, rec_nnz=None)
+    entity_ids = np.asarray(
+        [e for p in parts for e in p[0]], dtype=object)
+    counts = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    columns = {
+        name: np.concatenate([p[2][name] for p in parts]).astype(
+            tensors[name].np_dtype, copy=False)
+        for name in ctx_names}
+    indices = values = rec_nnz = None
+    if feature_bag:
+        k = max(p[4].shape[1] for p in parts)
+
+        def padk(a):
+            if a.shape[1] == k:
+                return a
+            out = np.zeros((a.shape[0], k), a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+
+        indices = np.concatenate([padk(p[4]) for p in parts])
+        values = np.concatenate([padk(p[5]) for p in parts])
+        rec_nnz = np.concatenate([p[6] for p in parts])
+    fg = FlatGroups(entity_ids=entity_ids, counts=counts, columns=columns,
+                    indices=indices, values=values, rec_nnz=rec_nnz)
+    if sample_level and num_shards > 1:
+        fg = select_entities(
+            fg, np.arange(shard_index, len(fg), num_shards))
+    return fg
+
+
 def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
                             feature_bag: Optional[str], align: int
                             ) -> Optional[PerRecordData]:

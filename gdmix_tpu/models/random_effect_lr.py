@@ -277,10 +277,16 @@ class RandomEffectLRModel(Model):
         model_file = os.path.join(self.model_params.output_model_dir, avro_filename)
 
         model_weights = self._load_weights(model_file, catch_exception=True)
-        groups = load_per_entity_grouped(training_data_dir, self.metadata,
-                                         self.model_params.partition_entity,
-                                         self.feature_bag_name,
-                                         data_format=self.model_params.data_format)
+        from gdmix_tpu.io.input_pipeline import load_per_entity_grouped_flat
+        groups = load_per_entity_grouped_flat(
+            training_data_dir, self.metadata,
+            self.model_params.partition_entity, self.feature_bag_name,
+            data_format=self.model_params.data_format)
+        if groups is None:  # non-tfrecord / native-less / ragged presence
+            groups = load_per_entity_grouped(
+                training_data_dir, self.metadata,
+                self.model_params.partition_entity, self.feature_bag_name,
+                data_format=self.model_params.data_format)
         model_weights = self.fit_groups(groups, model_weights, schema_params)
         self._save_model(model_file, model_weights)
 
@@ -301,14 +307,17 @@ class RandomEffectLRModel(Model):
 
     def fit_groups(self, groups, model_weights: Dict[str, SparseModel],
                    schema_params) -> Dict[str, SparseModel]:
-        """In-memory batched training of all entities in `groups`; returns the
-        prior ∪ new model dict (prior-only entities carry forward, reference
-        :155-163)."""
+        """In-memory batched training of all entities in `groups` (a
+        List[EntityGroup] or columnar FlatGroups); returns the prior ∪ new
+        model dict (prior-only entities carry forward, reference :155-163)."""
+        from gdmix_tpu.data.bucketing import FlatGroups, bucketize_flat
         logger.info("Training %d entities", len(groups))
-        buckets = bucketize(groups, schema_params,
-                            self.model_params.offset_column_name,
-                            has_intercept=self.has_intercept,
-                            prior_models=model_weights)
+        bucketize_fn = (bucketize_flat if isinstance(groups, FlatGroups)
+                        else bucketize)
+        buckets = bucketize_fn(groups, schema_params,
+                               self.model_params.offset_column_name,
+                               has_intercept=self.has_intercept,
+                               prior_models=model_weights)
         results: Dict[str, SparseModel] = {}
         # dispatch every bucket's solve before fetching any result: device work
         # for bucket k+1 overlaps the host marshaling of bucket k (on remote

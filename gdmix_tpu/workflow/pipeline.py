@@ -229,13 +229,14 @@ class InMemoryPipeline:
                                          active_only=True)
                     if nproc > 1:
                         # round-robin entity ownership over the (identical)
-                        # full group list; merge via model-file exchange
-                        owned = [g for i, g in enumerate(groups)
-                                 if i % nproc == rank]
+                        # full entity list; merge via model-file exchange
+                        from gdmix_tpu.data.bucketing import select_entities
+                        owned = select_entities(
+                            groups, np.arange(rank, len(groups), nproc))
                         partial = model.fit_groups(owned, item["weights"],
                                                    params)
-                        partial = {g.entity_id: partial[g.entity_id]
-                                   for g in owned}
+                        partial = {eid: partial[eid]
+                                   for eid in owned.entity_ids}
                         merged = self._exchange_re_models(
                             os.path.join(cfg.output_dir, name, MODELS),
                             sweep, name, partial, model)
@@ -317,17 +318,19 @@ class InMemoryPipeline:
     def _group(data: PerRecordData, pcfg: PartitionerConfig,
                metadata: DatasetMetadata, active_only: bool):
         uids = data.columns[pcfg.uid_column_name].astype(np.int64)
-        entity_col = data.columns[pcfg.partition_entity]
-        entity_str = np.asarray([str(e) for e in entity_col], dtype=object)
         if active_only and (pcfg.min_samples or pcfg.max_samples):
+            entity_col = data.columns[pcfg.partition_entity]
+            entity_str = np.asarray([str(e) for e in entity_col], dtype=object)
             gids = assign_group_ids(entity_str, uids, pcfg.min_samples,
                                     pcfg.max_samples)
         else:
             gids = np.zeros(len(uids), dtype=np.int64)
-        grouped = group_by_entity(data, pcfg, metadata, gids)
         if active_only:
-            return [g for _, gid, g in grouped if gid == 0]
+            # columnar path: no per-entity objects on the training hot path
+            from gdmix_tpu.data.partitioner import group_flat
+            return group_flat(data, pcfg, gids, active_only=True)
         # merge one entity's groups back together for scoring
+        grouped = group_by_entity(data, pcfg, metadata, gids)
         return [g for _, _, g in grouped]
 
     def _write_metric(self, name: str) -> None:

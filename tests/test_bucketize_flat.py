@@ -1,0 +1,140 @@
+"""Columnar bucketizer (FlatGroups → EntityBucket) must produce buckets
+byte-identical to the per-entity-object path on the same data."""
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from gdmix_tpu.data.bucketing import FlatGroups, bucketize, bucketize_flat
+from gdmix_tpu.data.partitioner import (PartitionerConfig, group_by_entity,
+                                        group_flat)
+from gdmix_tpu.io.input_pipeline import PerRecordData
+from gdmix_tpu.io.model_avro import SparseModel
+
+SP = SimpleNamespace(label_column_name="response", weight_column_name="weight",
+                     uid_column_name="uid")
+
+
+def _data(E=400, seed=0, with_weight=True, with_offset=True, max_nnz=5,
+          D=60, zero_nnz_frac=0.0):
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(1, 70, E)
+    N = int(counts.sum())
+    ent = np.repeat(rng.permutation(E), counts)  # unsorted entity order
+    nnz = rng.integers(0 if zero_nnz_frac else 1, max_nnz + 1, N).astype(np.int32)
+    cols = {"uid": rng.integers(0, 1 << 40, N),
+            "response": rng.integers(0, 2, N).astype(np.float64),
+            "entity": np.asarray([f"e{v}" for v in ent], dtype=object)}
+    if with_weight:
+        cols["weight"] = rng.random(N) + 0.5
+    if with_offset:
+        cols["offset"] = rng.standard_normal(N)
+    indices = rng.integers(0, D, (N, max_nnz)).astype(np.int64)
+    values = rng.standard_normal((N, max_nnz))
+    # padding entries must be inert by construction
+    pad = np.arange(max_nnz)[None, :] >= nnz[:, None]
+    values[pad] = 0.0
+    return PerRecordData(columns=cols, indices=indices, values=values,
+                         nnz=nnz, num_samples=N)
+
+
+def _both(data, prior_models=None, has_intercept=True):
+    cfg = PartitionerConfig(partition_entity="entity", num_partitions=1,
+                            uid_column_name="uid")
+    gids = np.zeros(data.num_samples, np.int64)
+    groups = [g for _, _, g in group_by_entity(data, cfg, None, gids)]
+    slow = bucketize(groups, SP, "offset", has_intercept=has_intercept,
+                     prior_models=prior_models)
+    fg = group_flat(data, cfg, gids, active_only=True)
+    fast = bucketize_flat(fg, SP, "offset", has_intercept=has_intercept,
+                          prior_models=prior_models)
+    return slow, fast
+
+
+def _assert_equal(slow, fast):
+    assert len(slow) == len(fast)
+    for a, b in zip(slow, fast):
+        assert a.entity_ids == b.entity_ids
+        for f in ("indices", "values", "offsets", "labels", "weights", "uids",
+                  "sample_count", "unique_global_indices", "u_count", "theta0"):
+            ga, gb = getattr(a, f), getattr(b, f)
+            assert ga.shape == gb.shape, (f, ga.shape, gb.shape)
+            assert ga.dtype == gb.dtype, (f, ga.dtype, gb.dtype)
+            np.testing.assert_array_equal(ga, gb, err_msg=f)
+
+
+def test_flat_matches_object_path():
+    _assert_equal(*_both(_data()))
+
+
+def test_flat_matches_with_zero_nnz_records():
+    _assert_equal(*_both(_data(seed=3, zero_nnz_frac=0.5)))
+
+
+def test_flat_matches_no_intercept():
+    _assert_equal(*_both(_data(seed=5), has_intercept=False))
+
+
+def test_flat_matches_without_weight_or_offset():
+    _assert_equal(*_both(_data(seed=7, with_weight=False, with_offset=False)))
+
+
+def test_flat_matches_with_priors():
+    rng = np.random.default_rng(11)
+    data = _data(seed=11)
+    priors = {}
+    ents = sorted({str(e) for e in data.columns["entity"]})
+    for e in ents[::3]:  # a third of entities carry a prior
+        idx = np.sort(rng.choice(60, rng.integers(1, 8), replace=False))
+        priors[e] = SparseModel(
+            model_id=e, theta=rng.standard_normal(len(idx) + 1),
+            variance=None, unique_global_indices=idx.astype(np.int64))
+    _assert_equal(*_both(data, prior_models=priors))
+
+
+def test_flat_active_only_drops_other_groups():
+    data = _data(E=30, seed=2)
+    cfg = PartitionerConfig(partition_entity="entity", num_partitions=1,
+                            uid_column_name="uid")
+    rng = np.random.default_rng(0)
+    gids = rng.integers(0, 2, data.num_samples).astype(np.int64)
+    groups = [g for _, gid, g in group_by_entity(data, cfg, None, gids)
+              if gid == 0]
+    slow = bucketize(groups, SP, "offset")
+    fg = group_flat(data, cfg, gids, active_only=True)
+    fast = bucketize_flat(fg, SP, "offset")
+    _assert_equal(slow, fast)
+
+
+def test_flat_empty():
+    cfg = PartitionerConfig(partition_entity="entity", num_partitions=1,
+                            uid_column_name="uid")
+    data = _data(E=5, seed=1)
+    fg = group_flat(data, cfg, np.ones(data.num_samples, np.int64),
+                    active_only=True)
+    assert len(fg) == 0
+    assert bucketize_flat(fg, SP, "offset") == []
+
+
+def test_select_entities_round_robin():
+    data = _data(E=40, seed=9)
+    cfg = PartitionerConfig(partition_entity="entity", num_partitions=1,
+                            uid_column_name="uid")
+    fg = group_flat(data, cfg, np.zeros(data.num_samples, np.int64),
+                    active_only=True)
+    from gdmix_tpu.data.bucketing import select_entities
+    idx = np.arange(1, len(fg), 3)
+    sub = select_entities(fg, idx)
+    assert list(sub.entity_ids) == list(np.asarray(fg.entity_ids)[idx])
+    np.testing.assert_array_equal(sub.counts, fg.counts[idx])
+    # record columns match a manual per-entity slice
+    starts = np.cumsum(fg.counts) - fg.counts
+    want = np.concatenate([
+        fg.columns["uid"][starts[i]:starts[i] + fg.counts[i]] for i in idx])
+    np.testing.assert_array_equal(sub.columns["uid"], want)
+    want_idx = np.concatenate([
+        fg.indices[starts[i]:starts[i] + fg.counts[i]] for i in idx])
+    np.testing.assert_array_equal(sub.indices, want_idx)
+    # buckets built from the subset equal buckets built from subset groups
+    slow = bucketize_flat(sub, SP, "offset")
+    assert sum(b.batch for b in slow) == len(idx)
