@@ -33,11 +33,13 @@ def _enable_persistent_compile_cache() -> None:
     highly repeatable across runs (power-of-two bucket tiers, fixed FE padding
     policy) — so a disk cache converts every rerun/sweep/retry into a cache
     hit (measured 18.8 s → 7.8 s on the 100k-rating pipeline).
-    GDMIX_TPU_COMPILE_CACHE: unset → ~/.cache/gdmix_tpu/xla on TPU backends
-    only (XLA:CPU AOT entries are machine-feature-specific and can SIGILL when
-    moved between hosts, so CPU stays opt-in); a path → that directory on any
-    backend; "0"/"off" → disabled. Respects an explicit
-    JAX_COMPILATION_CACHE_DIR / jax_compilation_cache_dir if already set.
+    GDMIX_TPU_COMPILE_CACHE: unset → ~/.cache/gdmix_tpu/xla when the platform
+    list names a TPU backend (tpu/axon); anything else — including an unset
+    platform that may resolve to CPU — stays opt-in because XLA:CPU AOT
+    entries are machine-feature-specific and can SIGILL when moved between
+    hosts. A path value → that directory on any backend; "0"/"off" →
+    disabled. Respects an explicit JAX_COMPILATION_CACHE_DIR /
+    jax_compilation_cache_dir if already set.
     """
     raw = _os.environ.get("GDMIX_TPU_COMPILE_CACHE", "")
     if raw.lower() in ("0", "off", "false", "no"):
@@ -46,7 +48,8 @@ def _enable_persistent_compile_cache() -> None:
 
     if _jax.config.jax_compilation_cache_dir:  # user already configured one
         return
-    if not raw and "cpu" in str(_jax.config.jax_platforms or ""):
+    platforms = str(_jax.config.jax_platforms or "").lower()
+    if not raw and not any(p in platforms for p in ("tpu", "axon")):
         return  # default-on only where compiles are expensive (TPU relay)
     path = raw or _os.path.join(
         _os.path.expanduser("~"), ".cache", "gdmix_tpu", "xla")

@@ -195,7 +195,9 @@ def bucketize_flat(fg: FlatGroups,
         return []
     prior_models = prior_models or {}
     counts = np.asarray(fg.counts, np.int64)
-    assert counts.min() >= 1, "entities must have at least one record"
+    # zero-record entities are legal (the object path buckets them as
+    # instantly-converged zero-weight lanes); all the gathers below mask by
+    # validrow, so they just contribute empty rows
     N = int(counts.sum())
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     ent_of_rec = np.repeat(np.arange(E), counts)
@@ -379,12 +381,6 @@ def bucketize(groups: Sequence[EntityGroup],
     assignment: Dict[int, List[int]] = {}
     for gi, n in enumerate(counts):
         assignment.setdefault(cap_of(int(n)), []).append(gi)
-
-    def _next_pow2(x: int) -> int:
-        p = 1
-        while p < x:
-            p *= 2
-        return p
 
     buckets: List[EntityBucket] = []
     for n_cap, members in sorted(assignment.items()):

@@ -371,11 +371,18 @@ class RandomEffectLRModel(Model):
         B, n_cap = bucket.indices.shape[0], bucket.n_cap
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
+        # explicit newton_dual is honored whenever the kernel fits; auto
+        # additionally requires n_cap < dim (where sample space is cheaper)
         use_dual = (not use_newton
-                    and p.batch_solver in ("auto", "newton_dual")
-                    and n_cap < dim
+                    and (p.batch_solver == "newton_dual"
+                         or (p.batch_solver == "auto" and n_cap < dim))
                     and B * n_cap * n_cap <= p.dual_newton_max_elems
                     and B * n_cap * dim <= p.dense_lbfgs_max_elems)
+        if p.batch_solver == "newton_dual" and not use_dual and not use_newton:
+            logger.warning(
+                "batch_solver=newton_dual: bucket B=%d n=%d dim=%d exceeds "
+                "dual_newton_max_elems/dense_lbfgs_max_elems — falling back "
+                "to L-BFGS", B, n_cap, dim)
         use_dense_lbfgs = (not use_newton and not use_dual
                            and B * n_cap * dim <= p.dense_lbfgs_max_elems)
         # Solvers are cached at module level so identical (config, shape) pairs
@@ -569,8 +576,8 @@ class RandomEffectLRModel(Model):
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
         use_dual = (not use_newton
-                    and p.batch_solver in ("auto", "newton_dual")
-                    and n_cap < dim
+                    and (p.batch_solver == "newton_dual"
+                         or (p.batch_solver == "auto" and n_cap < dim))
                     and num_shards * b_cap * n_cap * n_cap
                     <= p.dual_newton_max_elems
                     and num_shards * b_cap * n_cap * dim

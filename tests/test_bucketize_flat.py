@@ -138,3 +138,29 @@ def test_select_entities_round_robin():
     # buckets built from the subset equal buckets built from subset groups
     slow = bucketize_flat(sub, SP, "offset")
     assert sum(b.batch for b in slow) == len(idx)
+
+
+def test_zero_record_entities_match_object_path():
+    """Entities with no records bucket as instantly-converged zero-weight
+    lanes on both paths (the object path always tolerated them)."""
+    from gdmix_tpu.io.input_pipeline import EntityGroup
+    cols = lambda n: {"uid": np.arange(n, dtype=np.int64),
+                      "response": np.ones(n), "weight": np.ones(n)}
+    g_empty = EntityGroup(entity_id="a", columns=cols(0))
+    g_empty.padded_indices = np.zeros((0, 4), np.int64)
+    g_empty.padded_values = np.zeros((0, 4))
+    g_empty.rec_nnz = np.zeros(0, np.int32)
+    g_full = EntityGroup(entity_id="b", columns=cols(3))
+    g_full.padded_indices = np.tile(np.arange(4), (3, 1))
+    g_full.padded_values = np.ones((3, 4))
+    g_full.rec_nnz = np.full(3, 4, np.int32)
+    slow = bucketize([g_empty, g_full], SP, "offset")
+    fg = FlatGroups(
+        entity_ids=np.asarray(["a", "b"], object),
+        counts=np.array([0, 3], np.int64),
+        columns=cols(3),
+        indices=np.tile(np.arange(4), (3, 1)),
+        values=np.ones((3, 4)),
+        rec_nnz=np.full(3, 4, np.int32))
+    fast = bucketize_flat(fg, SP, "offset")
+    _assert_equal(slow, fast)

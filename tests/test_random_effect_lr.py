@@ -503,3 +503,37 @@ def test_auto_solver_selects_dual_newton_for_wide_buckets(tmp_path):
         np.testing.assert_allclose(results["auto"][eid].theta,
                                    results["lbfgs"][eid].theta, atol=5e-6,
                                    err_msg=f"entity {eid}")
+
+
+def test_explicit_newton_dual_honored_when_n_exceeds_dim(tmp_path):
+    """batch_solver=newton_dual must use the dual solver (not silently fall
+    back to L-BFGS) even when samples-per-entity >= dim, and reach the same
+    optimum as the auto ladder."""
+    import gdmix_tpu.models.random_effect_lr as RE
+    groups, _ = _make_groups(num_entities=6, seed=4)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    thetas = {}
+    for solver in ("auto", "newton_dual"):
+        model, base = _build_model(md_file, train_dir, feature_file, tmp_path,
+                                   batch_solver=solver,
+                                   newton_max_dim=0)  # keep plain newton off
+        called = {}
+        orig = RE._newton_dual_solver
+
+        def spy(*a, **k):
+            called["dual"] = True
+            return orig(*a, **k)
+
+        RE._newton_dual_solver = spy
+        try:
+            weights = model.fit_groups(groups, {}, base)
+        finally:
+            RE._newton_dual_solver = orig
+        thetas[solver] = weights
+        if solver == "newton_dual":
+            # n (4-20) >= dim (6) for most buckets — dual must still run
+            assert called.get("dual"), "explicit newton_dual not dispatched"
+    for eid in thetas["auto"]:
+        np.testing.assert_allclose(thetas["auto"][eid].theta,
+                                   thetas["newton_dual"][eid].theta,
+                                   rtol=1e-4, atol=1e-5)
