@@ -101,8 +101,145 @@ def _load():
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.gdx_seq_free.argtypes = [ctypes.c_void_p]
+    _PU8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.gdx_seq_write.restype = ctypes.c_int64
+    lib.gdx_seq_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,  # ids i/b/off
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,   # entity, counts, E
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_char_p, ctypes.c_char_p,                   # idx/val names
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sp idx/val/nnz
+        ctypes.c_int32, _PU8, ctypes.c_int64]
+    lib.gdx_rec_write.restype = ctypes.c_int64
+    lib.gdx_rec_write.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int64, _PU8, ctypes.c_int64]
     _lib = lib
     return _lib
+
+
+def _col_pointers(col_names, col_arrays):
+    """(names_arr, types, fptrs, iptrs, kept_arrays) for the native writers."""
+    ncols = len(col_names)
+    names_arr = (ctypes.c_char_p * max(ncols, 1))(
+        *[n.encode() for n in col_names] or [b""])
+    types = bytearray()
+    fptrs = (ctypes.POINTER(ctypes.c_double) * max(ncols, 1))()
+    iptrs = (ctypes.POINTER(ctypes.c_int64) * max(ncols, 1))()
+    kept = []
+    for i, arr in enumerate(col_arrays):
+        if arr.dtype.kind in "iu":
+            a = np.ascontiguousarray(arr, np.int64)
+            iptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            types.append(ord("i"))
+        else:
+            a = np.ascontiguousarray(arr, np.float64)
+            fptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            types.append(ord("f"))
+        kept.append(a)
+    return names_arr, bytes(types), fptrs, iptrs, kept
+
+
+def encode_grouped_records(entity_ids, entity_as_bytes: bool,
+                           entity_name: str, counts, col_names, col_arrays,
+                           idx_name, val_name, sp_idx, sp_val, rec_nnz):
+    """Encode grouped SequenceExample TFRecords (framed, crc'd) from columnar
+    arrays; returns the file bytes or None → python fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    E = len(counts)
+    counts = np.ascontiguousarray(counts, np.int64)
+    N = int(counts.sum())
+    if entity_as_bytes:
+        blobs = [str(e).encode("utf-8") for e in entity_ids]
+        id_off = np.zeros(E + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=id_off[1:])
+        id_bytes = b"".join(blobs)
+        ids_i = None
+        id_extra = len(id_bytes)
+    else:
+        ids_i = np.ascontiguousarray(
+            [int(e) for e in entity_ids], np.int64) if E else \
+            np.zeros(0, np.int64)
+        id_bytes = id_off = None
+        id_extra = 11 * E
+    names_arr, types, fptrs, iptrs, kept = _col_pointers(col_names, col_arrays)
+    K = 0
+    M = 0
+    sp_i = sp_v = nnz = None
+    if sp_idx is not None:
+        sp_i = np.ascontiguousarray(sp_idx, np.int64)
+        sp_v = np.ascontiguousarray(sp_val, np.float64)
+        nnz = np.ascontiguousarray(rec_nnz, np.int32)
+        K = sp_i.shape[1] if sp_i.ndim == 2 else 0
+        M = int(nnz.sum())
+    per_col = sum(len(c) + 48 for c in col_names)
+    cap = (E * (128 + len(entity_name)
+                + per_col + 2 * (len(idx_name or "") + len(val_name or "") + 64))
+           + id_extra
+           + N * (sum(11 if t == ord("i") else 5 for t in types) + 32)
+           + M * 15 + 4096)
+    out = np.empty(cap, np.uint8)
+    written = lib.gdx_seq_write(
+        None if ids_i is None else ids_i.ctypes.data_as(ctypes.c_void_p),
+        id_bytes, None if id_off is None else
+        id_off.ctypes.data_as(ctypes.c_void_p),
+        entity_name.encode(), counts.ctypes.data_as(ctypes.c_void_p), E,
+        names_arr, types, len(col_names), fptrs, iptrs,
+        (idx_name or "").encode() or None, (val_name or "").encode() or None,
+        None if sp_i is None else sp_i.ctypes.data_as(ctypes.c_void_p),
+        None if sp_v is None else sp_v.ctypes.data_as(ctypes.c_void_p),
+        None if nnz is None else nnz.ctypes.data_as(ctypes.c_void_p),
+        K, out, cap)
+    if written < 0:
+        logger.info("native grouped encode overflow; python fallback")
+        return None
+    return out[:written].tobytes()
+
+
+def encode_per_record(col_names, col_arrays, idx_name, val_name,
+                      sp_idx, sp_val, rec_nnz, n_records: int):
+    """Encode per-record Example TFRecords from columnar arrays; returns file
+    bytes or None → python fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    names_arr, types, fptrs, iptrs, kept = _col_pointers(col_names, col_arrays)
+    K = 0
+    M = 0
+    sp_i = sp_v = nnz = None
+    if sp_idx is not None:
+        sp_i = np.ascontiguousarray(sp_idx, np.int64)
+        sp_v = np.ascontiguousarray(sp_val, np.float64)
+        nnz = np.ascontiguousarray(rec_nnz, np.int32)
+        K = sp_i.shape[1] if sp_i.ndim == 2 else 0
+        M = int(nnz.sum())
+    N = n_records
+    per_col = sum(len(c) + 48 for c in col_names)
+    cap = (N * (64 + per_col
+                + sum(11 if t == ord("i") else 5 for t in types)
+                + 2 * (len(idx_name or "") + len(val_name or "") + 64))
+           + M * 15 + 4096)
+    out = np.empty(cap, np.uint8)
+    written = lib.gdx_rec_write(
+        None, names_arr, types, len(col_names), fptrs, iptrs,
+        (idx_name or "").encode() or None, (val_name or "").encode() or None,
+        None if sp_i is None else sp_i.ctypes.data_as(ctypes.c_void_p),
+        None if sp_v is None else sp_v.ctypes.data_as(ctypes.c_void_p),
+        None if nnz is None else nnz.ctypes.data_as(ctypes.c_void_p),
+        K, N, out, cap)
+    if written < 0:
+        logger.info("native per-record encode overflow; python fallback")
+        return None
+    return out[:written].tobytes()
 
 
 def available() -> bool:
