@@ -170,6 +170,97 @@ def group_flat(data: PerRecordData, config: PartitionerConfig,
                        if data.indices is not None else None)))
 
 
+def group_flat_pairs(data: PerRecordData, config: PartitionerConfig,
+                     group_ids: np.ndarray):
+    """Columnar grouping by (entity, group) PAIR — the partitioner's unit
+    (one SequenceExample row per pair, DataPartitioner.scala:296-317).
+    Returns (FlatGroups, pair_gids [P]); entity_ids repeat across a capped
+    entity's overflow groups exactly like group_by_entity's tuples."""
+    from gdmix_tpu.data.bucketing import FlatGroups
+    entity_col = np.asarray(data.columns[config.partition_entity])
+    uniq_vals, codes = np.unique(entity_col, return_inverse=True)
+    uniq_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                           for e in uniq_vals], dtype=object)
+    str_order = np.argsort(uniq_str, kind="stable")
+    rank = np.empty(len(uniq_vals), np.int64)
+    rank[str_order] = np.arange(len(uniq_vals))
+    order = np.lexsort((group_ids, rank[codes]))
+    sorted_codes = codes[order]
+    sorted_group = np.asarray(group_ids)[order]
+    change = np.ones(len(order), bool)
+    if len(order) > 1:
+        change[1:] = (sorted_codes[1:] != sorted_codes[:-1]) | \
+                     (sorted_group[1:] != sorted_group[:-1])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(order)))
+    columns = {name: arr[order] for name, arr in data.columns.items()
+               if name != config.partition_entity}
+    fg = FlatGroups(
+        entity_ids=uniq_str[sorted_codes[starts]],
+        counts=counts.astype(np.int64),
+        columns=columns,
+        indices=None if data.indices is None else data.indices[order],
+        values=None if data.values is None else data.values[order],
+        rec_nnz=(data.nnz[order] if data.nnz is not None
+                 else (np.full(len(order), data.indices.shape[1], np.int32)
+                       if data.indices is not None else None)))
+    return fg, sorted_group[starts]
+
+
+def partition_dataset_flat(data: PerRecordData,
+                           metadata: DatasetMetadata,
+                           config: PartitionerConfig,
+                           feature_bag: Optional[str],
+                           scores: Optional[Dict[str, np.ndarray]] = None,
+                           per_coordinate_scores=None,
+                           split_active_passive: bool = True):
+    """partition_dataset on the columnar path: {pid: {"active": FlatGroups,
+    "passive": FlatGroups}} with the same (entity, group) rows and ordering
+    as the object version."""
+    from gdmix_tpu.data.bucketing import select_entities
+    uids = data.columns[config.uid_column_name].astype(np.int64)
+    if scores is not None:
+        pc_uids = pc_vals = None
+        if per_coordinate_scores is not None:
+            pc_uids = per_coordinate_scores[config.uid_column_name]
+            pc_vals = per_coordinate_scores[
+                config.prediction_score_per_coordinate_column_name]
+        data.columns[config.offset_column_name] = update_offset(
+            uids, scores[config.uid_column_name],
+            scores[config.prediction_score_column_name], pc_uids, pc_vals)
+
+    entity_col = data.columns[config.partition_entity]
+    if split_active_passive:
+        entity_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                                 for e in entity_col], dtype=object)
+        group_ids = assign_group_ids(entity_str, uids, config.min_samples,
+                                     config.max_samples)
+    else:
+        group_ids = np.zeros(len(uids), dtype=np.int64)
+    fg, pair_gids = group_flat_pairs(data, config, group_ids)
+    # one hash per unique id (they repeat across overflow groups)
+    uniq_ids, inv = np.unique(np.asarray(fg.entity_ids, object),
+                              return_inverse=True)
+    pid_of_uniq = np.fromiter(
+        (partition_id_of(e, config.num_partitions) for e in uniq_ids),
+        np.int64, len(uniq_ids))
+    pids = pid_of_uniq[inv]
+    out = {}
+    for pid in np.unique(pids):
+        slot = {"active": None, "passive": None}
+        base = pids == pid
+        act = np.flatnonzero(base & ((pair_gids == 0)
+                                     if split_active_passive else base))
+        if act.size:
+            slot["active"] = select_entities(fg, act)
+        if split_active_passive:
+            pas = np.flatnonzero(base & (pair_gids != 0))
+            if pas.size:
+                slot["passive"] = select_entities(fg, pas)
+        out[int(pid)] = slot
+    return out
+
+
 def _grouped_metadata(metadata: DatasetMetadata, config: PartitionerConfig,
                       has_offset: bool) -> DatasetMetadata:
     """Output metadata for the grouped dataset (MetadataGenerator equivalent):
@@ -261,8 +352,9 @@ def run_partitioner(training_data_dir: Optional[str],
         return read_scores(path, shim) if path else None
 
     def process(data_dir, score_dir, pc_score_dir, out_dir, split):
+        from gdmix_tpu.io.input_pipeline import write_grouped_flat
         data = read_per_record(data_dir, metadata, feature_bag)
-        partitions = partition_dataset(
+        partitions = partition_dataset_flat(
             data, metadata, config, feature_bag,
             scores=load_scores(score_dir),
             per_coordinate_scores=load_scores(pc_score_dir),
@@ -271,14 +363,14 @@ def run_partitioner(training_data_dir: Optional[str],
             for kind in ("active", "passive"):
                 if kind == "passive" and (not split or not config.save_passive_data):
                     continue
-                if not groups[kind]:
+                if groups[kind] is None or not len(groups[kind]):
                     continue
                 if split:
                     d = os.path.join(out_dir, kind, f"partitionId={pid}")
                 else:
                     d = os.path.join(out_dir, f"partitionId={pid}")
                 os.makedirs(d, exist_ok=True)
-                write_per_entity_grouped(
+                write_grouped_flat(
                     os.path.join(d, "part-00000.tfrecord"), groups[kind],
                     config.partition_entity, entity_dtype, feature_bag)
         return sorted(partitions.keys())

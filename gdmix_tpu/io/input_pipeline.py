@@ -550,6 +550,45 @@ def write_per_entity_grouped(output_file: str, groups: Sequence[EntityGroup],
     return tfrecord.write_tfrecords(output_file, payloads())
 
 
+def write_grouped_flat(output_file: str, fg, entity_name: str,
+                       entity_dtype: str, feature_bag: Optional[str]) -> int:
+    """write_per_entity_grouped for a columnar FlatGroups — native encode with
+    zero conversion; falls back through per-entity EntityGroups otherwise."""
+    idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
+    val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
+    try:
+        from gdmix_tpu import native
+        buf = native.encode_grouped_records(
+            list(fg.entity_ids), entity_dtype in ("bytes", "string"),
+            entity_name, fg.counts, list(fg.columns.keys()),
+            [fg.columns[k] for k in fg.columns],
+            idx_key if fg.indices is not None else None,
+            val_key if fg.indices is not None else None,
+            fg.indices, fg.values, fg.rec_nnz)
+        if buf is not None:
+            with tfrecord._open_write(output_file, None) as f:
+                f.write(buf)
+            return len(fg)
+    except Exception:
+        logger.debug("native flat grouped write failed; python fallback",
+                     exc_info=True)
+    starts = np.cumsum(fg.counts) - fg.counts
+    groups = []
+    for e in range(len(fg)):
+        sl = slice(int(starts[e]), int(starts[e] + fg.counts[e]))
+        g = EntityGroup(entity_id=str(fg.entity_ids[e]),
+                        columns={k: v[sl] for k, v in fg.columns.items()})
+        if fg.indices is not None:
+            g.padded_indices = fg.indices[sl]
+            g.padded_values = fg.values[sl]
+            g.rec_nnz = (fg.rec_nnz[sl] if fg.rec_nnz is not None
+                         else np.full(sl.stop - sl.start,
+                                      fg.indices.shape[1], np.int32))
+        groups.append(g)
+    return write_per_entity_grouped(output_file, groups, entity_name,
+                                    entity_dtype, feature_bag)
+
+
 def write_per_record(output_file: str, metadata: DatasetMetadata,
                      columns: Dict[str, np.ndarray],
                      feature_bag: Optional[str] = None,

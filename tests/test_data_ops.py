@@ -269,3 +269,52 @@ def test_model_splitter(tmp_path):
     assert set(got) == {"u1", "u2"}
     assert [m["name"] for m in got["u1"]["means"]] == ["f1", "f2"]
     assert got["u2"]["means"][0]["value"] == 3.0
+
+
+def test_partition_dataset_flat_matches_object_path(tmp_path):
+    """partition_dataset_flat + write_grouped_flat must produce byte-identical
+    partition files to the object path (same pairs, same ordering)."""
+    import glob
+
+    from gdmix_tpu.data.partitioner import (partition_dataset,
+                                            partition_dataset_flat)
+    from gdmix_tpu.io.metadata import TensorInfo
+    from gdmix_tpu.io.input_pipeline import (write_grouped_flat,
+                                             write_per_entity_grouped)
+    rng = np.random.RandomState(3)
+    n = 400
+    ent = rng.randint(0, 37, n)
+    data = PerRecordData(
+        columns={"uid": np.arange(n, dtype=np.int64),
+                 "response": rng.randint(0, 2, n).astype(np.float64),
+                 "weight": (rng.rand(n) + 0.5),
+                 "user_id": ent.astype(np.int64)},
+        indices=rng.randint(0, 50, (n, 4)).astype(np.int64),
+        values=rng.randn(n, 4), nnz=np.full(n, 4, np.int32), num_samples=n)
+    md = DatasetMetadata(features=[
+        TensorInfo(name="bag", dtype="float", shape=[50], is_sparse=True),
+        TensorInfo(name="user_id", dtype="long", shape=[], is_sparse=False),
+        TensorInfo(name="uid", dtype="long", shape=[], is_sparse=False),
+        TensorInfo(name="weight", dtype="float", shape=[], is_sparse=False)],
+        labels=[TensorInfo(name="response", dtype="float", shape=[],
+                           is_sparse=False)])
+    # min/max bounds exercise passive + overflow groups
+    cfg = PartitionerConfig(partition_entity="user_id", num_partitions=3,
+                            min_samples=4, max_samples=8)
+    import copy
+    obj = partition_dataset(copy.deepcopy(data), md, cfg, "bag")
+    flat = partition_dataset_flat(copy.deepcopy(data), md, cfg, "bag")
+    assert set(obj) == set(flat)
+    for pid in obj:
+        for kind in ("active", "passive"):
+            a = str(tmp_path / f"{pid}_{kind}_obj.tfrecord")
+            b = str(tmp_path / f"{pid}_{kind}_flat.tfrecord")
+            has_obj = bool(obj[pid][kind])
+            has_flat = flat[pid][kind] is not None and len(flat[pid][kind])
+            assert has_obj == bool(has_flat), (pid, kind)
+            if not has_obj:
+                continue
+            write_per_entity_grouped(a, obj[pid][kind], "user_id", "long",
+                                     "bag")
+            write_grouped_flat(b, flat[pid][kind], "user_id", "long", "bag")
+            assert open(a, "rb").read() == open(b, "rb").read(), (pid, kind)
