@@ -27,7 +27,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -337,8 +338,11 @@ def parse_per_entity_grouped(buf: bytes, ctx_names: List[str],
         if e:
             lib.gdx_seq_fill_meta(h, counts, id_buf, id_offs)
         raw = id_buf.raw
-        entity_ids = [raw[id_offs[i]:id_offs[i + 1]].decode("utf-8")
-                      for i in range(e)]
+        try:
+            entity_ids = [raw[id_offs[i]:id_offs[i + 1]].decode("utf-8")
+                          for i in range(e)]
+        except UnicodeDecodeError:  # corrupt ids → python path's own error
+            return None
         ctx: Dict[str, np.ndarray] = {}
         ctx_present: Dict[str, np.ndarray] = {}
         for i, name in enumerate(ctx_names):

@@ -18,13 +18,43 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 tfrecord_io.cc -o libgdmix_io.so
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
 namespace {
+
+// Chunked parallel-for: fn(lo, hi) over [0, n). Thread count from
+// GDMIX_TPU_NATIVE_THREADS (default hardware_concurrency, cap 16).
+template <typename Fn>
+void parallel_for(int64_t n, int64_t grain, Fn&& fn) {
+  int threads = 0;
+  if (const char* env = std::getenv("GDMIX_TPU_NATIVE_THREADS"))
+    threads = std::atoi(env);
+  if (threads <= 0)
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+  threads = std::max(1, std::min(threads, 16));
+  if (threads == 1 || n < grain * 2) {
+    fn(static_cast<int64_t>(0), n);
+    return;
+  }
+  threads = static_cast<int>(
+      std::min<int64_t>(threads, (n + grain - 1) / grain));
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(lo + chunk, n);
+    if (lo >= hi) break;
+    pool.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
 
 struct Slice {
   const uint8_t* p;
@@ -48,7 +78,8 @@ struct Slice {
   }
 
   Slice sub(uint64_t n) {
-    if (p + n > end) {
+    // subtraction form: huge corrupt lengths must not overflow the pointer
+    if (n > static_cast<uint64_t>(end - p)) {
       ok = false;
       return {end, end};
     }
@@ -60,12 +91,16 @@ struct Slice {
   void skip(uint32_t wire) {
     switch (wire) {
       case 0: varint(); break;
-      case 1: p += 8; break;
-      case 2: { uint64_t n = varint(); p += n; break; }
-      case 5: p += 4; break;
+      case 1: p = (end - p >= 8) ? p + 8 : end + 1; break;
+      case 2: {
+        uint64_t n = varint();
+        p = (n <= static_cast<uint64_t>(end - p)) ? p + n : end + 1;
+        break;
+      }
+      case 5: p = (end - p >= 4) ? p + 4 : end + 1; break;
       default: ok = false;
     }
-    if (p > end) ok = false;
+    if (p > end) { p = end; ok = false; }
   }
 };
 
@@ -212,20 +247,28 @@ void* gdx_parse(const uint8_t* data, int64_t len, const char** dense_names,
 
   const uint8_t* p = data;
   const uint8_t* end = data + len;
+  std::vector<Slice> payloads;
   while (p < end) {
     if (p + 12 > end) { delete h; return nullptr; }
     uint64_t rec_len;
     std::memcpy(&rec_len, p, 8);
     p += 12;  // len + len-crc
-    if (p + rec_len + 4 > end) { delete h; return nullptr; }
-    Slice payload{p, p + rec_len};
+    if (rec_len > static_cast<uint64_t>(end - p) ||
+        end - p - rec_len < 4) { delete h; return nullptr; }
+    payloads.push_back(Slice{p, p + rec_len});
     p += rec_len + 4;  // payload + payload-crc
-    h->records.emplace_back();
-    parse_example(payload, h, &h->records.back());
-    if (!payload.ok) { delete h; return nullptr; }
-    int32_t nnz = static_cast<int32_t>(h->records.back().bag_idx.size());
-    if (nnz > h->max_nnz) h->max_nnz = nnz;
   }
+  h->records.resize(payloads.size());
+  std::vector<int32_t> nnz(std::max<size_t>(payloads.size(), 1), 0);
+  parallel_for(static_cast<int64_t>(payloads.size()), 4096,
+               [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      parse_example(payloads[r], h, &h->records[r]);
+      nnz[r] = static_cast<int32_t>(h->records[r].bag_idx.size());
+    }
+  });
+  for (size_t r = 0; r < payloads.size(); ++r)
+    h->max_nnz = std::max(h->max_nnz, nnz[r]);
   return h;
 }
 
@@ -303,6 +346,9 @@ struct SeqParsed {
   std::vector<std::vector<int64_t>> step_idx;  // [n_records][nnz]
   std::vector<std::vector<double>> step_val;
   int32_t n_records = 0;
+  int32_t max_nnz = 0;      // per-record reductions (merged after the
+  bool unknown = false;     // parallel parse pass)
+  bool failed = false;
 };
 
 struct SeqHandle {
@@ -388,7 +434,7 @@ void parse_seq_context(Slice features, SeqHandle* h, SeqParsed* rec) {
         break;
       }
     }
-    if (!known) h->unknown_context = true;
+    if (!known) rec->unknown = true;
   }
 }
 
@@ -422,17 +468,17 @@ void parse_seq_lists(Slice lists, SeqHandle* h, SeqParsed* rec) {
       parse_feature_values(feature, &vals, &ivals);
       if (want_idx) {
         if (!ivals.empty() || vals.empty()) {
-          h->max_nnz = std::max<int32_t>(h->max_nnz, ivals.size());
+          rec->max_nnz = std::max<int32_t>(rec->max_nnz, ivals.size());
           rec->step_idx.push_back(std::move(ivals));
         } else {
           std::vector<int64_t> conv(vals.size());
           for (size_t i = 0; i < vals.size(); ++i)
             conv[i] = static_cast<int64_t>(vals[i]);
-          h->max_nnz = std::max<int32_t>(h->max_nnz, conv.size());
+          rec->max_nnz = std::max<int32_t>(rec->max_nnz, conv.size());
           rec->step_idx.push_back(std::move(conv));
         }
       } else {
-        h->max_nnz = std::max<int32_t>(h->max_nnz, vals.size());
+        rec->max_nnz = std::max<int32_t>(rec->max_nnz, vals.size());
         rec->step_val.push_back(std::move(vals));
       }
     }
@@ -453,33 +499,52 @@ void* gdx_seq_parse(const uint8_t* data, int64_t len, const char** ctx_names,
   h->idx_name = idx_name ? idx_name : "";
   h->val_name = val_name ? val_name : "";
 
+  // framing scan (sequential, just length fields), then parallel parse
   const uint8_t* p = data;
   const uint8_t* end = data + len;
+  std::vector<Slice> payloads;
   while (p < end) {
     if (p + 12 > end) { delete h; return nullptr; }
     uint64_t rec_len;
     std::memcpy(&rec_len, p, 8);
     p += 12;
-    if (p + rec_len + 4 > end) { delete h; return nullptr; }
-    Slice payload{p, p + rec_len};
+    if (rec_len > static_cast<uint64_t>(end - p) ||
+        end - p - rec_len < 4) { delete h; return nullptr; }
+    payloads.push_back(Slice{p, p + rec_len});
     p += rec_len + 4;
-    h->entities.emplace_back();
-    SeqParsed* rec = &h->entities.back();
-    while (!payload.empty() && payload.ok) {
-      uint64_t tag = payload.varint();
-      uint32_t fieldno = tag >> 3, wire = tag & 7;
-      if (wire != 2) { payload.skip(wire); continue; }
-      Slice v = payload.sub(payload.varint());
-      if (fieldno == 1) parse_seq_context(v, h, rec);
-      else if (fieldno == 2) parse_seq_lists(v, h, rec);
+  }
+  h->entities.resize(payloads.size());
+  parallel_for(static_cast<int64_t>(payloads.size()), 512,
+               [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      Slice payload = payloads[r];
+      SeqParsed* rec = &h->entities[r];
+      // a corrupt record may carry no context field at all; the fills index
+      // rec->ctx[col] unconditionally, so the shape must hold regardless
+      rec->ctx.assign(h->ctx_names.size(), {});
+      rec->ctx_i.assign(h->ctx_names.size(), {});
+      rec->ctx_present.assign(h->ctx_names.size(), 0);
+      while (!payload.empty() && payload.ok) {
+        uint64_t tag = payload.varint();
+        uint32_t fieldno = tag >> 3, wire = tag & 7;
+        if (wire != 2) { payload.skip(wire); continue; }
+        Slice v = payload.sub(payload.varint());
+        if (fieldno == 1) parse_seq_context(v, h, rec);
+        else if (fieldno == 2) parse_seq_lists(v, h, rec);
+      }
+      if (!payload.ok) { rec->failed = true; continue; }
+      size_t n = std::max(rec->step_idx.size(), rec->step_val.size());
+      for (size_t i = 0; i < rec->ctx.size(); ++i)
+        n = std::max(n, rec->ctx[i].size());
+      rec->n_records = static_cast<int32_t>(n);
     }
-    if (!payload.ok) { delete h; return nullptr; }
-    size_t n = std::max(rec->step_idx.size(), rec->step_val.size());
-    for (size_t i = 0; i < rec->ctx.size(); ++i)
-      n = std::max(n, rec->ctx[i].size());
-    rec->n_records = static_cast<int32_t>(n);
-    h->total_records += rec->n_records;
-    h->total_id_bytes += rec->entity.size();
+  });
+  for (const SeqParsed& rec : h->entities) {
+    if (rec.failed) { delete h; return nullptr; }
+    if (rec.unknown) h->unknown_context = true;
+    h->max_nnz = std::max(h->max_nnz, rec.max_nnz);
+    h->total_records += rec.n_records;
+    h->total_id_bytes += static_cast<int64_t>(rec.entity.size());
   }
   return h;
 }
@@ -733,6 +798,141 @@ void frame_record(Writer& w, const uint8_t* payload, int64_t n) {
   w.raw(&c, 4);
 }
 
+struct SeqSpec {
+  const int64_t* ids_i;
+  const uint8_t* ids_b;
+  const int64_t* ids_off;
+  const char* entity_name;
+  int64_t ename_len;
+  const int64_t* counts;
+  const int64_t* rec_start;  // [E] record offsets (prefix sum of counts)
+  const char** col_names;
+  const char* col_types;
+  int32_t ncols;
+  const double** fcols;
+  const int64_t** icols;
+  const char* idx_name;
+  int64_t iname_len;
+  const char* val_name;
+  int64_t vname_len;
+  const int64_t* sp_idx;
+  const double* sp_val;
+  const int32_t* rec_nnz;
+  int32_t K;
+};
+
+int64_t seq_id_feat_len(const SeqSpec& s, int64_t e) {
+  if (s.ids_i) return int_feature_size(&s.ids_i[e], 1);
+  int64_t bl = s.ids_off[e + 1] - s.ids_off[e];
+  int64_t inner = 1 + varint_size(bl) + bl;
+  return 1 + varint_size(inner) + inner;
+}
+
+int64_t seq_ctx_len(const SeqSpec& s, int64_t e) {
+  const int64_t n = s.counts[e];
+  const int64_t start = s.rec_start[e];
+  int64_t ctx = map_entry_size(s.ename_len, seq_id_feat_len(s, e));
+  for (int32_t c = 0; c < s.ncols; ++c) {
+    int64_t fl = s.col_types[c] == 'f'
+        ? float_feature_size(n)
+        : int_feature_size(s.icols[c] + start, n);
+    ctx += map_entry_size(std::strlen(s.col_names[c]), fl);
+  }
+  return ctx;
+}
+
+int64_t seq_featlist_len(const SeqSpec& s, int64_t e, int pass) {
+  const int64_t n = s.counts[e];
+  const int64_t start = s.rec_start[e];
+  int64_t fl_len = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t m = s.rec_nnz[start + r];
+    int64_t feat = pass == 0
+        ? int_feature_size(s.sp_idx + (start + r) * s.K, m)
+        : float_feature_size(m);
+    fl_len += 1 + varint_size(feat) + feat;
+  }
+  return fl_len;
+}
+
+int64_t seq_lists_len(const SeqSpec& s, int64_t e) {
+  if (s.K <= 0) return 0;
+  int64_t lists = 0;
+  for (int pass = 0; pass < 2; ++pass) {
+    int64_t fl_len = seq_featlist_len(s, e, pass);
+    int64_t nm = pass == 0 ? s.iname_len : s.vname_len;
+    int64_t entry = 1 + varint_size(nm) + nm
+                  + 1 + varint_size(fl_len) + fl_len;
+    lists += 1 + varint_size(entry) + entry;
+  }
+  return lists;
+}
+
+// One framed record at dst (framing + payload + crcs); dst must hold
+// 16 + body bytes. Returns false on a sizing bug.
+bool seq_emit(const SeqSpec& s, int64_t e, int64_t ctx_len, int64_t lists_len,
+              int64_t body, uint8_t* dst) {
+  const int64_t n = s.counts[e];
+  const int64_t start = s.rec_start[e];
+  uint8_t* payload = dst + 12;
+  Writer pw{payload, payload + body};
+  pw.byte(0x0A);                   // SequenceExample.context
+  pw.varint(ctx_len);
+  put_map_entry_header(pw, s.entity_name, s.ename_len, seq_id_feat_len(s, e));
+  if (s.ids_i) {
+    put_int_feature(pw, &s.ids_i[e], 1);
+  } else {
+    put_bytes_feature(pw, s.ids_b + s.ids_off[e],
+                      s.ids_off[e + 1] - s.ids_off[e]);
+  }
+  for (int32_t c = 0; c < s.ncols; ++c) {
+    int64_t fl = s.col_types[c] == 'f'
+        ? float_feature_size(n)
+        : int_feature_size(s.icols[c] + start, n);
+    put_map_entry_header(pw, s.col_names[c], std::strlen(s.col_names[c]), fl);
+    if (s.col_types[c] == 'f')
+      put_float_feature(pw, s.fcols[c] + start, n);
+    else
+      put_int_feature(pw, s.icols[c] + start, n);
+  }
+  pw.byte(0x12);                   // SequenceExample.feature_lists (always)
+  pw.varint(lists_len);
+  for (int pass = 0; pass < 2 && s.K > 0; ++pass) {
+    int64_t fl_len = seq_featlist_len(s, e, pass);
+    const char* nm = pass == 0 ? s.idx_name : s.val_name;
+    int64_t nm_len = pass == 0 ? s.iname_len : s.vname_len;
+    int64_t entry = 1 + varint_size(nm_len) + nm_len
+                  + 1 + varint_size(fl_len) + fl_len;
+    pw.byte(0x0A);                 // FeatureLists.feature_list map entry
+    pw.varint(entry);
+    pw.byte(0x0A);
+    pw.varint(nm_len);
+    pw.raw(nm, nm_len);
+    pw.byte(0x12);                 // FeatureList
+    pw.varint(fl_len);
+    for (int64_t r = 0; r < n; ++r) {
+      int64_t m = s.rec_nnz[start + r];
+      int64_t feat = pass == 0
+          ? int_feature_size(s.sp_idx + (start + r) * s.K, m)
+          : float_feature_size(m);
+      pw.byte(0x0A);               // FeatureList.feature
+      pw.varint(feat);
+      if (pass == 0)
+        put_int_feature(pw, s.sp_idx + (start + r) * s.K, m);
+      else
+        put_float_feature(pw, s.sp_val + (start + r) * s.K, m);
+    }
+  }
+  if (!pw.ok || pw.p != payload + body) return false;
+  uint64_t len = static_cast<uint64_t>(body);
+  std::memcpy(dst, &len, 8);
+  uint32_t c = kCrc.masked(dst, 8);
+  std::memcpy(dst + 8, &c, 4);
+  c = kCrc.masked(payload, body);
+  std::memcpy(dst + 12 + body, &c, 4);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -740,7 +940,8 @@ extern "C" {
 // Grouped SequenceExample writer. Entity ids as int64 (ids_i) OR utf-8
 // blocks (ids_b + ids_off, E+1). Context columns are flat [N] entity-major
 // (counts [E] delimit); col_types[i]: 'f' float, 'i' int64. Sparse bag:
-// padded [N, K] + rec_nnz (pass K=0 for no bag). Output: framed TFRecords.
+// padded [N, K] + rec_nnz (pass K=0 for no bag). Output: framed TFRecords,
+// records encoded in parallel at exact offsets (size pass + emit pass).
 // Returns bytes written or -1 on overflow.
 int64_t gdx_seq_write(const int64_t* ids_i, const uint8_t* ids_b,
                       const int64_t* ids_off, const char* entity_name,
@@ -751,116 +952,47 @@ int64_t gdx_seq_write(const int64_t* ids_i, const uint8_t* ids_b,
                       const char* val_name, const int64_t* sp_idx,
                       const double* sp_val, const int32_t* rec_nnz, int32_t K,
                       uint8_t* out, int64_t cap) {
-  std::vector<uint8_t> payload;
-  Writer w{out, out + cap};
-  const int64_t ename_len = std::strlen(entity_name);
-  const int64_t iname_len = idx_name ? std::strlen(idx_name) : 0;
-  const int64_t vname_len = val_name ? std::strlen(val_name) : 0;
-  int64_t start = 0;
-  for (int64_t e = 0; e < E && w.ok; ++e) {
-    const int64_t n = counts[e];
-    // ---- sizes ----
-    int64_t ctx_len = 0;
-    int64_t id_feat;
-    if (ids_i) {
-      id_feat = int_feature_size(&ids_i[e], 1);
-    } else {
-      int64_t bl = ids_off[e + 1] - ids_off[e];
-      int64_t inner = 1 + varint_size(bl) + bl;
-      id_feat = 1 + varint_size(inner) + inner;
+  SeqSpec s{ids_i, ids_b, ids_off, entity_name,
+            static_cast<int64_t>(std::strlen(entity_name)), counts, nullptr,
+            col_names, col_types, ncols, fcols, icols, idx_name,
+            idx_name ? static_cast<int64_t>(std::strlen(idx_name)) : 0,
+            val_name,
+            val_name ? static_cast<int64_t>(std::strlen(val_name)) : 0,
+            sp_idx, sp_val, rec_nnz, K};
+  std::vector<int64_t> rec_start(E);
+  {
+    int64_t acc = 0;
+    for (int64_t e = 0; e < E; ++e) {
+      rec_start[e] = acc;
+      acc += counts[e];
     }
-    ctx_len += map_entry_size(ename_len, id_feat);
-    for (int32_t c = 0; c < ncols; ++c) {
-      int64_t fl = col_types[c] == 'f'
-          ? float_feature_size(n)
-          : int_feature_size(icols[c] + start, n);
-      ctx_len += map_entry_size(std::strlen(col_names[c]), fl);
-    }
-    int64_t lists_len = 0;
-    if (K > 0) {
-      for (int pass = 0; pass < 2; ++pass) {
-        int64_t fl_len = 0;  // FeatureList: repeated field1 Feature
-        for (int64_t r = 0; r < n; ++r) {
-          int64_t m = rec_nnz[start + r];
-          int64_t feat = pass == 0
-              ? int_feature_size(sp_idx + (start + r) * K, m)
-              : float_feature_size(m);
-          fl_len += 1 + varint_size(feat) + feat;
-        }
-        int64_t nm = pass == 0 ? iname_len : vname_len;
-        int64_t entry = 1 + varint_size(nm) + nm
-                      + 1 + varint_size(fl_len) + fl_len;
-        lists_len += 1 + varint_size(entry) + entry;
-      }
-    }
-    // the python encoder always writes feature_lists, even when empty
-    int64_t body = 1 + varint_size(ctx_len) + ctx_len
-                 + 1 + varint_size(lists_len) + lists_len;
-
-    // ---- emit payload ----
-    payload.clear();
-    payload.resize(body);
-    Writer pw{payload.data(), payload.data() + body};
-    pw.byte(0x0A);                   // SequenceExample.context
-    pw.varint(ctx_len);
-    put_map_entry_header(pw, entity_name, ename_len, id_feat);
-    if (ids_i) {
-      put_int_feature(pw, &ids_i[e], 1);
-    } else {
-      put_bytes_feature(pw, ids_b + ids_off[e], ids_off[e + 1] - ids_off[e]);
-    }
-    for (int32_t c = 0; c < ncols; ++c) {
-      int64_t fl = col_types[c] == 'f'
-          ? float_feature_size(n)
-          : int_feature_size(icols[c] + start, n);
-      put_map_entry_header(pw, col_names[c], std::strlen(col_names[c]), fl);
-      if (col_types[c] == 'f')
-        put_float_feature(pw, fcols[c] + start, n);
-      else
-        put_int_feature(pw, icols[c] + start, n);
-    }
-    {
-      pw.byte(0x12);                 // SequenceExample.feature_lists
-      pw.varint(lists_len);
-      for (int pass = 0; pass < 2 && K > 0; ++pass) {
-        int64_t fl_len = 0;
-        for (int64_t r = 0; r < n; ++r) {
-          int64_t m = rec_nnz[start + r];
-          int64_t feat = pass == 0
-              ? int_feature_size(sp_idx + (start + r) * K, m)
-              : float_feature_size(m);
-          fl_len += 1 + varint_size(feat) + feat;
-        }
-        const char* nm = pass == 0 ? idx_name : val_name;
-        int64_t nm_len = pass == 0 ? iname_len : vname_len;
-        int64_t entry = 1 + varint_size(nm_len) + nm_len
-                      + 1 + varint_size(fl_len) + fl_len;
-        pw.byte(0x0A);               // FeatureLists.feature_list map entry
-        pw.varint(entry);
-        pw.byte(0x0A);
-        pw.varint(nm_len);
-        pw.raw(nm, nm_len);
-        pw.byte(0x12);               // FeatureList
-        pw.varint(fl_len);
-        for (int64_t r = 0; r < n; ++r) {
-          int64_t m = rec_nnz[start + r];
-          int64_t feat = pass == 0
-              ? int_feature_size(sp_idx + (start + r) * K, m)
-              : float_feature_size(m);
-          pw.byte(0x0A);             // FeatureList.feature
-          pw.varint(feat);
-          if (pass == 0)
-            put_int_feature(pw, sp_idx + (start + r) * K, m);
-          else
-            put_float_feature(pw, sp_val + (start + r) * K, m);
-        }
-      }
-    }
-    if (!pw.ok || pw.p != payload.data() + body) return -1;
-    frame_record(w, payload.data(), body);
-    start += n;
   }
-  return w.ok ? (w.p - out) : -1;
+  s.rec_start = rec_start.data();
+  // pass 1 (parallel): per-entity sizes
+  std::vector<int64_t> ctx(E), lists(E), body(E);
+  parallel_for(E, 1024, [&](int64_t lo, int64_t hi) {
+    for (int64_t e = lo; e < hi; ++e) {
+      ctx[e] = seq_ctx_len(s, e);
+      lists[e] = seq_lists_len(s, e);
+      // the python encoder always writes feature_lists, even when empty
+      body[e] = 1 + varint_size(ctx[e]) + ctx[e]
+              + 1 + varint_size(lists[e]) + lists[e];
+    }
+  });
+  std::vector<int64_t> off(E + 1);
+  for (int64_t e = 0; e < E; ++e) off[e + 1] = off[e] + 16 + body[e];
+  if (off[E] > cap) return -1;
+  // pass 2 (parallel): emit each framed record at its exact offset
+  std::vector<uint8_t> failed(std::max<int64_t>(E, 1), 0);
+  parallel_for(E, 1024, [&](int64_t lo, int64_t hi) {
+    for (int64_t e = lo; e < hi; ++e) {
+      if (!seq_emit(s, e, ctx[e], lists[e], body[e], out + off[e]))
+        failed[e] = 1;
+    }
+  });
+  for (int64_t e = 0; e < E; ++e)
+    if (failed[e]) return -1;
+  return off[E];
 }
 
 // Per-record Example writer: one Example per row; columns flat [N];
@@ -873,11 +1005,10 @@ int64_t gdx_rec_write(const int64_t* dummy_unused, const char** col_names,
                       const int32_t* rec_nnz, int32_t K, int64_t N,
                       uint8_t* out, int64_t cap) {
   (void)dummy_unused;
-  std::vector<uint8_t> payload;
-  Writer w{out, out + cap};
   const int64_t iname_len = idx_name ? std::strlen(idx_name) : 0;
   const int64_t vname_len = val_name ? std::strlen(val_name) : 0;
-  for (int64_t r = 0; r < N && w.ok; ++r) {
+
+  auto feats_len_of = [&](int64_t r) {
     int64_t feats_len = 0;
     for (int32_t c = 0; c < ncols; ++c) {
       int64_t fl = col_types[c] == 'f'
@@ -885,39 +1016,67 @@ int64_t gdx_rec_write(const int64_t* dummy_unused, const char** col_names,
           : int_feature_size(icols[c] + r, 1);
       feats_len += map_entry_size(std::strlen(col_names[c]), fl);
     }
-    int64_t m = K > 0 ? rec_nnz[r] : 0;
     if (K > 0) {
+      int64_t m = rec_nnz[r];
       feats_len += map_entry_size(iname_len,
                                   int_feature_size(sp_idx + r * K, m));
       feats_len += map_entry_size(vname_len, float_feature_size(m));
     }
-    int64_t body = 1 + varint_size(feats_len) + feats_len;
-    payload.clear();
-    payload.resize(body);
-    Writer pw{payload.data(), payload.data() + body};
-    pw.byte(0x0A);                   // Example.features
-    pw.varint(feats_len);
-    for (int32_t c = 0; c < ncols; ++c) {
-      int64_t fl = col_types[c] == 'f'
-          ? float_feature_size(1)
-          : int_feature_size(icols[c] + r, 1);
-      put_map_entry_header(pw, col_names[c], std::strlen(col_names[c]), fl);
-      if (col_types[c] == 'f')
-        put_float_feature(pw, fcols[c] + r, 1);
-      else
-        put_int_feature(pw, icols[c] + r, 1);
+    return feats_len;
+  };
+
+  std::vector<int64_t> feats(N), body(N);
+  parallel_for(N, 4096, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      feats[r] = feats_len_of(r);
+      body[r] = 1 + varint_size(feats[r]) + feats[r];
     }
-    if (K > 0) {
-      put_map_entry_header(pw, idx_name, iname_len,
-                           int_feature_size(sp_idx + r * K, m));
-      put_int_feature(pw, sp_idx + r * K, m);
-      put_map_entry_header(pw, val_name, vname_len, float_feature_size(m));
-      put_float_feature(pw, sp_val + r * K, m);
+  });
+  std::vector<int64_t> off(N + 1);
+  for (int64_t r = 0; r < N; ++r) off[r + 1] = off[r] + 16 + body[r];
+  if (off[N] > cap) return -1;
+
+  std::vector<uint8_t> failed(std::max<int64_t>(N, 1), 0);
+  parallel_for(N, 4096, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      uint8_t* dst = out + off[r];
+      uint8_t* payload = dst + 12;
+      Writer pw{payload, payload + body[r]};
+      pw.byte(0x0A);                 // Example.features
+      pw.varint(feats[r]);
+      for (int32_t c = 0; c < ncols; ++c) {
+        int64_t fl = col_types[c] == 'f'
+            ? float_feature_size(1)
+            : int_feature_size(icols[c] + r, 1);
+        put_map_entry_header(pw, col_names[c], std::strlen(col_names[c]), fl);
+        if (col_types[c] == 'f')
+          put_float_feature(pw, fcols[c] + r, 1);
+        else
+          put_int_feature(pw, icols[c] + r, 1);
+      }
+      if (K > 0) {
+        int64_t m = rec_nnz[r];
+        put_map_entry_header(pw, idx_name, iname_len,
+                             int_feature_size(sp_idx + r * K, m));
+        put_int_feature(pw, sp_idx + r * K, m);
+        put_map_entry_header(pw, val_name, vname_len, float_feature_size(m));
+        put_float_feature(pw, sp_val + r * K, m);
+      }
+      if (!pw.ok || pw.p != payload + body[r]) {
+        failed[r] = 1;
+        continue;
+      }
+      uint64_t len = static_cast<uint64_t>(body[r]);
+      std::memcpy(dst, &len, 8);
+      uint32_t crc = kCrc.masked(dst, 8);
+      std::memcpy(dst + 8, &crc, 4);
+      crc = kCrc.masked(payload, body[r]);
+      std::memcpy(dst + 12 + body[r], &crc, 4);
     }
-    if (!pw.ok || pw.p != payload.data() + body) return -1;
-    frame_record(w, payload.data(), body);
-  }
-  return w.ok ? (w.p - out) : -1;
+  });
+  for (int64_t r = 0; r < N; ++r)
+    if (failed[r]) return -1;
+  return off[N];
 }
 
 }  // extern "C"

@@ -124,3 +124,25 @@ def test_native_writer_roundtrips_through_native_reader(tmp_path):
     # float32 wire round trip for values
     want = np.concatenate([g.padded_values for g in groups]).astype(np.float32)
     np.testing.assert_array_equal(fg.values[:, :4].astype(np.float32), want)
+
+
+def test_corrupt_tfrecords_never_crash(tmp_path):
+    """Truncated/corrupted TFRecord buffers must fail cleanly (None), never
+    segfault. Regression: pointer-overflow on huge corrupt varints, and
+    records with no context field crashed the fill shape assumptions."""
+    groups = _groups(3, padded=True, seed=2)
+    f = str(tmp_path / "g.tfrecord")
+    ip.write_per_entity_grouped(f, groups, "user_id", "string", "bag")
+    buf = open(f, "rb").read()
+    rng = np.random.RandomState(5)
+    for i in range(0, len(buf), 3):
+        native.parse_per_entity_grouped(buf[:i], ["uid", "response"],
+                                        "user_id", "bag")
+        native.parse_per_record(buf[:i], ["uid", "response"], "bag")
+    for _ in range(500):
+        b = bytearray(buf)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        native.parse_per_entity_grouped(bytes(b), ["uid", "response"],
+                                        "user_id", "bag")
+        native.parse_per_record(bytes(b), ["uid", "response"], "bag")
