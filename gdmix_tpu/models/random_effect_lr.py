@@ -689,16 +689,10 @@ class RandomEffectLRModel(Model):
             out["weights"] = np.concatenate(weights)
         return out
 
-    def score_records(self, data, model_weights: Dict[str, SparseModel],
-                      schema_params) -> Dict[str, np.ndarray]:
-        """Per-record scoring via a dense [E, D] coefficient table — one
-        gather-matmul over all records, no grouping/bucketing (the in-HBM
-        pipeline's fast path). Entities without a model hit the zero row →
-        logits = offsets, matching reference job_consumers.py:144-152."""
-        p = self.model_params
-        ent_col = data.columns[p.partition_entity]
-        ent_str = [e.decode() if isinstance(e, bytes) else str(e)
-                   for e in ent_col]
+    def _model_table(self, model_weights: Dict[str, SparseModel]):
+        """Dense [E+1, D] coefficient table + id→row map (row E stays zero:
+        entities without a model score as logits = offsets, reference
+        job_consumers.py:144-152)."""
         D = self.num_features
         E = len(model_weights)
         off = 1 if self.has_intercept else 0
@@ -711,15 +705,15 @@ class RandomEffectLRModel(Model):
                 table_b[row] = sm.theta[0]
             if len(sm.unique_global_indices):
                 table_w[row, sm.unique_global_indices] = sm.theta[off:]
-        ent_idx = np.fromiter((id2row.get(e, E) for e in ent_str),
-                              dtype=np.int32, count=len(ent_str))
+        return table_w, table_b, id2row
 
-        n = data.num_samples
-        offsets = (data.columns[p.offset_column_name].astype(np.float64)
-                   if p.offset_column_name in data.columns else np.zeros(n))
-        if data.indices is not None:
-            indices, values = data.indices, data.values
-        else:
+    def _score_columns(self, table, ent_idx, n, columns, indices, values,
+                       schema_params):
+        p = self.model_params
+        table_w, table_b, _ = table
+        offsets = (columns[p.offset_column_name].astype(np.float64)
+                   if p.offset_column_name in columns else np.zeros(n))
+        if indices is None:
             indices = np.zeros((n, 1), np.int32)
             values = np.zeros((n, 1))
         dt = self.dtype
@@ -727,21 +721,67 @@ class RandomEffectLRModel(Model):
             jnp.asarray(table_w, dt), jnp.asarray(table_b, dt),
             jnp.asarray(ent_idx), jnp.asarray(indices),
             jnp.asarray(values, dt), jnp.asarray(offsets, dt))
-        out = {"uid": data.columns[schema_params.uid_column_name].astype(np.int64),
+        out = {"uid": columns[schema_params.uid_column_name].astype(np.int64),
                "total": np.asarray(z, np.float64),
                "per_coordinate": np.asarray(z_pc, np.float64)}
-        if schema_params.label_column_name in data.columns:
-            out["labels"] = data.columns[schema_params.label_column_name] \
+        if schema_params.label_column_name in columns:
+            out["labels"] = columns[schema_params.label_column_name] \
                 .astype(np.float64)
         if schema_params.weight_column_name and \
-                schema_params.weight_column_name in data.columns:
-            out["weights"] = data.columns[schema_params.weight_column_name] \
+                schema_params.weight_column_name in columns:
+            out["weights"] = columns[schema_params.weight_column_name] \
                 .astype(np.float64)
         return out
+
+    def score_records(self, data, model_weights: Dict[str, SparseModel],
+                      schema_params) -> Dict[str, np.ndarray]:
+        """Per-record scoring via a dense [E, D] coefficient table — one
+        gather-matmul over all records, no grouping/bucketing (the in-HBM
+        pipeline's fast path). Entities without a model hit the zero row →
+        logits = offsets, matching reference job_consumers.py:144-152."""
+        p = self.model_params
+        ent_col = data.columns[p.partition_entity]
+        ent_str = [e.decode() if isinstance(e, bytes) else str(e)
+                   for e in ent_col]
+        table = self._model_table(model_weights)
+        E = len(model_weights)
+        ent_idx = np.fromiter((table[2].get(e, E) for e in ent_str),
+                              dtype=np.int32, count=len(ent_str))
+        return self._score_columns(table, ent_idx, data.num_samples,
+                                   data.columns, data.indices, data.values,
+                                   schema_params)
+
+    def score_flat(self, fg, model_weights: Dict[str, SparseModel],
+                   schema_params) -> Dict[str, np.ndarray]:
+        """score_records for a columnar FlatGroups: one id→row lookup per
+        ENTITY (not per record), then the same single gather-matmul."""
+        table = self._model_table(model_weights)
+        E = len(model_weights)
+        rows = np.fromiter((table[2].get(str(e), E) for e in fg.entity_ids),
+                           dtype=np.int32, count=len(fg))
+        ent_idx = np.repeat(rows, fg.counts)
+        n = int(np.asarray(fg.counts).sum())
+        return self._score_columns(table, ent_idx, n, fg.columns, fg.indices,
+                                   fg.values, schema_params)
 
     def _predict_file(self, input_path: str, output_file: str, schema_params,
                       model_weights: Dict[str, SparseModel]) -> None:
         logger.info("Start inference for %s.", input_path)
+        from gdmix_tpu.io.input_pipeline import load_per_entity_grouped_flat
+        fg = load_per_entity_grouped_flat(
+            input_path, self.metadata, self.model_params.partition_entity,
+            self.feature_bag_name, data_format=self.model_params.data_format)
+        if fg is not None:
+            if not len(fg):
+                logger.info("No entities found in %s, skipping.", input_path)
+                return
+            arrays = self.score_flat(fg, model_weights, schema_params)
+            scores_io.write_scores(
+                output_file, schema_params, arrays["uid"], arrays["total"],
+                scores_per_coordinate=arrays["per_coordinate"],
+                labels=arrays.get("labels"), weights=arrays.get("weights"))
+            logger.info("Inference complete: %s.", input_path)
+            return
         groups = load_per_entity_grouped(input_path, self.metadata,
                                          self.model_params.partition_entity,
                                          self.feature_bag_name,

@@ -537,3 +537,30 @@ def test_explicit_newton_dual_honored_when_n_exceeds_dim(tmp_path):
         np.testing.assert_allclose(thetas["auto"][eid].theta,
                                    thetas["newton_dual"][eid].theta,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_score_flat_matches_score_groups(tmp_path):
+    """The columnar scorer must reproduce the bucketized group scorer
+    (incl. model-less entities -> logits = offsets)."""
+    groups, _ = _make_groups(num_entities=8, seed=6)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base = _build_model(md_file, train_dir, feature_file, tmp_path)
+    weights = model.fit_groups(groups, {}, base)
+    # drop some models to exercise the zero-row path
+    weights = {k: v for i, (k, v) in enumerate(weights.items()) if i % 3}
+    want = model.score_groups(groups, weights, base)
+
+    from gdmix_tpu.io.input_pipeline import load_per_entity_grouped_flat
+    fg = load_per_entity_grouped_flat(os.path.join(train_dir, "active"),
+                                      model.metadata, "user_id", "per_entity")
+    assert fg is not None
+    got = model.score_flat(fg, weights, base)
+    # align by uid (orders may differ between in-memory groups and file)
+    ow, og = np.argsort(want["uid"]), np.argsort(got["uid"])
+    np.testing.assert_array_equal(want["uid"][ow], got["uid"][og])
+    np.testing.assert_allclose(want["total"][ow], got["total"][og],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(want["per_coordinate"][ow],
+                               got["per_coordinate"][og],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(want["labels"][ow], got["labels"][og])
