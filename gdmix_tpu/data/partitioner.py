@@ -125,49 +125,25 @@ def group_by_entity(data: PerRecordData, config: PartitionerConfig,
 
 def group_flat(data: PerRecordData, config: PartitionerConfig,
                group_ids: np.ndarray, active_only: bool = False):
-    """group_by_entity without the per-entity objects: one lexsort, then the
-    whole partition stays columnar (data/bucketing.FlatGroups). active_only
-    keeps group id 0 only (DataPartitioner's active tree); otherwise an
-    entity's groups are merged (scoring view)."""
-    from gdmix_tpu.data.bucketing import FlatGroups
-    entity_col = np.asarray(data.columns[config.partition_entity])
-    # Convert to string only once per UNIQUE entity; records sort by the
-    # string rank of their entity code, giving exactly group_by_entity's
-    # (string-sorted) order without N python str() calls.
-    uniq_vals, codes = np.unique(entity_col, return_inverse=True)
-    uniq_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
-                           for e in uniq_vals], dtype=object)
-    str_order = np.argsort(uniq_str, kind="stable")
-    rank = np.empty(len(uniq_vals), np.int64)
-    rank[str_order] = np.arange(len(uniq_vals))
-    order = np.lexsort((group_ids, rank[codes]))
-    sorted_codes = codes[order]
-    sorted_group = np.asarray(group_ids)[order]
-
+    """group_by_entity without the per-entity objects: the (entity, group)
+    pairing of group_flat_pairs, then either the active pairs only
+    (DataPartitioner's active tree — each entity has at most one group-0
+    pair) or an entity's pairs merged (scoring view)."""
+    from gdmix_tpu.data.bucketing import FlatGroups, select_entities
+    fg, pair_gids = group_flat_pairs(data, config, group_ids)
     if active_only:
-        keep = sorted_group == 0
-        order = order[keep]
-        sorted_codes = sorted_codes[keep]
-    if len(order) == 0:
-        return FlatGroups(entity_ids=np.zeros(0, object),
-                          counts=np.zeros(0, np.int64), columns={},
-                          indices=None, values=None, rec_nnz=None)
-    change = np.ones(len(order), bool)
-    change[1:] = sorted_codes[1:] != sorted_codes[:-1]
+        return select_entities(fg, np.flatnonzero(pair_gids == 0))
+    if len(fg) == 0:
+        return fg
+    eids = np.asarray(fg.entity_ids, object)
+    change = np.ones(len(eids), bool)
+    change[1:] = eids[1:] != eids[:-1]
     starts = np.flatnonzero(change)
-    counts = np.diff(np.append(starts, len(order)))
-
-    columns = {name: arr[order] for name, arr in data.columns.items()
-               if name != config.partition_entity}
     return FlatGroups(
-        entity_ids=uniq_str[sorted_codes[starts]],
-        counts=counts.astype(np.int64),
-        columns=columns,
-        indices=None if data.indices is None else data.indices[order],
-        values=None if data.values is None else data.values[order],
-        rec_nnz=(data.nnz[order] if data.nnz is not None
-                 else (np.full(len(order), data.indices.shape[1], np.int32)
-                       if data.indices is not None else None)))
+        entity_ids=eids[starts],
+        counts=np.add.reduceat(fg.counts, starts).astype(np.int64),
+        columns=fg.columns, indices=fg.indices, values=fg.values,
+        rec_nnz=fg.rec_nnz)
 
 
 def group_flat_pairs(data: PerRecordData, config: PartitionerConfig,
@@ -229,11 +205,11 @@ def partition_dataset_flat(data: PerRecordData,
             uids, scores[config.uid_column_name],
             scores[config.prediction_score_column_name], pc_uids, pc_vals)
 
-    entity_col = data.columns[config.partition_entity]
+    entity_col = np.asarray(data.columns[config.partition_entity])
     if split_active_passive:
-        entity_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
-                                 for e in entity_col], dtype=object)
-        group_ids = assign_group_ids(entity_str, uids, config.min_samples,
+        # assign_group_ids only uses entity IDENTITY (np.unique), so the raw
+        # column works — no per-record python str() on the hot path
+        group_ids = assign_group_ids(entity_col, uids, config.min_samples,
                                      config.max_samples)
     else:
         group_ids = np.zeros(len(uids), dtype=np.int64)

@@ -194,6 +194,15 @@ def load_per_record(input_path, metadata: DatasetMetadata,
                            shard_index)
 
 
+def _pad_to_k(a: np.ndarray, k: int, fill=0) -> np.ndarray:
+    """Pad a [n, k0] block to width k (no-op when already wide enough)."""
+    if a.shape[1] == k:
+        return a
+    out = np.full((a.shape[0], k), fill, a.dtype)
+    out[:, :a.shape[1]] = a
+    return out
+
+
 def load_per_entity_grouped(input_path, metadata: DatasetMetadata,
                             entity_name: str,
                             feature_bag: Optional[str] = None,
@@ -258,16 +267,8 @@ def load_per_entity_grouped_flat(input_path, metadata: DatasetMetadata,
     indices = values = rec_nnz = None
     if feature_bag:
         k = max(p[4].shape[1] for p in parts)
-
-        def padk(a):
-            if a.shape[1] == k:
-                return a
-            out = np.zeros((a.shape[0], k), a.dtype)
-            out[:, :a.shape[1]] = a
-            return out
-
-        indices = np.concatenate([padk(p[4]) for p in parts])
-        values = np.concatenate([padk(p[5]) for p in parts])
+        indices = np.concatenate([_pad_to_k(p[4], k) for p in parts])
+        values = np.concatenate([_pad_to_k(p[5], k) for p in parts])
         rec_nnz = np.concatenate([p[6] for p in parts])
     fg = FlatGroups(entity_ids=entity_ids, counts=counts, columns=columns,
                     indices=indices, values=values, rec_nnz=rec_nnz)
@@ -303,14 +304,8 @@ def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
     indices = values = nnz = None
     if feature_bag:
         k = max((p[2].shape[1] for p in parts if p[2] is not None), default=align)
-        def padk(a, fill=0):
-            if a.shape[1] == k:
-                return a
-            out = np.full((a.shape[0], k), fill, a.dtype)
-            out[:, :a.shape[1]] = a
-            return out
-        indices = np.concatenate([padk(p[2]) for p in parts]).astype(np.int32)
-        values = np.concatenate([padk(p[3]) for p in parts])
+        indices = np.concatenate([_pad_to_k(p[2], k) for p in parts]).astype(np.int32)
+        values = np.concatenate([_pad_to_k(p[3], k) for p in parts])
         nnz = np.concatenate([p[4] for p in parts])
     return PerRecordData(columns=columns, indices=indices, values=values,
                          nnz=nnz, num_samples=n)
@@ -456,9 +451,16 @@ def _grouped_flat_arrays(groups: Sequence[EntityGroup], feature_bag):
     keys = tuple(groups[0].columns.keys())
     if any(tuple(g.columns.keys()) != keys for g in groups):
         return None
-    if any(g.columns[k].dtype.kind not in "iuf"
-           for g in groups[:1] for k in keys):
+    # dtype CLASS (int vs float) must agree across all groups — a lone float
+    # group would upcast the concatenation and flip the column's wire type
+    kinds = {k: groups[0].columns[k].dtype.kind for k in keys}
+    if any(kd not in "iuf" for kd in kinds.values()):
         return None
+    for g in groups:
+        for k in keys:
+            kd = g.columns[k].dtype.kind
+            if kd not in "iuf" or (kd in "iu") != (kinds[k] in "iu"):
+                return None
     counts = np.fromiter((g.sample_count for g in groups), np.int64,
                          len(groups))
     col_arrays = [np.concatenate([np.asarray(g.columns[k]) for g in groups])
@@ -467,19 +469,11 @@ def _grouped_flat_arrays(groups: Sequence[EntityGroup], feature_bag):
     if feature_bag:
         if all(g.padded_indices is not None for g in groups):
             K = max((g.padded_indices.shape[1] for g in groups), default=1)
-
-            def padk(a, dt):
-                if a.shape[1] == K:
-                    return a
-                out = np.zeros((a.shape[0], K), dt)
-                out[:, :a.shape[1]] = a
-                return out
-
             sp_idx = np.concatenate(
-                [padk(np.asarray(g.padded_indices, np.int64), np.int64)
+                [_pad_to_k(np.asarray(g.padded_indices, np.int64), K)
                  for g in groups])
             sp_val = np.concatenate(
-                [padk(np.asarray(g.padded_values, np.float64), np.float64)
+                [_pad_to_k(np.asarray(g.padded_values, np.float64), K)
                  for g in groups])
             nnz = np.concatenate(
                 [np.asarray(g.rec_nnz, np.int32) for g in groups])
@@ -558,13 +552,20 @@ def write_grouped_flat(output_file: str, fg, entity_name: str,
     val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
     try:
         from gdmix_tpu import native
-        buf = native.encode_grouped_records(
-            list(fg.entity_ids), entity_dtype in ("bytes", "string"),
-            entity_name, fg.counts, list(fg.columns.keys()),
-            [fg.columns[k] for k in fg.columns],
-            idx_key if fg.indices is not None else None,
-            val_key if fg.indices is not None else None,
-            fg.indices, fg.values, fg.rec_nnz)
+        # the bag is written iff feature_bag AND data agree; a mismatch
+        # (bag requested but no indices, or vice versa) takes the python
+        # path so both writers keep emitting identical bytes
+        with_bag = feature_bag is not None and fg.indices is not None
+        buf = None if (feature_bag is None) != (fg.indices is None) else \
+            native.encode_grouped_records(
+                list(fg.entity_ids), entity_dtype in ("bytes", "string"),
+                entity_name, fg.counts, list(fg.columns.keys()),
+                [fg.columns[k] for k in fg.columns],
+                idx_key if with_bag else None,
+                val_key if with_bag else None,
+                fg.indices if with_bag else None,
+                fg.values if with_bag else None,
+                fg.rec_nnz if with_bag else None)
         if buf is not None:
             with tfrecord._open_write(output_file, None) as f:
                 f.write(buf)

@@ -173,6 +173,8 @@ def encode_grouped_records(entity_ids, entity_as_bytes: bool,
         id_bytes = id_off = None
         id_extra = 11 * E
     names_arr, types, fptrs, iptrs, kept = _col_pointers(col_names, col_arrays)
+    if any(len(a) != N for a in kept):
+        return None
     K = 0
     M = 0
     sp_i = sp_v = nnz = None
@@ -181,6 +183,11 @@ def encode_grouped_records(entity_ids, entity_as_bytes: bool,
         sp_v = np.ascontiguousarray(sp_val, np.float64)
         nnz = np.ascontiguousarray(rec_nnz, np.int32)
         K = sp_i.shape[1] if sp_i.ndim == 2 else 0
+        # the C encoder trusts these invariants; violations (e.g. fewer
+        # ragged rows than records) must fall back, not read out of bounds
+        if (sp_i.shape != (N, K) or sp_v.shape != (N, K) or nnz.shape != (N,)
+                or (N and (nnz.min() < 0 or nnz.max() > K))):
+            return None
         M = int(nnz.sum())
     per_col = sum(len(c) + 48 for c in col_names)
     cap = (E * (128 + len(entity_name)
@@ -214,6 +221,9 @@ def encode_per_record(col_names, col_arrays, idx_name, val_name,
     if lib is None:
         return None
     names_arr, types, fptrs, iptrs, kept = _col_pointers(col_names, col_arrays)
+    N = n_records
+    if any(len(a) != N for a in kept):
+        return None
     K = 0
     M = 0
     sp_i = sp_v = nnz = None
@@ -222,8 +232,10 @@ def encode_per_record(col_names, col_arrays, idx_name, val_name,
         sp_v = np.ascontiguousarray(sp_val, np.float64)
         nnz = np.ascontiguousarray(rec_nnz, np.int32)
         K = sp_i.shape[1] if sp_i.ndim == 2 else 0
+        if (sp_i.shape != (N, K) or sp_v.shape != (N, K) or nnz.shape != (N,)
+                or (N and (nnz.min() < 0 or nnz.max() > K))):
+            return None
         M = int(nnz.sum())
-    N = n_records
     per_col = sum(len(c) + 48 for c in col_names)
     cap = (N * (64 + per_col
                 + sum(11 if t == ord("i") else 5 for t in types)

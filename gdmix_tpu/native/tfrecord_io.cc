@@ -786,18 +786,6 @@ inline void put_map_entry_header(Writer& w, const char* key, int64_t key_len,
   w.varint(feat_len);
 }
 
-void frame_record(Writer& w, const uint8_t* payload, int64_t n) {
-  uint8_t head[8];
-  uint64_t len = static_cast<uint64_t>(n);
-  std::memcpy(head, &len, 8);
-  w.raw(head, 8);
-  uint32_t c = kCrc.masked(head, 8);
-  w.raw(&c, 4);
-  w.raw(payload, n);
-  c = kCrc.masked(payload, n);
-  w.raw(&c, 4);
-}
-
 struct SeqSpec {
   const int64_t* ids_i;
   const uint8_t* ids_b;

@@ -308,10 +308,9 @@ class InMemoryPipeline:
             return data
         from gdmix_tpu.io.input_pipeline import slice_rows
         uids = data.columns[pcfg.uid_column_name].astype(np.int64)
-        entity_col = data.columns[pcfg.partition_entity]
-        entity_str = np.asarray([str(e) for e in entity_col], dtype=object)
-        gids = assign_group_ids(entity_str, uids, pcfg.min_samples,
-                                pcfg.max_samples)
+        gids = assign_group_ids(
+            np.asarray(data.columns[pcfg.partition_entity]), uids,
+            pcfg.min_samples, pcfg.max_samples)
         return slice_rows(data, np.flatnonzero(gids == 0))
 
     @staticmethod
@@ -319,10 +318,9 @@ class InMemoryPipeline:
                metadata: DatasetMetadata, active_only: bool):
         uids = data.columns[pcfg.uid_column_name].astype(np.int64)
         if active_only and (pcfg.min_samples or pcfg.max_samples):
-            entity_col = data.columns[pcfg.partition_entity]
-            entity_str = np.asarray([str(e) for e in entity_col], dtype=object)
-            gids = assign_group_ids(entity_str, uids, pcfg.min_samples,
-                                    pcfg.max_samples)
+            gids = assign_group_ids(
+                np.asarray(data.columns[pcfg.partition_entity]), uids,
+                pcfg.min_samples, pcfg.max_samples)
         else:
             gids = np.zeros(len(uids), dtype=np.int64)
         if active_only:
