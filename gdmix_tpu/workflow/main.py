@@ -34,6 +34,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help="emit the job DAG json here instead of running")
     parser.add_argument("--max_parallel", type=int, default=1,
                         help="concurrent ready jobs (dag mode)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip coordinates whose evalSummary.json exists "
+                             "(single_node mode: restart a crashed run)")
     # accepted for reference-config compatibility; unused on TPU:
     parser.add_argument("--jar_path", default="", help=argparse.SUPPRESS)
     return parser
@@ -62,7 +65,7 @@ def main(args=None) -> dict:
                                       num_sweeps=args.num_sweeps)
     else:
         from gdmix_tpu.workflow.single_node import run_gdmix_single_node
-        metrics = run_gdmix_single_node(args.config_path)
+        metrics = run_gdmix_single_node(args.config_path, resume=args.resume)
     logger.info("workflow metrics: %s", json.dumps(metrics))
     return metrics
 

@@ -45,11 +45,36 @@ def _metric_name(model_type: str) -> str:
     return "mse" if model_type == constants.LINEAR_REGRESSION else "auc"
 
 
-def run_fixed_effect(config: WorkflowConfig) -> Dict[str, float]:
+def _completed_metric(output_dir: str, metric: str):
+    """The coordinate's recorded metric if it already ran to completion
+    (evalSummary.json written last), else None. Powers --resume: a crashed
+    pipeline restarts from the first unfinished coordinate, since each
+    coordinate's outputs (scores for the next stage's offset join) exist iff
+    its evaluation was reached (reference has no resume; its wrapper rewipes
+    every directory, single_node_workflow.py:21-48)."""
+    import json
+    path = os.path.join(output_dir, METRIC, "evalSummary.json")
+    try:
+        with open(path) as f:
+            return json.load(f)[metric]
+    except Exception:
+        return None
+
+
+def run_fixed_effect(config: WorkflowConfig,
+                     resume: bool = False) -> Dict[str, float]:
     (name, fe_config), = config.fixed_effect_config.items()
     fe_config = dict(fe_config)
     gdmix_config = dict(fe_config.pop("gdmix_config"))
     output_dir = os.path.join(config.output_dir, name)
+    if resume:
+        metric = _metric_name(gdmix_config.get(
+            "model_type", constants.LOGISTIC_REGRESSION))
+        done = _completed_metric(output_dir, metric)
+        if done is not None:
+            logger.info("resume: fixed effect %s already complete (%s = %s)",
+                        name, metric, done)
+            return {name: done}
     _create_subdirs(output_dir)
 
     base_params = from_dict(Params, {
@@ -88,7 +113,8 @@ def run_fixed_effect(config: WorkflowConfig) -> Dict[str, float]:
 
 
 def run_random_effects(config: WorkflowConfig,
-                       prev_model_name: str) -> Dict[str, float]:
+                       prev_model_name: str,
+                       resume: bool = False) -> Dict[str, float]:
     metrics: Dict[str, float] = {}
     root = config.output_dir
     for name, re_config in config.random_effect_config.items():
@@ -96,6 +122,16 @@ def run_random_effects(config: WorkflowConfig,
         gdmix_config = dict(re_config.pop("gdmix_config"))
         num_partitions = int(re_config.pop("num_partitions", 1))
         output_dir = os.path.join(root, name)
+        if resume:
+            metric = _metric_name(gdmix_config.get(
+                "model_type", constants.LOGISTIC_REGRESSION))
+            done = _completed_metric(output_dir, metric)
+            if done is not None:
+                logger.info("resume: random effect %s already complete "
+                            "(%s = %s)", name, metric, done)
+                metrics[name] = done
+                prev_model_name = name
+                continue
         _create_subdirs(output_dir)
         for score_name in (TRAINING_SCORES, VALIDATION_SCORES):
             for idx in range(num_partitions):
@@ -162,15 +198,19 @@ def run_random_effects(config: WorkflowConfig,
     return metrics
 
 
-def run_gdmix_single_node(config_path_or_obj) -> Dict[str, float]:
-    """Run the full pipeline. Returns {coordinate_name: validation metric}."""
+def run_gdmix_single_node(config_path_or_obj,
+                          resume: bool = False) -> Dict[str, float]:
+    """Run the full pipeline. Returns {coordinate_name: validation metric}.
+    resume=True skips coordinates whose evalSummary.json already exists
+    (restart a crashed run from the first unfinished coordinate)."""
     config = (config_path_or_obj
               if isinstance(config_path_or_obj, WorkflowConfig)
               else WorkflowConfig.from_file(config_path_or_obj))
     if not config.fixed_effect_config:
         raise ValueError("Need to define fixed_effect_config")
-    metrics = run_fixed_effect(config)
+    metrics = run_fixed_effect(config, resume=resume)
     fe_name = next(iter(config.fixed_effect_config))
     if config.random_effect_config:
-        metrics.update(run_random_effects(config, prev_model_name=fe_name))
+        metrics.update(run_random_effects(config, prev_model_name=fe_name,
+                                          resume=resume))
     return metrics

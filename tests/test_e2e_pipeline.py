@@ -85,3 +85,32 @@ def test_yaml_config_compatibility(tmp_path):
     g = cfg.fixed_effect_config["global"]
     assert g["gdmix_config"]["label_column_name"] == "response"
     assert cfg.random_effect_config["per-user"]["num_partitions"] == 1
+
+
+def test_resume_skips_completed_coordinates(ml_data, tmp_path):
+    """--resume restarts a crashed pipeline from the first unfinished
+    coordinate: completed coordinates keep their outputs untouched and their
+    recorded metrics; wiped ones re-run to the same result."""
+    import shutil
+
+    out_dir = str(tmp_path / "lr-training")
+    cfg = _config(ml_data, out_dir)
+    first = run_gdmix_single_node(cfg)
+
+    # mtime fingerprint of the completed coordinates' model files
+    def fingerprint(name):
+        p = os.path.join(out_dir, name, "models", "part-00000.avro")
+        return os.path.getmtime(p)
+
+    fp_global = fingerprint("global")
+    fp_user = fingerprint("per-user")
+    # simulate a crash during the last coordinate
+    shutil.rmtree(os.path.join(out_dir, "per-movie"))
+
+    second = run_gdmix_single_node(cfg, resume=True)
+    assert second["global"] == first["global"]
+    assert second["per-user"] == first["per-user"]
+    assert second["per-movie"] == pytest.approx(first["per-movie"], abs=1e-9)
+    # completed coordinates were not re-run (outputs untouched)
+    assert fingerprint("global") == fp_global
+    assert fingerprint("per-user") == fp_user
