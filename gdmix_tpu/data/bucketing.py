@@ -241,6 +241,7 @@ def bucketize_flat(fg: FlatGroups,
         u_counts = np.zeros(E, np.int64)
         u_off = np.zeros(E, np.int64)
         uniq_fid = np.zeros(0, np.int64)
+        uniq_ent = np.zeros(0, np.int64)
         ent_max_nnz = np.zeros(E, np.int64)
         flat_ent = flat_rec = flat_col = flat_fid = flat_val = local = \
             np.zeros(0, np.int64)
@@ -253,9 +254,51 @@ def bucketize_flat(fg: FlatGroups,
     caps = np.asarray(_sample_caps(counts, min_bucket_rows))
     tier = np.searchsorted(caps, counts, side="left")             # [E]
 
+    # Vectorized warm-start reconciliation (job_consumers.py:260-288) when the
+    # prior is a columnar ModelTable: intersect every entity's prior support
+    # with its current support in one searchsorted instead of per-entity
+    # python. Produces flat (entity, local_pos, value) scatter triples.
+    warm = None
+    from gdmix_tpu.io.model_table import ModelTable
+    eids_arr = np.asarray(fg.entity_ids, dtype=object)
+    if (isinstance(prior_models, ModelTable) and len(prior_models)
+            and prior_models.has_intercept == has_intercept):
+        id2row = prior_models.id2row
+        prow = np.fromiter((id2row.get(e, -1) for e in eids_arr), np.int64, E)
+        hasp = prow >= 0
+        rows = prow[hasp]
+        ents = np.flatnonzero(hasp)
+        plens = prior_models.lens[rows]
+        ptotal = int(plens.sum())
+        inner = np.arange(ptotal) - np.repeat(np.cumsum(plens) - plens, plens)
+        psrc = np.repeat(prior_models.offs[rows], plens) + inner
+        p_ent = np.repeat(ents, plens)
+        p_fid = prior_models.coef_ids[psrc]
+        p_val = prior_models.coef_vals[psrc]
+        fid_hi = max(int(p_fid.max(initial=0)),
+                     int(uniq_fid.max(initial=0))) + 1
+        if E * fid_hi < (1 << 62):  # else: combined key would overflow int64
+            sup_keys = uniq_ent * fid_hi + uniq_fid    # sorted (entity-major)
+            p_keys = p_ent * fid_hi + p_fid
+            pos = np.searchsorted(sup_keys, p_keys)
+            pos_c = np.minimum(pos, max(len(sup_keys) - 1, 0))
+            hit = (sup_keys[pos_c] == p_keys) if len(sup_keys) \
+                else np.zeros(len(p_keys), bool)
+            warm_ent = p_ent[hit]
+            warm_local = pos_c[hit] - u_off[warm_ent]
+            warm_val = p_val[hit]
+            # zero-nnz entities carry the dummy support [0] (object-path
+            # parity): a prior coefficient for feature 0 lands at local 0
+            z = (p_fid == 0) & (u_counts[p_ent] == 0)
+            if z.any():
+                warm_ent = np.concatenate([warm_ent, p_ent[z]])
+                warm_local = np.concatenate(
+                    [warm_local, np.zeros(int(z.sum()), np.int64)])
+                warm_val = np.concatenate([warm_val, p_val[z]])
+            warm = (warm_ent, warm_local, warm_val, hasp, prow)
+
     rec_tier = tier[ent_of_rec]
     entry_tier = tier[flat_ent] if len(flat_ent) else flat_ent
-    eids_arr = np.asarray(fg.entity_ids, dtype=object)
     buckets: List[EntityBucket] = []
     for t in range(len(caps)):
         members = np.flatnonzero(tier == t)
@@ -323,7 +366,16 @@ def bucketize_flat(fg: FlatGroups,
                        flat_col[esel]] = flat_val[esel]
 
         theta0 = np.zeros((b, dim), np.float64)
-        if prior_models:
+        off_i = 1 if has_intercept else 0
+        if warm is not None:
+            warm_ent, warm_local, warm_val, hasp, prow = warm
+            if has_intercept:
+                wm = members[hasp[members]]
+                theta0[slot_of[wm], 0] = prior_models.icpt[prow[wm]]
+            wsel = np.flatnonzero(tier[warm_ent] == t)
+            theta0[slot_of[warm_ent[wsel]],
+                   off_i + warm_local[wsel]] = warm_val[wsel]
+        elif prior_models:
             for slot, gi in enumerate(members):
                 prior = prior_models.get(eids_arr[gi])
                 if prior is None:

@@ -198,6 +198,112 @@ def export_linear_model_to_avro(model_ids: Sequence,
     return avro.write_records(output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, gen_records())
 
 
+def export_model_table_to_avro(table, feature_file: Optional[str],
+                               output_file: str,
+                               model_class: str = LOGISTIC_MODEL_CLASS,
+                               sparsity_threshold: float = 1.0e-4) -> int:
+    """export_linear_model_to_avro for a columnar ModelTable: the table's flat
+    coef columns feed the native block encoder directly — zero per-entity
+    python between the solver output and the OCF bytes. Record-identical to
+    the per-record writer (same threshold/ordering rules,
+    reference io_utils.py:102-212)."""
+    feature_list = read_feature_list(feature_file) if feature_file else None
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    blocks = None
+    try:
+        from gdmix_tpu import native
+        if feature_list is None:
+            # intercept-only export ignores weight columns (reference
+            # io_utils.py:86-99 dummy-weight convention)
+            flat = (None, None, None, None, table.icpt, table.icpt_vars)
+            ok = table.icpt is not None
+        else:
+            flat = (table.coef_ids, table.coef_vals, table.coef_vars,
+                    table.offs, table.icpt, table.icpt_vars)
+            ok = (len(table.coef_ids) == 0
+                  or (table.coef_ids.min() >= 0
+                      and table.coef_ids.max() < len(feature_list)))
+        if ok:
+            blocks = native.encode_model_blocks(
+                list(table.ids), feature_list, *flat, model_class=model_class,
+                threshold=sparsity_threshold)
+    except Exception:
+        blocks = None
+    if blocks is not None:
+        return avro.write_encoded_blocks(
+            output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, blocks)
+
+    def gen_records() -> Iterator[dict]:
+        for row in range(len(table)):
+            sm = table.row_model(row)
+            off = 1 if table.has_intercept else 0
+            bias = None
+            if table.has_intercept:
+                bias = ((sm.theta[0], sm.variance[0]) if sm.variance is not None
+                        else sm.theta[0])
+            if feature_list is None:
+                yield gen_one_avro_model(str(sm.model_id), model_class, None,
+                                         None, bias, feature_list,
+                                         sparsity_threshold)
+            else:
+                weights = ((sm.theta[off:], sm.variance[off:])
+                           if sm.variance is not None else sm.theta[off:])
+                yield gen_one_avro_model(str(sm.model_id), model_class,
+                                         sm.unique_global_indices, weights,
+                                         bias, feature_list,
+                                         sparsity_threshold)
+
+    return avro.write_records(output_file, BAYESIAN_LINEAR_MODEL_SCHEMA,
+                              gen_records())
+
+
+def _table_from_parse(parsed, feature_list, has_intercept: bool):
+    """Columnar ModelTable straight from the native parse — whole-array ops
+    only. Returns None on anomalies (unknown features, misplaced intercepts,
+    mixed variance presence): callers fall back to the per-record path, which
+    raises the reference's exact errors."""
+    from gdmix_tpu.io.model_table import ModelTable
+    model_ids, mean_offs, mean_ids, mean_vals, var_vals, var_present = parsed
+    E = len(model_ids)
+    if E == 0:
+        return ModelTable.empty(has_intercept, with_variance=False)
+    n_var = int(np.asarray(var_present, bool).sum())
+    if 0 < n_var < E:
+        return None
+    with_var = n_var == E
+    lens = np.diff(mean_offs)
+    if has_intercept:
+        if (lens < 1).any() or (mean_ids[mean_offs[:-1]] != -1).any():
+            return None
+        keep = np.ones(len(mean_ids), bool)
+        keep[mean_offs[:-1]] = False
+        coef_ids = mean_ids[keep]
+        coef_vals = mean_vals[keep]
+        offs = mean_offs - np.arange(E + 1)
+        icpt = mean_vals[mean_offs[:-1]].copy()
+        icpt_vars = var_vals[mean_offs[:-1]].copy() if with_var else None
+        coef_vars = var_vals[keep] if with_var else None
+    else:
+        coef_ids, coef_vals = mean_ids.copy(), mean_vals.copy()
+        offs, icpt, icpt_vars = mean_offs.copy(), None, None
+        coef_vars = var_vals.copy() if with_var else None
+    if coef_ids.size and coef_ids.min() < 0:
+        return None  # unknown feature / extra intercept
+    if feature_list is None:
+        if coef_ids.size or with_var:
+            # features on an intercept-only load, or intercept-only with
+            # variance (whose dict form has len(variance) != len(theta) —
+            # not representable columnar): per-record path handles both
+            return None
+        # dummy feature 0 with weight 0 per model (reference io_utils.py:86-99)
+        coef_ids = np.zeros(E, np.int64)
+        coef_vals = np.zeros(E, np.float64)
+        offs = np.arange(E + 1, dtype=np.int64)
+    return ModelTable(ids=np.asarray(model_ids, object), offs=offs,
+                      coef_ids=coef_ids, coef_vals=coef_vals, icpt=icpt,
+                      coef_vars=coef_vars, icpt_vars=icpt_vars)
+
+
 def _parse_native(model_file: str, feature_list):
     """Native columnar parse of a model OCF, or None → per-record fallback."""
     try:
@@ -259,11 +365,18 @@ def add_dummy_weight(models: Tuple[np.ndarray, ...]) -> Tuple[np.ndarray, ...]:
 
 
 def load_sparse_models_from_avro(model_file: str, feature_file: Optional[str],
-                                 has_intercept: bool = True) -> Dict[str, SparseModel]:
+                                 has_intercept: bool = True,
+                                 as_table: bool = False):
     """Load random-effect-layout models keyed by modelId
-    (reference random_effect_lr_lbfgs_model.py:256-309)."""
+    (reference random_effect_lr_lbfgs_model.py:256-309). With as_table=True,
+    returns a columnar ModelTable (a Mapping[str, SparseModel]) built with
+    zero per-entity python when the native parse applies."""
     feature_list = read_feature_list(feature_file) if feature_file else None
     parsed = _parse_native(model_file, feature_list)
+    if parsed is not None and as_table:
+        table = _table_from_parse(parsed, feature_list, has_intercept)
+        if table is not None:
+            return table
     if parsed is not None:
         model_ids, mean_offs, mean_ids, mean_vals, var_vals, var_present = parsed
         ok = True

@@ -36,6 +36,7 @@ from gdmix_tpu.io import model_avro, scores as scores_io
 from gdmix_tpu.io.input_pipeline import load_per_entity_grouped
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.io.model_avro import SparseModel
+from gdmix_tpu.io.model_table import ModelTable
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
@@ -318,18 +319,24 @@ class RandomEffectLRModel(Model):
                                self.model_params.offset_column_name,
                                has_intercept=self.has_intercept,
                                prior_models=model_weights)
-        results: Dict[str, SparseModel] = {}
         # dispatch every bucket's solve before fetching any result: device work
         # for bucket k+1 overlaps the host marshaling of bucket k (on remote
         # relays this also hides one round-trip per bucket)
         pending = [(bucket, self._dispatch_bucket(bucket)) for bucket in buckets]
-        for bucket, solved in pending:
-            results.update(self._collect_bucket(bucket, solved))
-        model_weights = dict(model_weights)
-        model_weights.update(results)
+        new = ModelTable.concat(
+            [self._collect_bucket_table(bucket, solved)
+             for bucket, solved in pending],
+            has_intercept=self.has_intercept,
+            with_variance=self.variance_mode is not None)
+        prior = ModelTable.from_models(model_weights, self.has_intercept)
+        if prior is None:  # mixed variance presence in the prior dict
+            merged = dict(model_weights)
+            merged.update(new)
+        else:
+            merged = prior.merged_with(new)
         logger.info("%d models in total after training/refreshing.",
-                    len(model_weights))
-        return model_weights
+                    len(merged))
+        return merged
 
     def _bucket_device_arrays(self, bucket: EntityBucket):
         """Bucket arrays on device, entity axis sharded over the mesh when it
@@ -420,6 +427,32 @@ class RandomEffectLRModel(Model):
                 variance=variance,
                 unique_global_indices=bucket.unique_global_indices[slot, :u].copy())
         return out
+
+    def _collect_bucket_table(self, bucket: EntityBucket,
+                              solved) -> ModelTable:
+        """_collect_bucket without the per-entity python: one masked gather
+        turns the bucket's [B, dim] solution into ModelTable columns."""
+        thetas, variances, _ = (
+            np.asarray(jax.device_get(t), np.float64) for t in solved)
+        b_real = len(bucket.entity_ids)
+        off = 1 if self.has_intercept else 0
+        tau = self.model_params.sparsity_threshold
+        thetas = np.where(np.abs(thetas) <= tau, 0.0, thetas)
+        u_count = bucket.u_count[:b_real].astype(np.int64)
+        u_cap = bucket.u_cap
+        mask = np.arange(u_cap)[None, :] < u_count[:, None]
+        offs = np.zeros(b_real + 1, np.int64)
+        np.cumsum(u_count, out=offs[1:])
+        with_var = self.variance_mode is not None
+        return ModelTable(
+            ids=np.asarray(bucket.entity_ids, object), offs=offs,
+            coef_ids=bucket.unique_global_indices[:b_real][mask],
+            coef_vals=thetas[:b_real, off:off + u_cap][mask],
+            icpt=thetas[:b_real, 0].copy() if off else None,
+            coef_vars=(variances[:b_real, off:off + u_cap][mask]
+                       if with_var else None),
+            icpt_vars=(variances[:b_real, 0].copy()
+                       if with_var and off else None))
 
     def _train_bucket(self, bucket: EntityBucket) -> Dict[str, SparseModel]:
         return self._collect_bucket(bucket, self._dispatch_bucket(bucket))
@@ -694,6 +727,9 @@ class RandomEffectLRModel(Model):
         entities without a model score as logits = offsets, reference
         job_consumers.py:144-152)."""
         D = self.num_features
+        if isinstance(model_weights, ModelTable):
+            table_w, table_b = model_weights.dense_table(D)
+            return table_w, table_b, model_weights.id2row
         E = len(model_weights)
         off = 1 if self.has_intercept else 0
         table_w = np.zeros((E + 1, D))
@@ -800,6 +836,12 @@ class RandomEffectLRModel(Model):
 
     def _save_model(self, output_file: str,
                     model_coefficients: Dict[str, SparseModel]) -> None:
+        if isinstance(model_coefficients, ModelTable):
+            n = model_avro.export_model_table_to_avro(
+                model_coefficients, self.feature_file, output_file,
+                sparsity_threshold=self.model_params.sparsity_threshold)
+            logger.info("Saved %d random-effect models to %s", n, output_file)
+            return
         model_ids = list(model_coefficients.keys())
         biases = [] if self.has_intercept else None
         if self.feature_file is None:
@@ -838,7 +880,8 @@ class RandomEffectLRModel(Model):
                 return {}
             raise FileNotFoundError(f"Model file {model_file} does not exist")
         return model_avro.load_sparse_models_from_avro(
-            model_file, self.feature_file, has_intercept=self.has_intercept)
+            model_file, self.feature_file, has_intercept=self.has_intercept,
+            as_table=True)
 
     # ---------------------------------------------------------------- predict --
 

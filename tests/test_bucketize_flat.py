@@ -92,6 +92,28 @@ def test_flat_matches_with_priors():
     _assert_equal(*_both(data, prior_models=priors))
 
 
+def test_flat_vectorized_warm_start_matches_dict_prior():
+    """ModelTable priors take the vectorized warm-start path; buckets must be
+    identical to the per-entity dict-prior path."""
+    from gdmix_tpu.io.model_table import ModelTable
+    rng = np.random.default_rng(12)
+    data = _data(seed=12, zero_nnz_frac=0.2)
+    priors = {}
+    ents = sorted({str(e) for e in data.columns["entity"]})
+    for e in ents[::2]:
+        idx = np.sort(rng.choice(60, rng.integers(1, 8), replace=False))
+        # include feature 0 sometimes to exercise the zero-nnz dummy rule
+        if rng.random() < 0.3:
+            idx = np.unique(np.append(idx, 0))
+        priors[e] = SparseModel(
+            model_id=e, theta=rng.standard_normal(len(idx) + 1),
+            variance=None, unique_global_indices=idx.astype(np.int64))
+    table = ModelTable.from_models(priors, has_intercept=True)
+    _, via_dict = _both(data, prior_models=priors)
+    _, via_table = _both(data, prior_models=table)
+    _assert_equal(via_dict, via_table)
+
+
 def test_flat_active_only_drops_other_groups():
     data = _data(E=30, seed=2)
     cfg = PartitionerConfig(partition_entity="entity", num_partitions=1,

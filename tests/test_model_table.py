@@ -1,0 +1,164 @@
+"""ModelTable (columnar model store) equivalence with the dict-of-SparseModel
+path: Mapping semantics, dict.update merge-order, byte-identical avro export,
+round-trip load, dense scoring table."""
+import os
+
+import numpy as np
+import pytest
+
+from gdmix_tpu.io import model_avro
+from gdmix_tpu.io.model_avro import SparseModel
+from gdmix_tpu.io.model_table import ModelTable
+
+
+def _mk_models(n, seed=0, with_var=False, has_intercept=True, D=12):
+    rng = np.random.default_rng(seed)
+    out = {}
+    for i in range(n):
+        u = int(rng.integers(1, 6))
+        idx = np.sort(rng.choice(D, size=u, replace=False)).astype(np.int64)
+        dim = u + (1 if has_intercept else 0)
+        theta = rng.normal(size=dim)
+        var = np.abs(rng.normal(size=dim)) + 0.1 if with_var else None
+        out[f"ent{i:03d}"] = SparseModel(
+            model_id=f"ent{i:03d}", theta=theta, variance=var,
+            unique_global_indices=idx)
+    return out
+
+
+def _feature_file(tmp_path, D=12):
+    p = os.path.join(tmp_path, "features.csv")
+    with open(p, "w") as f:
+        for i in range(D):
+            f.write(f"f{i},t{i}\n")
+    return p
+
+
+def _assert_same_model(a: SparseModel, b: SparseModel):
+    np.testing.assert_allclose(a.theta, b.theta, rtol=0, atol=0)
+    np.testing.assert_array_equal(a.unique_global_indices,
+                                  b.unique_global_indices)
+    if a.variance is None:
+        assert b.variance is None
+    else:
+        np.testing.assert_allclose(a.variance, b.variance, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("with_var", [False, True])
+@pytest.mark.parametrize("has_intercept", [False, True])
+def test_from_models_roundtrip_views(with_var, has_intercept):
+    models = _mk_models(17, with_var=with_var, has_intercept=has_intercept)
+    table = ModelTable.from_models(models, has_intercept)
+    assert len(table) == len(models)
+    assert list(table) == list(models)
+    for mid, sm in models.items():
+        assert mid in table
+        _assert_same_model(table[mid], sm)
+
+
+def test_merge_matches_dict_update_order():
+    prior = _mk_models(9, seed=1)
+    new = _mk_models(6, seed=2)
+    # overlap: retrain ent002/ent005 with different supports
+    for k in ("ent002", "ent005"):
+        new[k] = SparseModel(model_id=k, theta=np.array([9.0, 1.0, 2.0]),
+                             variance=None,
+                             unique_global_indices=np.array([3, 7]))
+    expected = dict(prior)
+    expected.update(new)
+    t_prior = ModelTable.from_models(prior, True)
+    t_new = ModelTable.from_models(new, True)
+    merged = t_prior.merged_with(t_new)
+    assert list(merged) == list(expected)
+    for mid in expected:
+        _assert_same_model(merged[mid], expected[mid])
+
+
+def test_merge_empty_sides():
+    m = ModelTable.from_models(_mk_models(4), True)
+    e = ModelTable.empty(True, False)
+    assert merged_ids(e.merged_with(m)) == merged_ids(m)
+    assert merged_ids(m.merged_with(e)) == merged_ids(m)
+
+
+def merged_ids(t):
+    return list(t)
+
+
+def test_concat_fragments():
+    a = ModelTable.from_models(_mk_models(5, seed=3), True)
+    b = ModelTable.from_models(_mk_models(4, seed=4), True)
+    # rename b's ids to avoid overlap
+    b.ids = np.asarray([f"x{i}" for i in range(4)], object)
+    b._id2row = None
+    cat = ModelTable.concat([a, b], has_intercept=True, with_variance=False)
+    assert list(cat) == list(a) + list(b)
+    for mid in a:
+        _assert_same_model(cat[mid], a[mid])
+    for mid in b:
+        _assert_same_model(cat[mid], b[mid])
+
+
+@pytest.mark.parametrize("with_var", [False, True])
+def test_export_byte_identical_to_dict_writer(tmp_path, with_var):
+    models = _mk_models(23, seed=5, with_var=with_var)
+    ff = _feature_file(str(tmp_path))
+    table = ModelTable.from_models(models, True)
+
+    f_dict = os.path.join(str(tmp_path), "dict.avro")
+    if with_var:
+        biases = [(sm.theta[0], sm.variance[0]) for sm in models.values()]
+        vals = [(sm.theta[1:], sm.variance[1:]) for sm in models.values()]
+    else:
+        biases = [sm.theta[0] for sm in models.values()]
+        vals = [sm.theta[1:] for sm in models.values()]
+    model_avro.export_linear_model_to_avro(
+        list(models.keys()),
+        [sm.unique_global_indices for sm in models.values()],
+        vals, biases, ff, f_dict, sparsity_threshold=0.05)
+
+    f_tab = os.path.join(str(tmp_path), "table.avro")
+    model_avro.export_model_table_to_avro(table, ff, f_tab,
+                                          sparsity_threshold=0.05)
+    from gdmix_tpu.io.avro import read_records
+    assert list(read_records(f_tab)) == list(read_records(f_dict))
+
+
+def test_table_load_matches_dict_load(tmp_path):
+    models = _mk_models(15, seed=6)
+    ff = _feature_file(str(tmp_path))
+    f = os.path.join(str(tmp_path), "m.avro")
+    model_avro.export_model_table_to_avro(
+        ModelTable.from_models(models, True), ff, f, sparsity_threshold=0.0)
+    as_dict = model_avro.load_sparse_models_from_avro(f, ff)
+    as_table = model_avro.load_sparse_models_from_avro(f, ff, as_table=True)
+    assert isinstance(as_table, ModelTable)
+    assert list(as_table) == list(as_dict)
+    for mid in as_dict:
+        _assert_same_model(as_table[mid], as_dict[mid])
+
+
+def test_dense_table_matches_dict_path():
+    models = _mk_models(11, seed=7)
+    D = 12
+    table = ModelTable.from_models(models, True)
+    tw, tb = table.dense_table(D)
+    ew = np.zeros((len(models) + 1, D))
+    eb = np.zeros(len(models) + 1)
+    for r, sm in enumerate(models.values()):
+        eb[r] = sm.theta[0]
+        ew[r, sm.unique_global_indices] = sm.theta[1:]
+    np.testing.assert_allclose(tw, ew)
+    np.testing.assert_allclose(tb, eb)
+
+
+def test_intercept_only_with_variance_falls_back(tmp_path):
+    # intercept-only models: theta = [b, 0-dummy], variance = [b_var] — not
+    # columnar-representable; loaders must return the dict form
+    f = os.path.join(str(tmp_path), "io.avro")
+    model_avro.export_linear_model_to_avro(
+        ["a", "b"], None, None, [(0.5, 0.01), (-0.2, 0.02)], None, f)
+    got = model_avro.load_sparse_models_from_avro(f, None, as_table=True)
+    assert not isinstance(got, ModelTable)
+    assert np.allclose(got["a"].theta, [0.5, 0.0])
+    assert np.allclose(got["a"].variance, [0.01])
