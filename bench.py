@@ -35,6 +35,7 @@ TARGET_MODELS_PER_SEC = 1_000_000 / 60.0   # ≥1M models/min/chip
 NUM_ENTITIES = int(os.environ.get("BENCH_ENTITIES", 100_000))
 HEAVY_ENTITIES = int(os.environ.get("BENCH_HEAVY_ENTITIES", 20_000))
 WIDE_ENTITIES = int(os.environ.get("BENCH_WIDE_ENTITIES", 4_096))
+STAGE_ENTITIES = int(os.environ.get("BENCH_STAGE_ENTITIES", NUM_ENTITIES))
 RUN_FE = os.environ.get("BENCH_FE", "1") != "0"
 FE_ROUND1_FUNCALL_S = 1.03  # round-1 one-hot path at N=5M, D=10k, K=16
 
@@ -213,6 +214,97 @@ def run_re(groups, tag: str, reps: int) -> float:
     return models_per_sec
 
 
+def make_workload_flat(num_entities: int, seed: int = 0, d: int = 24,
+                       max_nnz: int = 4, count_lo: int = 2,
+                       count_hi: int = 64, pareto_a: float = 1.5):
+    """make_workload as a columnar FlatGroups (the production host path) —
+    same draws, zero per-entity objects."""
+    from gdmix_tpu.data.bucketing import FlatGroups
+    rng = np.random.RandomState(seed)
+    counts = np.clip((rng.pareto(pareto_a, num_entities) * 8
+                      + count_lo).astype(int), count_lo, count_hi)
+    total = int(counts.sum())
+    idx_all = rng.randint(0, d, size=(total, max_nnz)).astype(np.int32)
+    val_all = rng.randn(total, max_nnz)
+    nnz_all = rng.randint(1, max_nnz + 1, size=total).astype(np.int32)
+    mask = np.arange(max_nnz)[None, :] < nnz_all[:, None]
+    val_all = val_all * mask
+    w_true = np.repeat(rng.randn(num_entities), counts)
+    z = val_all.sum(1) * 0.5 + w_true
+    y_all = (rng.rand(total) < 1 / (1 + np.exp(-z))).astype(np.float64)
+    return FlatGroups(
+        entity_ids=np.array([str(e) for e in range(num_entities)], object),
+        counts=counts.astype(np.int64),
+        columns={"uid": np.arange(total, dtype=np.int64), "response": y_all,
+                 "offset": 0.1 * rng.randn(total)},
+        indices=idx_all, values=val_all, rec_nnz=nnz_all)
+
+
+def run_re_stage(fg, reps: int) -> float:
+    """End-to-end RE STAGE rate through the production class: fit_groups
+    (columnar bucketize + cached vmapped solves + ModelTable collection) +
+    photon-ml avro export + model reload — everything the reference's
+    random-effect trainer does per partition except file-dataset decode
+    (random_effect_lr_lbfgs_model.py:92-138). models/sec including host work."""
+    import shutil
+    import tempfile
+    from gdmix_tpu.io.feature_list import write_feature_list
+    from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+    from gdmix_tpu.params import Params, REParams
+
+    d = int(fg.indices.max()) + 1
+    tmp = tempfile.mkdtemp(prefix="gdx_bench_stage_")
+    try:
+        md_file = os.path.join(tmp, "tensor_metadata.json")
+        with open(md_file, "w") as f:
+            json.dump({"features": [
+                {"name": "per_entity", "dtype": "float", "shape": [d],
+                 "isSparse": True},
+                {"name": "user_id", "dtype": "string", "shape": [],
+                 "isSparse": False},
+                {"name": "uid", "dtype": "long", "shape": [],
+                 "isSparse": False},
+                {"name": "offset", "dtype": "float", "shape": [],
+                 "isSparse": False}],
+                "labels": [{"name": "response", "dtype": "float",
+                            "shape": [], "isSparse": False}]}, f)
+        feature_file = os.path.join(tmp, "features.csv")
+        write_feature_list([(f"f{i}", "") for i in range(d)], feature_file)
+        model_params = REParams(
+            metadata_file=md_file, output_model_dir=tmp,
+            feature_bag="per_entity", feature_file=feature_file,
+            partition_entity="user_id", l2_reg_weight=1.0,
+            regularize_bias=False, dtype="float32", lbfgs_tolerance=1e-12,
+            lbfgs_pgtol=1e-5, num_of_lbfgs_iterations=100,
+            sparsity_threshold=1e-4)
+        base_params = Params(
+            action="train", stage="random_effect",
+            model_type="logistic_regression", label_column_name="response",
+            uid_column_name="uid",
+            prediction_score_column_name="predictionScore")
+        model = RandomEffectLRModel(model_params, base_params)
+        model_file = os.path.join(tmp, "part-00000.avro")
+
+        rep_times = []
+        n_loaded = 0
+        for rep in range(max(reps, 2)):  # rep 0 = compile warm-up
+            t0 = time.time()
+            weights = model.fit_groups(fg, {}, base_params)
+            model._save_model(model_file, weights)
+            loaded = model._load_weights(model_file)
+            n_loaded = len(loaded)
+            rep_times.append(time.time() - t0)
+        elapsed = min(rep_times[1:])
+        n_models = len(fg)
+        assert n_loaded == n_models, (n_loaded, n_models)
+        sys.stderr.write(
+            f"bench[re-stage]: {n_models} models fit+export+reload in "
+            f"{elapsed:.3f}s (reps {[round(t, 3) for t in rep_times]})\n")
+        return n_models / elapsed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_fe(reps: int = 4) -> float:
     """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 via the block
     (two-level one-hot) path — the production grad_mode for large D. Data is
@@ -274,6 +366,10 @@ def main():
                              count_lo=32, count_hi=64)
         submetrics["re_wide_support_models_per_sec"] = round(
             run_re(wide, "wide-support", max(reps - 2, 1)), 1)
+    if STAGE_ENTITIES:
+        submetrics["re_stage_models_per_sec"] = round(
+            run_re_stage(make_workload_flat(STAGE_ENTITIES, seed=3),
+                         max(reps - 2, 2)), 1)
     if RUN_FE:
         fe_rate = run_fe()
         submetrics["fe_funcalls_per_sec"] = round(fe_rate, 2)

@@ -46,7 +46,6 @@ from gdmix_tpu.ops.segment import ENTITY_SENTINEL
 from gdmix_tpu.parallel.entity_sharding import route_and_bucket, shard_rows
 from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh, pad_to_multiple
 from gdmix_tpu.params import Params, REParams, from_argv
-from gdmix_tpu.util.model_utils import threshold_coefficients
 
 logger = logging.getLogger(__name__)
 
@@ -463,9 +462,13 @@ class RandomEffectLRModel(Model):
     def _entity_supports(inv: np.ndarray, indices, values, nnz,
                          num_entities: int, num_features: int):
         """Per-entity sorted unique feature support from per-record padded-COO
-        data, fully vectorized (mirrors bucketize's compact support)."""
+        data, fully vectorized (mirrors bucketize's compact support). Returns
+        flat (sup_keys, sup_feat, sup_offs[E+1]) where sup_keys = e*D + feat
+        is sorted ascending (the np.unique output, reused for the warm-start
+        key intersection)."""
         if indices is None:
-            return [np.zeros(0, np.int64) for _ in range(num_entities)]
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(num_entities + 1, np.int64))
         k = indices.shape[1]
         if nnz is not None:
             entry_ok = np.arange(k)[None, :] < nnz[:, None]
@@ -476,9 +479,8 @@ class RandomEffectLRModel(Model):
         keys = np.unique(flat_ent.astype(np.int64) * num_features + flat_feat)
         sup_ent = keys // num_features
         sup_feat = keys % num_features
-        starts = np.searchsorted(sup_ent, np.arange(num_entities))
-        ends = np.searchsorted(sup_ent, np.arange(num_entities) + 1)
-        return [sup_feat[starts[e]:ends[e]] for e in range(num_entities)]
+        sup_offs = np.searchsorted(sup_ent, np.arange(num_entities + 1))
+        return keys, sup_feat, sup_offs
 
     def fit_records_sharded(self, data, schema_params,
                             model_weights: Optional[Dict[str, SparseModel]] = None,
@@ -492,7 +494,7 @@ class RandomEffectLRModel(Model):
         it suits the moderate per-entity feature spaces random effects have;
         output is identical to fit_groups (equality-tested).
         """
-        model_weights = dict(model_weights or {})
+        model_weights = model_weights if model_weights is not None else {}
         mesh = mesh if mesh is not None else get_mesh()
         num_shards = len(mesh.devices.flatten())
         p = self.model_params
@@ -578,28 +580,56 @@ class RandomEffectLRModel(Model):
 
         # warm start (global layout [b, w(D)]), restricted to each entity's
         # CURRENT support — the reference's prior-model reconciliation
-        # (job_consumers.py:260-288)
-        supports = self._entity_supports(inv, data.indices, data.values,
-                                         data.nnz, E, D)
+        # (job_consumers.py:260-288). Fully columnar: one key intersection
+        # between the prior table's flat coefs and the support keys.
+        sup_keys, sup_feat, sup_offs = self._entity_supports(
+            inv, data.indices, data.values, data.nnz, E, D)
         theta0 = np.zeros((num_shards * b_cap, dim))
-        for slot, e in enumerate(slot_ent):
-            if e < 0:
-                continue
-            prior = model_weights.get(uniq[e])
-            if prior is None:
-                continue
-            if off:
-                theta0[slot, 0] = prior.theta[0]
-            sup = supports[e]
-            if len(prior.unique_global_indices) and len(sup):
-                p_idx = np.asarray(prior.unique_global_indices)
-                order = np.argsort(p_idx, kind="stable")
-                p_sorted = p_idx[order]
-                p_theta = np.asarray(prior.theta[off:])[order]
-                pos = np.clip(np.searchsorted(p_sorted, sup), 0,
-                              len(p_sorted) - 1)
-                hit = p_sorted[pos] == sup
-                theta0[slot, off + sup[hit]] = p_theta[pos[hit]]
+        slot_of = np.full(E, -1, np.int64)
+        valid_slots = np.flatnonzero(slot_ent >= 0)
+        slot_of[slot_ent[valid_slots]] = valid_slots
+        prior_table = ModelTable.from_models(model_weights, self.has_intercept)
+        if len(model_weights) and prior_table is not None \
+                and E * D < (1 << 62):
+            id2row = prior_table.id2row
+            prow = np.fromiter((id2row.get(u, -1) for u in uniq), np.int64, E)
+            ents = np.flatnonzero((prow >= 0) & (slot_of >= 0))
+            rows = prow[ents]
+            if off and prior_table.icpt is not None:
+                theta0[slot_of[ents], 0] = prior_table.icpt[rows]
+            plens = prior_table.lens[rows]
+            ptotal = int(plens.sum())
+            inner = np.arange(ptotal) - np.repeat(np.cumsum(plens) - plens,
+                                                  plens)
+            psrc = np.repeat(prior_table.offs[rows], plens) + inner
+            p_ent = np.repeat(ents, plens)
+            p_fid = prior_table.coef_ids[psrc]
+            p_keys = p_ent * D + p_fid
+            pos = np.minimum(np.searchsorted(sup_keys, p_keys),
+                             max(len(sup_keys) - 1, 0))
+            hit = (sup_keys[pos] == p_keys) if len(sup_keys) \
+                else np.zeros(len(p_keys), bool)
+            theta0[slot_of[p_ent[hit]], off + p_fid[hit]] = \
+                prior_table.coef_vals[psrc[hit]]
+        elif len(model_weights):  # mixed-variance dict prior: per-slot path
+            for slot, e in enumerate(slot_ent):
+                if e < 0:
+                    continue
+                prior = model_weights.get(uniq[e])
+                if prior is None:
+                    continue
+                if off:
+                    theta0[slot, 0] = prior.theta[0]
+                sup = sup_feat[sup_offs[e]:sup_offs[e + 1]]
+                if len(prior.unique_global_indices) and len(sup):
+                    p_idx = np.asarray(prior.unique_global_indices)
+                    order = np.argsort(p_idx, kind="stable")
+                    p_sorted = p_idx[order]
+                    p_theta = np.asarray(prior.theta[off:])[order]
+                    pos = np.clip(np.searchsorted(p_sorted, sup), 0,
+                                  len(p_sorted) - 1)
+                    hit = p_sorted[pos] == sup
+                    theta0[slot, off + sup[hit]] = p_theta[pos[hit]]
 
         solver_arrays = dict(
             sb.blocks,
@@ -624,25 +654,35 @@ class RandomEffectLRModel(Model):
         thetas, variances, _ = (np.asarray(jax.device_get(t), np.float64)
                                 for t in solve(solver_arrays))
 
-        results: Dict[str, SparseModel] = {}
-        for slot, e in enumerate(slot_ent):
-            if e < 0:
-                continue
-            sup = supports[e]
-            theta_slot = threshold_coefficients(thetas[slot],
-                                                p.sparsity_threshold)
-            theta = np.concatenate([theta_slot[:off], theta_slot[off + sup]])
-            variance = (np.concatenate([variances[slot][:off],
-                                        variances[slot][off + sup]])
-                        if self.variance_mode else None)
-            results[uniq[e]] = SparseModel(
-                model_id=uniq[e], theta=theta, variance=variance,
-                unique_global_indices=sup.astype(np.int64))
-        model_weights.update(results)
+        # columnar collection: gather each solved slot's support coefficients
+        # straight into ModelTable columns (no per-entity python)
+        thetas = np.where(np.abs(thetas) <= p.sparsity_threshold, 0.0, thetas)
+        ents_v = slot_ent[valid_slots]
+        lens_v = sup_offs[ents_v + 1] - sup_offs[ents_v]
+        total = int(lens_v.sum())
+        inner = np.arange(total) - np.repeat(np.cumsum(lens_v) - lens_v,
+                                             lens_v)
+        src = np.repeat(sup_offs[ents_v], lens_v) + inner
+        feat = sup_feat[src]
+        rows = np.repeat(valid_slots, lens_v)
+        offs_out = np.zeros(len(ents_v) + 1, np.int64)
+        np.cumsum(lens_v, out=offs_out[1:])
+        with_var = self.variance_mode is not None
+        new = ModelTable(
+            ids=uniq[ents_v].astype(object), offs=offs_out,
+            coef_ids=feat, coef_vals=thetas[rows, off + feat],
+            icpt=thetas[valid_slots, 0].copy() if off else None,
+            coef_vars=variances[rows, off + feat] if with_var else None,
+            icpt_vars=(variances[valid_slots, 0].copy()
+                       if with_var and off else None))
+        merged = (prior_table.merged_with(new) if prior_table is not None
+                  else dict(model_weights))
+        if prior_table is None:
+            merged.update(new)
         logger.info("sharded fit: %d entities over %d shards (b_cap=%d, "
                     "n_cap=%d, capacity=%d); %d models total", E, num_shards,
-                    b_cap, n_cap, capacity, len(model_weights))
-        return model_weights
+                    b_cap, n_cap, capacity, len(merged))
+        return merged
 
     def _solve_two_phase(self, bucket: EntityBucket, arrays, u_cap: int):
         """Phase 1: everyone runs newton_phase1_iters. Phase 2: unconverged
