@@ -61,6 +61,18 @@ class PartitionerConfig:
     prediction_score_per_coordinate_column_name: str = "predictionScorePerCoordinate"
 
 
+def factorize_entities(entity_col) -> Tuple[np.ndarray, np.ndarray]:
+    """(unique entity ids as a str object array, inverse per record). One
+    C-speed unique on the RAW column plus an E-scale string conversion —
+    replaces the N-scale per-record decode/str the reference pays when it
+    stringifies entity ids record by record."""
+    col = np.asarray(entity_col)
+    uniq_vals, inv = np.unique(col, return_inverse=True)
+    uniq_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
+                           for e in uniq_vals], dtype=object)
+    return uniq_str, inv
+
+
 def assign_group_ids(entity_ids: np.ndarray, uids: np.ndarray,
                      min_samples: Optional[int],
                      max_samples: Optional[int]) -> np.ndarray:
@@ -153,13 +165,10 @@ def group_flat_pairs(data: PerRecordData, config: PartitionerConfig,
     Returns (FlatGroups, pair_gids [P]); entity_ids repeat across a capped
     entity's overflow groups exactly like group_by_entity's tuples."""
     from gdmix_tpu.data.bucketing import FlatGroups
-    entity_col = np.asarray(data.columns[config.partition_entity])
-    uniq_vals, codes = np.unique(entity_col, return_inverse=True)
-    uniq_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
-                           for e in uniq_vals], dtype=object)
+    uniq_str, codes = factorize_entities(data.columns[config.partition_entity])
     str_order = np.argsort(uniq_str, kind="stable")
-    rank = np.empty(len(uniq_vals), np.int64)
-    rank[str_order] = np.arange(len(uniq_vals))
+    rank = np.empty(len(uniq_str), np.int64)
+    rank[str_order] = np.arange(len(uniq_str))
     order = np.lexsort((group_ids, rank[codes]))
     sorted_codes = codes[order]
     sorted_group = np.asarray(group_ids)[order]

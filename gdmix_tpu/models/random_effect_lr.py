@@ -504,10 +504,8 @@ class RandomEffectLRModel(Model):
         off = 1 if self.has_intercept else 0
         dim = D + off
 
-        ent_col = data.columns[p.partition_entity]
-        ent_str = np.asarray([e.decode() if isinstance(e, bytes) else str(e)
-                              for e in ent_col], dtype=object)
-        uniq, inv = np.unique(ent_str, return_inverse=True)
+        from gdmix_tpu.data.partitioner import factorize_entities
+        uniq, inv = factorize_entities(data.columns[p.partition_entity])
         E = len(uniq)
         # round-robin ownership over sorted entity ids (≡ hash partitioning:
         # any deterministic balanced assignment works)
@@ -815,14 +813,14 @@ class RandomEffectLRModel(Model):
         gather-matmul over all records, no grouping/bucketing (the in-HBM
         pipeline's fast path). Entities without a model hit the zero row →
         logits = offsets, matching reference job_consumers.py:144-152."""
+        from gdmix_tpu.data.partitioner import factorize_entities
         p = self.model_params
-        ent_col = data.columns[p.partition_entity]
-        ent_str = [e.decode() if isinstance(e, bytes) else str(e)
-                   for e in ent_col]
+        uniq_str, inv = factorize_entities(data.columns[p.partition_entity])
         table = self._model_table(model_weights)
         E = len(model_weights)
-        ent_idx = np.fromiter((table[2].get(e, E) for e in ent_str),
-                              dtype=np.int32, count=len(ent_str))
+        rows = np.fromiter((table[2].get(e, E) for e in uniq_str),
+                           dtype=np.int32, count=len(uniq_str))
+        ent_idx = rows[inv]
         return self._score_columns(table, ent_idx, data.num_samples,
                                    data.columns, data.indices, data.values,
                                    schema_params)
