@@ -259,31 +259,20 @@ def bucketize_flat(fg: FlatGroups,
     # with its current support in one searchsorted instead of per-entity
     # python. Produces flat (entity, local_pos, value) scatter triples.
     warm = None
-    from gdmix_tpu.io.model_table import ModelTable
+    from gdmix_tpu.io.model_table import ModelTable, intersect_prior_support
     eids_arr = np.asarray(fg.entity_ids, dtype=object)
     if (isinstance(prior_models, ModelTable) and len(prior_models)
             and prior_models.has_intercept == has_intercept):
         id2row = prior_models.id2row
         prow = np.fromiter((id2row.get(e, -1) for e in eids_arr), np.int64, E)
         hasp = prow >= 0
-        rows = prow[hasp]
         ents = np.flatnonzero(hasp)
-        plens = prior_models.lens[rows]
-        ptotal = int(plens.sum())
-        inner = np.arange(ptotal) - np.repeat(np.cumsum(plens) - plens, plens)
-        psrc = np.repeat(prior_models.offs[rows], plens) + inner
-        p_ent = np.repeat(ents, plens)
-        p_fid = prior_models.coef_ids[psrc]
-        p_val = prior_models.coef_vals[psrc]
-        fid_hi = max(int(p_fid.max(initial=0)),
+        fid_hi = max(int(prior_models.coef_ids.max(initial=0)),
                      int(uniq_fid.max(initial=0))) + 1
         if E * fid_hi < (1 << 62):  # else: combined key would overflow int64
             sup_keys = uniq_ent * fid_hi + uniq_fid    # sorted (entity-major)
-            p_keys = p_ent * fid_hi + p_fid
-            pos = np.searchsorted(sup_keys, p_keys)
-            pos_c = np.minimum(pos, max(len(sup_keys) - 1, 0))
-            hit = (sup_keys[pos_c] == p_keys) if len(sup_keys) \
-                else np.zeros(len(p_keys), bool)
+            p_ent, p_fid, p_val, pos_c, hit = intersect_prior_support(
+                prior_models, ents, prow[ents], sup_keys, fid_hi)
             warm_ent = p_ent[hit]
             warm_local = pos_c[hit] - u_off[warm_ent]
             warm_val = p_val[hit]

@@ -13,6 +13,11 @@ def get_model(params: Params, argv):
     if model_type in (constants.LOGISTIC_REGRESSION, constants.LINEAR_REGRESSION):
         if stage == constants.FIXED_EFFECT:
             return FixedEffectLRModel.from_argv(argv, params)
+        if model_type == constants.LINEAR_REGRESSION:
+            # same restriction as the reference (model_factory.py:46-47):
+            # the RE solver stack is logistic-only
+            raise ValueError("Does not support random effect model for "
+                             "plain linear regression")
         return RandomEffectLRModel.from_argv(argv, params)
     if model_type == constants.DETEXT:
         assert stage == constants.FIXED_EFFECT, \

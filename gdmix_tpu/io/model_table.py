@@ -28,19 +28,48 @@ import numpy as np
 
 from gdmix_tpu.io.model_avro import SparseModel
 
-__all__ = ["ModelTable"]
+__all__ = ["ModelTable", "flat_positions", "intersect_prior_support"]
+
+
+def flat_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flattened element positions of ragged slices: for each i and each
+    j < lens[i], yields starts[i] + j (row-major). The one ragged-expansion
+    idiom (arange minus repeated cumsum) shared by every columnar consumer."""
+    total = int(lens.sum())
+    inner = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return np.repeat(starts, lens) + inner
 
 
 def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray,
                  src: np.ndarray, src_starts: np.ndarray,
                  lens: np.ndarray) -> None:
     """dst[dst_starts[i] + j] = src[src_starts[i] + j] for j < lens[i]."""
-    total = int(lens.sum())
-    if total == 0:
+    if int(lens.sum()) == 0:
         return
-    inner = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-    dst[np.repeat(dst_starts, lens) + inner] = \
-        src[np.repeat(src_starts, lens) + inner]
+    dst[flat_positions(dst_starts, lens)] = src[flat_positions(src_starts, lens)]
+
+
+def intersect_prior_support(prior: "ModelTable", ent_of_row: np.ndarray,
+                            rows: np.ndarray, sup_keys: np.ndarray,
+                            key_span: int):
+    """Warm-start key intersection (reference job_consumers.py:260-288,
+    vectorized): flatten the coefficients of prior table `rows` (rows[i]
+    belongs to entity index ent_of_row[i]) and locate each (entity, feature)
+    pair in the sorted combined-key support `sup_keys` (= ent*key_span + fid,
+    ascending). Returns (p_ent, p_fid, p_val, pos, hit) flat arrays — one
+    entry per prior coefficient; `hit` marks coefficients whose feature is in
+    the entity's current support, `pos` its index in sup_keys (clamped)."""
+    lens = prior.lens[rows]
+    src = flat_positions(prior.offs[rows], lens)
+    p_ent = np.repeat(np.asarray(ent_of_row, np.int64), lens)
+    p_fid = prior.coef_ids[src]
+    p_val = prior.coef_vals[src]
+    keys = p_ent * key_span + p_fid
+    pos = np.minimum(np.searchsorted(sup_keys, keys),
+                     max(len(sup_keys) - 1, 0))
+    hit = (sup_keys[pos] == keys) if len(sup_keys) \
+        else np.zeros(len(keys), bool)
+    return p_ent, p_fid, p_val, pos, hit
 
 
 class ModelTable(Mapping):
@@ -200,6 +229,45 @@ class ModelTable(Mapping):
             coef_vars=cat("coef_vars") if with_variance else None,
             icpt_vars=(cat("icpt_vars") if with_variance and has_intercept
                        else None))
+
+    def select_rows(self, rows: np.ndarray) -> "ModelTable":
+        """New table with the given rows (in the given order)."""
+        rows = np.asarray(rows, np.int64)
+        lens = self.lens[rows]
+        offs = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        total = int(offs[-1])
+        coef_ids = np.zeros(total, np.int64)
+        coef_vals = np.zeros(total, np.float64)
+        coef_vars = np.zeros(total, np.float64) if self.with_variance else None
+        src_starts = self.offs[rows]
+        _ragged_copy(coef_ids, offs[:-1], self.coef_ids, src_starts, lens)
+        _ragged_copy(coef_vals, offs[:-1], self.coef_vals, src_starts, lens)
+        if coef_vars is not None:
+            _ragged_copy(coef_vars, offs[:-1], self.coef_vars, src_starts, lens)
+        return ModelTable(
+            ids=self.ids[rows], offs=offs, coef_ids=coef_ids,
+            coef_vals=coef_vals,
+            icpt=None if self.icpt is None else self.icpt[rows],
+            coef_vars=coef_vars,
+            icpt_vars=None if self.icpt_vars is None else self.icpt_vars[rows])
+
+    def deduped_last(self) -> "ModelTable":
+        """Collapse duplicate ids keeping the LAST row per id (dict last-wins
+        semantics, in first-occurrence order — what repeated dict[k]=v yields).
+        Duplicate ids arise when a capped entity's overflow groups
+        (DataPartitioner upper-bound pairs) are trained as separate groups;
+        the pre-columnar dict path deduped implicitly. No-op (returns self)
+        when ids are already unique."""
+        if len(self.id2row) == len(self):
+            return self
+        first = {}
+        for i, mid in enumerate(self.ids):
+            if mid not in first:
+                first[mid] = i
+        rows = np.fromiter((self.id2row[mid] for mid in first), np.int64,
+                           len(first))
+        return self.select_rows(rows)
 
     # --------------------------------------------------------------- merge --
 

@@ -24,7 +24,7 @@ import functools
 import logging
 import os
 from functools import partial
-from typing import Dict
+from typing import Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,8 @@ from gdmix_tpu.io import model_avro, scores as scores_io
 from gdmix_tpu.io.input_pipeline import load_per_entity_grouped
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.io.model_avro import SparseModel
-from gdmix_tpu.io.model_table import ModelTable
+from gdmix_tpu.io.model_table import (ModelTable, flat_positions,
+                                      intersect_prior_support)
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
@@ -305,11 +306,14 @@ class RandomEffectLRModel(Model):
 
     # ---------------------------------------------------------- bucket solving --
 
-    def fit_groups(self, groups, model_weights: Dict[str, SparseModel],
-                   schema_params) -> Dict[str, SparseModel]:
+    def fit_groups(self, groups, model_weights: Mapping[str, SparseModel],
+                   schema_params) -> Mapping[str, SparseModel]:
         """In-memory batched training of all entities in `groups` (a
         List[EntityGroup] or columnar FlatGroups); returns the prior ∪ new
-        model dict (prior-only entities carry forward, reference :155-163)."""
+        model mapping (prior-only entities carry forward, reference :155-163).
+        The result is an immutable columnar ModelTable in the common layouts
+        (a plain dict only when the prior mixes variance presence); callers
+        needing a mutable dict should wrap it with dict(...)."""
         from gdmix_tpu.data.bucketing import FlatGroups, bucketize_flat
         logger.info("Training %d entities", len(groups))
         bucketize_fn = (bucketize_flat if isinstance(groups, FlatGroups)
@@ -327,6 +331,10 @@ class RandomEffectLRModel(Model):
              for bucket, solved in pending],
             has_intercept=self.has_intercept,
             with_variance=self.variance_mode is not None)
+        # a capped entity's overflow groups (group_flat_pairs rows with a
+        # repeated entity id) each solve a model; keep the last like the
+        # pre-columnar dict path did (out[entity_id] = ... last-wins)
+        new = new.deduped_last()
         prior = ModelTable.from_models(model_weights, self.has_intercept)
         if prior is None:  # mixed variance presence in the prior dict
             merged = dict(model_weights)
@@ -595,20 +603,9 @@ class RandomEffectLRModel(Model):
             rows = prow[ents]
             if off and prior_table.icpt is not None:
                 theta0[slot_of[ents], 0] = prior_table.icpt[rows]
-            plens = prior_table.lens[rows]
-            ptotal = int(plens.sum())
-            inner = np.arange(ptotal) - np.repeat(np.cumsum(plens) - plens,
-                                                  plens)
-            psrc = np.repeat(prior_table.offs[rows], plens) + inner
-            p_ent = np.repeat(ents, plens)
-            p_fid = prior_table.coef_ids[psrc]
-            p_keys = p_ent * D + p_fid
-            pos = np.minimum(np.searchsorted(sup_keys, p_keys),
-                             max(len(sup_keys) - 1, 0))
-            hit = (sup_keys[pos] == p_keys) if len(sup_keys) \
-                else np.zeros(len(p_keys), bool)
-            theta0[slot_of[p_ent[hit]], off + p_fid[hit]] = \
-                prior_table.coef_vals[psrc[hit]]
+            p_ent, p_fid, p_val, _, hit = intersect_prior_support(
+                prior_table, ents, rows, sup_keys, D)
+            theta0[slot_of[p_ent[hit]], off + p_fid[hit]] = p_val[hit]
         elif len(model_weights):  # mixed-variance dict prior: per-slot path
             for slot, e in enumerate(slot_ent):
                 if e < 0:
@@ -657,10 +654,7 @@ class RandomEffectLRModel(Model):
         thetas = np.where(np.abs(thetas) <= p.sparsity_threshold, 0.0, thetas)
         ents_v = slot_ent[valid_slots]
         lens_v = sup_offs[ents_v + 1] - sup_offs[ents_v]
-        total = int(lens_v.sum())
-        inner = np.arange(total) - np.repeat(np.cumsum(lens_v) - lens_v,
-                                             lens_v)
-        src = np.repeat(sup_offs[ents_v], lens_v) + inner
+        src = flat_positions(sup_offs[ents_v], lens_v)
         feat = sup_feat[src]
         rows = np.repeat(valid_slots, lens_v)
         offs_out = np.zeros(len(ents_v) + 1, np.int64)

@@ -167,6 +167,13 @@ def run_random_effects(config: WorkflowConfig,
             validation_score_dir=os.path.join(prev_dir, VALIDATION_SCORES))
 
         # ---- train job ----
+        if gdmix_config.get("model_type",
+                            constants.LOGISTIC_REGRESSION) \
+                != constants.LOGISTIC_REGRESSION:
+            # reference restriction (model_factory.py:46-47): random effects
+            # are logistic-only
+            raise ValueError(f"random effect {name}: only "
+                             f"{constants.LOGISTIC_REGRESSION} is supported")
         base_params = from_dict(Params, {
             **gdmix_config,
             "stage": constants.RANDOM_EFFECT,
@@ -186,14 +193,15 @@ def run_random_effects(config: WorkflowConfig,
         driver.run_training(base_params)
 
         # ---- evaluate ----
+        metric = _metric_name(base_params.model_type)
         result = run_evaluator(
             os.path.join(output_dir, VALIDATION_SCORES),
             os.path.join(output_dir, METRIC),
             base_params.label_column_name,
-            base_params.prediction_score_column_name, "auc",
+            base_params.prediction_score_column_name, metric,
             schema_params=base_params)
-        logger.info("random effect %s: auc = %s", name, result["auc"])
-        metrics[name] = result["auc"]
+        logger.info("random effect %s: %s = %s", name, metric, result[metric])
+        metrics[name] = result[metric]
         prev_model_name = name
     return metrics
 

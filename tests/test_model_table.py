@@ -162,3 +162,73 @@ def test_intercept_only_with_variance_falls_back(tmp_path):
     assert not isinstance(got, ModelTable)
     assert np.allclose(got["a"].theta, [0.5, 0.0])
     assert np.allclose(got["a"].variance, [0.01])
+
+
+@pytest.mark.parametrize("with_var", [False, True])
+def test_select_rows_and_deduped_last(with_var):
+    models = _mk_models(7, with_var=with_var)
+    table = ModelTable.from_models(models, True)
+    sub = table.select_rows(np.asarray([5, 1, 1, 3]))
+    assert list(sub.ids) == ["ent005", "ent001", "ent001", "ent003"]
+    _assert_same_model(sub.row_model(0), models["ent005"])
+    _assert_same_model(sub.row_model(2), models["ent001"])
+    # unique ids → deduped_last is a no-op (same object)
+    assert table.deduped_last() is table
+    # duplicate ids: keep the LAST row per id, in first-occurrence order
+    # (dict last-wins), exactly what repeated out[eid] = sm produced
+    dup = ModelTable.concat([table.select_rows(np.asarray([2, 4])),
+                             table.select_rows(np.asarray([4, 0]))],
+                            has_intercept=True, with_variance=with_var)
+    # fake a retrained duplicate: perturb the second ent004 row
+    dup.coef_vals[dup.offs[2]:dup.offs[3]] += 1.0
+    d = dup.deduped_last()
+    assert list(d.ids) == ["ent002", "ent004", "ent000"]
+    np.testing.assert_allclose(
+        d["ent004"].theta[1:], models["ent004"].theta[1:] + 1.0)
+    _assert_same_model(d["ent002"], models["ent002"])
+
+
+def test_fit_groups_dedups_overflow_group_duplicates():
+    """A capped entity whose overflow groups reach fit_groups as separate
+    FlatGroups rows must yield ONE model per entity id (the dict path's
+    last-wins), not one per group — and the export must write unique
+    modelIds (reference writes one BayesianLinearModel record per entity)."""
+    from gdmix_tpu.data.bucketing import FlatGroups
+    from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+    from gdmix_tpu.params import Params, REParams, from_dict
+
+    rng = np.random.default_rng(3)
+    # entity u1 appears twice (two overflow groups), u0/u2 once
+    eids = np.asarray(["u0", "u1", "u1", "u2"], object)
+    counts = np.asarray([4, 3, 5, 6], np.int64)
+    N = int(counts.sum())
+    K, D = 3, 8
+    fg = FlatGroups(
+        entity_ids=eids, counts=counts,
+        columns={"label": rng.integers(0, 2, N).astype(np.float64),
+                 "uid": np.arange(N, dtype=np.int64)},
+        indices=rng.integers(0, D, (N, K)).astype(np.int64),
+        values=rng.normal(size=(N, K)),
+        rec_nnz=np.full(N, K, np.int32))
+    base = from_dict(Params, {"stage": "random_effect",
+                              "label_column_name": "label"})
+    mp = from_dict(REParams, {"partition_entity": "entity",
+                              "feature_bag": "bag",
+                              "metadata_file": "unused",
+                              "training_data_dir": "unused",
+                              "output_model_dir": "unused"})
+    model = RandomEffectLRModel.__new__(RandomEffectLRModel)
+    model.model_params = mp
+    model.base_params = base
+    model.has_intercept = True
+    model.variance_mode = None
+    model.dtype = np.float64
+
+    class _Schema:
+        label_column_name = "label"
+        weight_column_name = None
+        uid_column_name = "uid"
+
+    out = model.fit_groups(fg, {}, _Schema())
+    assert sorted(out) == ["u0", "u1", "u2"]
+    assert len(out) == 3  # not 4: the duplicate u1 group deduped last-wins
