@@ -190,9 +190,27 @@ def bucketize_flat(fg: FlatGroups,
     """bucketize() on the columnar representation — identical buckets, no
     per-entity python. All compaction (per-entity unique features, local ids)
     runs as one global lexsort + segmented cumsum."""
+    return list(iter_bucketize_flat(
+        fg, schema_params, offset_column_name, has_intercept=has_intercept,
+        prior_models=prior_models, min_bucket_rows=min_bucket_rows,
+        batch_align=batch_align, nnz_align=nnz_align))
+
+
+def iter_bucketize_flat(fg: FlatGroups,
+                        schema_params,
+                        offset_column_name: str,
+                        has_intercept: bool = True,
+                        prior_models: Optional[Dict[str, SparseModel]] = None,
+                        min_bucket_rows: int = 8,
+                        batch_align: int = 8,
+                        nnz_align: int = 4):
+    """Generator form of bucketize_flat: yields each tier's EntityBucket as
+    soon as it is marshaled, so a caller can dispatch tier t's device solve
+    while tier t+1 is still being built on the host (fit_groups pipelines the
+    RE stage this way — the device is busy during ~all of the host marshal)."""
     E = len(fg.entity_ids)
     if E == 0:
-        return []
+        return
     prior_models = prior_models or {}
     counts = np.asarray(fg.counts, np.int64)
     # zero-record entities are legal (the object path buckets them as
@@ -208,12 +226,14 @@ def bucketize_flat(fg: FlatGroups,
         rec_nnz = (np.asarray(fg.rec_nnz, np.int64) if fg.rec_nnz is not None
                    else np.full(N, K, np.int64))
         valid = np.arange(K)[None, :] < rec_nnz[:, None]          # [N, K]
-        # masked broadcast extraction beats np.repeat-with-array by ~50x
-        flat_ent = np.broadcast_to(ent_of_rec[:, None], (N, K))[valid]
-        flat_rec = np.broadcast_to(np.arange(N)[:, None], (N, K))[valid]
-        flat_col = np.broadcast_to(np.arange(K)[None, :], (N, K))[valid]
-        flat_fid = fg.indices[valid].astype(np.int64)
-        flat_val = fg.values[valid]
+        # one flatnonzero + five M-sized gathers instead of five [N, K]
+        # boolean extractions (each extraction rescans the mask)
+        flat_pos = np.flatnonzero(valid.ravel())                  # [M]
+        flat_rec = flat_pos // K
+        flat_col = flat_pos - flat_rec * K
+        flat_ent = ent_of_rec[flat_rec]
+        flat_fid = fg.indices.ravel()[flat_pos].astype(np.int64)
+        flat_val = fg.values.ravel()[flat_pos]
         # entries are entity-contiguous, so one combined-key argsort replaces
         # the 2-key lexsort; ties (duplicate (entity, fid)) need no stability
         fid_span = int(flat_fid.max()) + 1 if flat_fid.size else 1
@@ -288,11 +308,11 @@ def bucketize_flat(fg: FlatGroups,
 
     rec_tier = tier[ent_of_rec]
     entry_tier = tier[flat_ent] if len(flat_ent) else flat_ent
-    buckets: List[EntityBucket] = []
-    for t in range(len(caps)):
+
+    def _build_tier(t: int) -> Optional[EntityBucket]:
         members = np.flatnonzero(tier == t)
         if members.size == 0:
-            continue
+            return None
         n_cap = int(caps[t])
         b_real = members.size
         b = max(batch_align, _next_pow2(b_real))
@@ -373,12 +393,30 @@ def bucketize_flat(fg: FlatGroups,
                       if u_counts[gi] else np.zeros(1, np.int64))
                 theta0[slot] = _warm_start(uq, prior, has_intercept, u)
 
-        buckets.append(EntityBucket(
+        return EntityBucket(
             entity_ids=list(eids_arr[members]), indices=indices, values=values,
             offsets=offsets, labels=labels, weights=weights, uids=uids,
             sample_count=sample_count, unique_global_indices=unique_g,
-            u_count=u_count, theta0=theta0))
-    return buckets
+            u_count=u_count, theta0=theta0)
+
+    # Marshal tiers on a small thread pool (the big numpy fills/gathers/
+    # scatters release the GIL) and yield in tier order as each completes —
+    # callers can dispatch tier t's device solve while later tiers are still
+    # being built.
+    from concurrent.futures import ThreadPoolExecutor
+    live = [t for t in range(len(caps))]
+    if len(live) <= 1:
+        for t in live:
+            bucket = _build_tier(t)
+            if bucket is not None:
+                yield bucket
+        return
+    with ThreadPoolExecutor(max_workers=min(4, len(live))) as ex:
+        futures = [ex.submit(_build_tier, t) for t in live]
+        for fut in futures:
+            bucket = fut.result()
+            if bucket is not None:
+                yield bucket
 
 
 def bucketize(groups: Sequence[EntityGroup],

@@ -213,11 +213,22 @@ class FixedEffectLRModel(Model):
 
         p = self.model_params
         # the fused kernels assume the intercept-last layout with an intercept
-        if p.grad_mode in ("pallas", "pallas_block") and self.has_intercept:
+        if p.grad_mode in ("pallas", "pallas_block", "pallas_gather") \
+                and self.has_intercept:
+            kernel_kw = {}
             if p.grad_mode == "pallas_block":
                 from gdmix_tpu.ops.pallas.fe_block import (
                     fe_loss_grad_block_pallas as _pallas_fn)
                 tile = 1024
+            elif p.grad_mode == "pallas_gather":
+                from gdmix_tpu.ops.pallas.fe_gather import (
+                    fe_loss_grad_gather_pallas as _pallas_fn)
+                tile = 2048
+                # scatter-dot precision follows block_precision ("highest"/
+                # "float32"→bf16x3/"default"); the gather side is exact f32
+                kernel_kw = dict(
+                    precision_name={"highest": "highest", "float32": "high",
+                                    "default": "default"}[p.block_precision])
             else:
                 from gdmix_tpu.ops.pallas.fe_grad import (TILE,
                                                           fe_loss_grad_pallas)
@@ -235,7 +246,7 @@ class FixedEffectLRModel(Model):
                 v, g = _pallas_fn(
                     x, bb.indices, bb.values, bb.labels, bb.weights, bb.offsets,
                     num_features, linear=(self.model_type == "linear_regression"),
-                    interpret=interpret)
+                    interpret=interpret, **kernel_kw)
                 lv, lg = l2_value_and_grad(
                     x, self.l2_reg_weight, has_intercept=self.has_intercept,
                     regularize_bias=self.is_regularize_bias, intercept_at_end=True)

@@ -314,16 +314,17 @@ class RandomEffectLRModel(Model):
         The result is an immutable columnar ModelTable in the common layouts
         (a plain dict only when the prior mixes variance presence); callers
         needing a mutable dict should wrap it with dict(...)."""
-        from gdmix_tpu.data.bucketing import FlatGroups, bucketize_flat
+        from gdmix_tpu.data.bucketing import FlatGroups, iter_bucketize_flat
         logger.info("Training %d entities", len(groups))
-        bucketize_fn = (bucketize_flat if isinstance(groups, FlatGroups)
+        bucketize_fn = (iter_bucketize_flat if isinstance(groups, FlatGroups)
                         else bucketize)
         buckets = bucketize_fn(groups, schema_params,
                                self.model_params.offset_column_name,
                                has_intercept=self.has_intercept,
                                prior_models=model_weights)
-        # dispatch every bucket's solve before fetching any result: device work
-        # for bucket k+1 overlaps the host marshaling of bucket k (on remote
+        # dispatch every bucket's solve before fetching any result, and (flat
+        # path) consume buckets from the marshaling GENERATOR: tier t solves on
+        # device while the host is still building tier t+1's arrays (on remote
         # relays this also hides one round-trip per bucket)
         pending = [(bucket, self._dispatch_bucket(bucket)) for bucket in buckets]
         new = ModelTable.concat(

@@ -165,7 +165,7 @@ class FixedLRParams(LRParams):
     # (ops/pallas/fe_grad.py), "pallas_block" the fused two-level kernel
     # (ops/pallas/fe_block.py — measured alternative, see its docstring),
     # "auto" picks by feature count
-    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"
+    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"|"pallas_gather"
     onehot_max_features: int = 16384
     block_min_features: int = 1024  # auto: block above, onehot at/below
     block_chunk_size: int = 8192    # records per scan step in block mode
