@@ -279,7 +279,8 @@ def iter_bucketize_flat(fg: FlatGroups,
     # with its current support in one searchsorted instead of per-entity
     # python. Produces flat (entity, local_pos, value) scatter triples.
     warm = None
-    from gdmix_tpu.io.model_table import ModelTable, intersect_prior_support
+    from gdmix_tpu.io.model_table import (ModelTable, flat_positions,
+                                          intersect_prior_support)
     eids_arr = np.asarray(fg.entity_ids, dtype=object)
     if (isinstance(prior_models, ModelTable) and len(prior_models)
             and prior_models.has_intercept == has_intercept):
@@ -289,6 +290,15 @@ def iter_bucketize_flat(fg: FlatGroups,
         ents = np.flatnonzero(hasp)
         fid_hi = max(int(prior_models.coef_ids.max(initial=0)),
                      int(uniq_fid.max(initial=0))) + 1
+        if E * fid_hi >= (1 << 62):
+            # the whole-table max can be inflated by prior rows that are not
+            # even in this FlatGroups (e.g. another partition's feature space);
+            # recompute over the MATCHED rows only before giving up on the
+            # vectorized path
+            lens_m = prior_models.lens[prow[ents]]
+            src_m = flat_positions(prior_models.offs[prow[ents]], lens_m)
+            fid_hi = max(int(prior_models.coef_ids[src_m].max(initial=0)),
+                         int(uniq_fid.max(initial=0))) + 1
         if E * fid_hi < (1 << 62):  # else: combined key would overflow int64
             sup_keys = uniq_ent * fid_hi + uniq_fid    # sorted (entity-major)
             p_ent, p_fid, p_val, pos_c, hit = intersect_prior_support(

@@ -233,22 +233,32 @@ def export_model_table_to_avro(table, feature_file: Optional[str],
         return avro.write_encoded_blocks(
             output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, blocks)
 
-    # fallback: materialize per-entity lists and delegate to the per-record
-    # writer — ONE home for the record-generation rules (bias tuples,
-    # variance pairing, intercept-only dummy weights)
+    # fallback: stream rows one at a time through gen_one_avro_model (the one
+    # home for record formatting: NTV ordering, threshold, intercept-first) —
+    # O(1) python objects per record, matching the per-record writer
     off = 1 if table.has_intercept else 0
-    sms = [table.row_model(row) for row in range(len(table))]
-    biases = None
-    if table.has_intercept:
-        biases = [(sm.theta[0], sm.variance[0]) if sm.variance is not None
-                  else sm.theta[0] for sm in sms]
-    weight_indices = [sm.unique_global_indices for sm in sms]
-    weight_values = [(sm.theta[off:], sm.variance[off:])
-                     if sm.variance is not None else sm.theta[off:]
-                     for sm in sms]
-    return export_linear_model_to_avro(
-        list(table.ids), weight_indices, weight_values, biases,
-        feature_file, output_file, model_class, sparsity_threshold)
+
+    def gen_records() -> Iterator[dict]:
+        for row in range(len(table)):
+            sm = table.row_model(row)
+            bias = None
+            if table.has_intercept:
+                bias = ((sm.theta[0], sm.variance[0])
+                        if sm.variance is not None else sm.theta[0])
+            if feature_list is None:
+                yield gen_one_avro_model(str(sm.model_id), model_class, None,
+                                         None, bias, feature_list,
+                                         sparsity_threshold)
+            else:
+                weights = ((sm.theta[off:], sm.variance[off:])
+                           if sm.variance is not None else sm.theta[off:])
+                yield gen_one_avro_model(str(sm.model_id), model_class,
+                                         sm.unique_global_indices, weights,
+                                         bias, feature_list,
+                                         sparsity_threshold)
+
+    return avro.write_records(output_file, BAYESIAN_LINEAR_MODEL_SCHEMA,
+                              gen_records())
 
 
 def _table_from_parse(parsed, feature_list, has_intercept: bool):

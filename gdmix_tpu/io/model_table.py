@@ -43,10 +43,15 @@ def flat_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray,
                  src: np.ndarray, src_starts: np.ndarray,
                  lens: np.ndarray) -> None:
-    """dst[dst_starts[i] + j] = src[src_starts[i] + j] for j < lens[i]."""
-    if int(lens.sum()) == 0:
+    """dst[dst_starts[i] + j] = src[src_starts[i] + j] for j < lens[i].
+    The inner-offset expansion is computed once and shared by both sides
+    (this runs several times per partition merge over all coefficients)."""
+    total = int(lens.sum())
+    if total == 0:
         return
-    dst[flat_positions(dst_starts, lens)] = src[flat_positions(src_starts, lens)]
+    inner = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    dst[np.repeat(dst_starts, lens) + inner] = \
+        src[np.repeat(src_starts, lens) + inner]
 
 
 def intersect_prior_support(prior: "ModelTable", ent_of_row: np.ndarray,

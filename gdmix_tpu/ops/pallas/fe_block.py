@@ -57,6 +57,31 @@ def _col(arr, kk: int):
                    axis=1, keepdims=True)
 
 
+def loss_residual(z, y, linear: bool):
+    """(per-sample loss, dloss/dz) — shared by every fused FE kernel."""
+    if linear:
+        return (y - z) * (y - z), 2.0 * (z - y)
+    per = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return per, jax.nn.sigmoid(z) - y
+
+
+def scatter_pass(idx, data, r, *, k: int, iota_a, iota_l, precision):
+    """The one-hot matmul scatter Σ_k (onehot_A(idx_k//128) ⊙ v_k·r)ᵀ ·
+    onehot(idx_k%128) → [A, 128] — shared by every fused FE kernel. One-hots
+    are built in-register (fusing the ce multiply into the hi compare)."""
+    a_blocks = iota_a.shape[1]
+    g2 = jnp.zeros((a_blocks, LANE), jnp.float32)
+    for kk in range(k):
+        idx_k = _col(idx, kk)
+        ce_k = _col(data, kk) * r                          # [T, 1]
+        hi_ce = jnp.where(idx_k // LANE == iota_a, ce_k, 0.0)  # [T, A]
+        lo_k = (idx_k % LANE == iota_l).astype(jnp.float32)    # [T, 128]
+        g2 = g2 + jax.lax.dot_general(
+            hi_ce, lo_k, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    return g2
+
+
 def _kernel(idx_ref, data_ref, theta_ref, b_ref, loss_ref, g2_ref, rsum_ref,
             *, k: int, a_blocks: int, tile: int, linear: bool,
             precision):
@@ -90,29 +115,14 @@ def _kernel(idx_ref, data_ref, theta_ref, b_ref, loss_ref, g2_ref, rsum_ref,
     w = _col(data, k + 1)
     off = _col(data, k + 2)
     z = z + off + b_ref[0, 0]
-    if linear:
-        per = (y - z) * (y - z)
-        dz = 2.0 * (z - y)
-    else:
-        per = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-        dz = jax.nn.sigmoid(z) - y
+    per, dz = loss_residual(z, y, linear)
     r = w * dz                                             # [T, 1]
     loss_ref[0, 0] += jnp.sum(w * per)
     rsum_ref[0, 0] += jnp.sum(r)
 
-    # pass 2: scatter g2 += Σ_k (hi_k ⊙ v_k·r)ᵀ·lo_k  (dim-0 contraction);
-    # one-hots are rebuilt in-register (fusing the ce multiply into the hi
-    # compare) — cheaper than stashing/reloading them through VMEM scratch
-    g2 = jnp.zeros((a_blocks, LANE), jnp.float32)
-    for kk in range(k):
-        idx_k = _col(idx, kk)
-        ce_k = _col(data, kk) * r                          # [T, 1]
-        hi_ce = jnp.where(idx_k // LANE == iota_a, ce_k, 0.0)  # [T, A]
-        lo_k = (idx_k % LANE == iota_l).astype(jnp.float32)    # [T, 128]
-        g2 = g2 + jax.lax.dot_general(
-            hi_ce, lo_k, (((0,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
-    g2_ref[...] += g2
+    # pass 2: scatter g2 += Σ_k (hi_k ⊙ v_k·r)ᵀ·lo_k (dim-0 contraction)
+    g2_ref[...] += scatter_pass(idx, data, r, k=k, iota_a=iota_a,
+                                iota_l=iota_l, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("num_features", "linear", "tile",

@@ -7,13 +7,13 @@ pure one-hot traffic), and the fused one-hot kernel (ops/pallas/fe_block.py)
 recomputes them in VMEM but burns MXU passes re-deriving θ[idx] as
 onehot(hi)·θ₂ ⊙ onehot(lo) — per-entry A·128 MACs to select ONE scalar.
 
-Here pass 1 is a true dynamic gather from a VMEM-resident θ (Mosaic lowers
-`jnp.take` on TPU v4+): gathered[t,k] = θ[idx[t,k]] — exact f32, no MXU, no
-one-hot. Pass 2 (the scatter Xᵀr) keeps the one-hot matmul form — TPU has no
-vectorized scatter ALU, and contraction-over-records dots are MXU-shaped:
+Here pass 1 is a true dynamic gather from a VMEM-resident θ via `jnp.take`:
+gathered[t,k] = θ[idx[t,k]] — exact f32, no MXU, no one-hot. Pass 2 (the
+scatter Xᵀr) keeps the one-hot matmul form — TPU has no vectorized scatter
+ALU, and contraction-over-records dots are MXU-shaped:
 
   per grid step (T records):
-    pass 1: G = take(θ, idx)            [T, K] VMEM gather
+    pass 1: G = take(θ, idx)            [T, K+3] VMEM gather (3 pad columns)
             z = Σ_k v ⊙ G + off + b     [T, 1]
             r = w·(σ(z) − y)            (or 2w(z−y) linear)
     pass 2: per k: hi_ce = onehot_A(idx_k//128) ⊙ (v_k·r)   [T, A]
@@ -22,33 +22,26 @@ vectorized scatter ALU, and contraction-over-records dots are MXU-shaped:
 
 HBM traffic = the data exactly once (idx+values+y/w/off) + the [A,128]
 accumulator; gather precision is exact f32 (better than the block path's
-bf16x3 HIGH dots). Replaces the reference hot loop
-fixed_effect_lr_lbfgs_model.py:309-392.
+bf16x3 HIGH dots). The indices ride pre-padded to [N, K+3] so the kernel
+never lane-slices (Mosaic rejects in-kernel lane slicing; the 3 extra gather
+lanes hit θ[0] and are zeroed by the value columns' iota mask). Replaces the
+reference hot loop fixed_effect_lr_lbfgs_model.py:309-392.
 
-Availability is probed at import-use time (`gather_supported()`): Mosaic
-versions without `jnp.take` lowering fall back to the block paths.
+This mode is OPT-IN (grad_mode=pallas_gather): Mosaic versions that cannot
+lower `jnp.take` raise at jit-compile time — pick `block`/`pallas_block`
+there. The shared residual/scatter pieces live in ops/pallas/fe_block.py.
 """
 from __future__ import annotations
 
 import functools
-import logging
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-logger = logging.getLogger(__name__)
-
-LANE = 128
-
-
-def _col(arr, kk: int):
-    """Column kk of a [T, L] tile as [T, 1] (no lane slicing in Mosaic)."""
-    t, l = arr.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t, l), 1)
-    return jnp.sum(jnp.where(lane == kk, arr, jnp.zeros_like(arr)),
-                   axis=1, keepdims=True)
+from gdmix_tpu.ops.pallas.fe_block import (LANE, _col, loss_residual,
+                                           scatter_pass)
 
 
 def _kernel(idx_ref, data_ref, theta_ref, b_ref, loss_ref, g2_ref, rsum_ref,
@@ -61,41 +54,30 @@ def _kernel(idx_ref, data_ref, theta_ref, b_ref, loss_ref, g2_ref, rsum_ref,
         rsum_ref[0, 0] = jnp.float32(0.0)
         g2_ref[...] = jnp.zeros_like(g2_ref)
 
-    idx = idx_ref[...]            # [T, K] int32
+    idx = idx_ref[...]            # [T, K+3] int32 (3 zero pad columns)
     data = data_ref[...]          # [T, K+3] f32: values | y | w | off
 
     # ---- pass 1: exact VMEM gather ----
     theta_flat = theta_ref[...].reshape(a_blocks * LANE)
-    gathered = jnp.take(theta_flat, idx, axis=0)        # [T, K]
-    z = jnp.sum(data[:, :k] * gathered, axis=1, keepdims=True)   # [T, 1]
+    gathered = jnp.take(theta_flat, idx, axis=0)            # [T, K+3]
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, (tile, k + 3), 1)
+    vals = jnp.where(lanepos < k, data, 0.0)                # zero y/w/off cols
+    z = jnp.sum(vals * gathered, axis=1, keepdims=True)     # [T, 1]
 
     y = _col(data, k)
     w = _col(data, k + 1)
     off = _col(data, k + 2)
     z = z + off + b_ref[0, 0]
-    if linear:
-        per = (y - z) * (y - z)
-        dz = 2.0 * (z - y)
-    else:
-        per = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-        dz = jax.nn.sigmoid(z) - y
-    r = w * dz                                             # [T, 1]
+    per, dz = loss_residual(z, y, linear)
+    r = w * dz                                              # [T, 1]
     loss_ref[0, 0] += jnp.sum(w * per)
     rsum_ref[0, 0] += jnp.sum(r)
 
     # ---- pass 2: one-hot matmul scatter (contraction over records) ----
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (tile, a_blocks), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 1)
-    g2 = jnp.zeros((a_blocks, LANE), jnp.float32)
-    for kk in range(k):
-        idx_k = _col(idx, kk)
-        ce_k = _col(data, kk) * r                          # [T, 1]
-        hi_ce = jnp.where(idx_k // LANE == iota_a, ce_k, 0.0)  # [T, A]
-        lo_k = (idx_k % LANE == iota_l).astype(jnp.float32)    # [T, 128]
-        g2 = g2 + jax.lax.dot_general(
-            hi_ce, lo_k, (((0,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
-    g2_ref[...] += g2
+    g2_ref[...] += scatter_pass(idx, data, r, k=k, iota_a=iota_a,
+                                iota_l=iota_l, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("num_features", "linear", "tile",
@@ -120,6 +102,8 @@ def fe_loss_grad_gather_pallas(x, indices, values, labels, weights, offsets,
     w_vec, b = x[:-1], x[-1]
     theta2 = jnp.zeros((d_pad,), jnp.float32).at[:d].set(
         w_vec.astype(jnp.float32)).reshape(a_blocks, LANE)
+    idx_pad = jnp.concatenate(
+        [indices.astype(jnp.int32), jnp.zeros((n, 3), jnp.int32)], axis=1)
     data = jnp.concatenate(
         [values.astype(jnp.float32),
          labels.reshape(n, 1).astype(jnp.float32),
@@ -132,7 +116,8 @@ def fe_loss_grad_gather_pallas(x, indices, values, labels, weights, offsets,
         kernel,
         grid=(n // tile,),
         in_specs=[
-            pl.BlockSpec((tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k + 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, k + 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((a_blocks, LANE), lambda i: (0, 0),
@@ -153,6 +138,6 @@ def fe_loss_grad_gather_pallas(x, indices, values, labels, weights, offsets,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(indices, data, theta2, jnp.asarray(b, jnp.float32)[None, None])
+    )(idx_pad, data, theta2, jnp.asarray(b, jnp.float32)[None, None])
     grad_full = jnp.concatenate([g2.reshape(-1)[:d], rsum[0]])
     return loss[0, 0], grad_full.astype(x.dtype)

@@ -156,6 +156,13 @@ class InMemoryPipeline:
             re_config.pop("num_partitions", None)
             min_samples = re_config.pop("min_samples", None)
             max_samples = re_config.pop("max_samples", None)
+            if re_gdmix.get("model_type", constants.LOGISTIC_REGRESSION) \
+                    != constants.LOGISTIC_REGRESSION:
+                # reference restriction (model_factory.py:46-47): random
+                # effects are logistic-only
+                raise ValueError(f"random effect {name}: only "
+                                 f"{constants.LOGISTIC_REGRESSION} is "
+                                 f"supported")
             re_params = from_dict(Params, {**re_gdmix,
                                            "stage": constants.RANDOM_EFFECT})
             re_model_params = from_dict(REParams, {

@@ -120,6 +120,12 @@ def run_random_effects(config: WorkflowConfig,
     for name, re_config in config.random_effect_config.items():
         re_config = dict(re_config)
         gdmix_config = dict(re_config.pop("gdmix_config"))
+        if gdmix_config.get("model_type", constants.LOGISTIC_REGRESSION) \
+                != constants.LOGISTIC_REGRESSION:
+            # reference restriction (model_factory.py:46-47): random effects
+            # are logistic-only — checked BEFORE the partition job runs
+            raise ValueError(f"random effect {name}: only "
+                             f"{constants.LOGISTIC_REGRESSION} is supported")
         num_partitions = int(re_config.pop("num_partitions", 1))
         output_dir = os.path.join(root, name)
         if resume:
@@ -167,13 +173,6 @@ def run_random_effects(config: WorkflowConfig,
             validation_score_dir=os.path.join(prev_dir, VALIDATION_SCORES))
 
         # ---- train job ----
-        if gdmix_config.get("model_type",
-                            constants.LOGISTIC_REGRESSION) \
-                != constants.LOGISTIC_REGRESSION:
-            # reference restriction (model_factory.py:46-47): random effects
-            # are logistic-only
-            raise ValueError(f"random effect {name}: only "
-                             f"{constants.LOGISTIC_REGRESSION} is supported")
         base_params = from_dict(Params, {
             **gdmix_config,
             "stage": constants.RANDOM_EFFECT,

@@ -186,3 +186,30 @@ def test_zero_record_entities_match_object_path():
         rec_nnz=np.full(3, 4, np.int32))
     fast = bucketize_flat(fg, SP, "offset")
     _assert_equal(slow, fast)
+
+
+def test_warm_start_vectorized_despite_huge_unmatched_prior_fid():
+    """The combined-key overflow guard must be computed over MATCHED prior
+    rows: a prior model for an entity that is not in this FlatGroups, carrying
+    a huge feature id, must not knock the warm start off the vectorized path
+    (and either way the warm values must be correct)."""
+    from gdmix_tpu.io.model_table import ModelTable
+    data = _data(E=60, seed=9, D=40)
+    # prior over a few present entities (small fids) + one absent entity with
+    # a gigantic feature id that would overflow E * (fid+1) int64 keys
+    models = {}
+    for e in ("e1", "e2", "e3"):
+        models[e] = SparseModel(model_id=e,
+                                theta=np.asarray([0.5, 1.5, -2.5]),
+                                variance=None,
+                                unique_global_indices=np.asarray([2, 7]))
+    models["absent"] = SparseModel(
+        model_id="absent", theta=np.asarray([0.1, 9.9]), variance=None,
+        unique_global_indices=np.asarray([(1 << 61)]))
+    prior = ModelTable.from_models(models, has_intercept=True)
+    assert prior is not None
+    slow, fast = _both(data, prior_models=prior)
+    _assert_equal(slow, fast)
+    # the warm start actually landed: some bucket has theta0 with 1.5 or -2.5
+    hit = any(np.isin([0.5, 1.5, -2.5], b.theta0).all() for b in fast)
+    assert hit

@@ -74,3 +74,30 @@ def test_multi_sweep_improves_or_holds(ml_data, tmp_path):
     # After a second sweep the final coordinate's AUC must not regress
     # (coordinate descent on a convex-per-block objective).
     assert two["per-movie"] >= one["per-movie"] - 1e-3
+
+
+def test_linear_regression_random_effect_rejected(ml_data, tmp_path):
+    """All three entry points enforce the reference's logistic-only random
+    effects (model_factory.py:46-47): the factory, the single-node workflow
+    (BEFORE the partition job runs), and the in-memory pipeline."""
+    import copy
+    from gdmix_tpu import constants
+    from gdmix_tpu.drivers.factory import get_model
+    from gdmix_tpu.params import Params, from_dict
+
+    wf = copy.deepcopy(_config(ml_data, str(tmp_path / "out")))
+    per_user = wf.random_effect_config["per-user"]
+    per_user["gdmix_config"] = dict(per_user["gdmix_config"],
+                                    model_type="linear_regression")
+    with pytest.raises(ValueError, match="logistic_regression"):
+        run_gdmix_single_node(wf)
+    # single_node must reject before creating the coordinate's output dirs
+    assert not os.path.isdir(os.path.join(str(tmp_path / "out"), "per-user",
+                                          "partition"))
+    with pytest.raises(ValueError, match="logistic_regression"):
+        run_gdmix_in_memory(wf)
+    base = from_dict(Params, {"stage": constants.RANDOM_EFFECT,
+                              "model_type": "linear_regression",
+                              "label_column_name": "response"})
+    with pytest.raises(ValueError, match="random effect"):
+        get_model(base, [])
