@@ -327,6 +327,14 @@ class RandomEffectLRModel(Model):
         # device while the host is still building tier t+1's arrays (on remote
         # relays this also hides one round-trip per bucket)
         pending = [(bucket, self._dispatch_bucket(bucket)) for bucket in buckets]
+        # start every bucket's device→host copy before fetching any: the
+        # np.asarray(device_get(...)) calls below then overlap instead of
+        # serializing one round trip per array (significant on relay-attached
+        # chips where each fetch carries tunnel latency)
+        for _, solved in pending:
+            for t in solved:
+                if hasattr(t, "copy_to_host_async"):
+                    t.copy_to_host_async()
         new = ModelTable.concat(
             [self._collect_bucket_table(bucket, solved)
              for bucket, solved in pending],
