@@ -8,6 +8,11 @@ Modes:
                 with --compile_dag_to, emit the job DAG instead of running
   dag         — generate the job DAG and EXECUTE it (one subprocess per job,
                 dependency-ordered — the reference's launcher role)
+  kubernetes  — compile the DAG to batch/v1 Job manifests (+ headless
+                Services for multi-host trainer stages) under
+                --k8s_output_dir; with --launch, drive them through kubectl
+                in dependency order (the reference's KFP/TFJob-launcher role,
+                container_ops.py:22-190 + launch_crd.py:25-152)
 """
 from __future__ import annotations
 
@@ -27,7 +32,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--config_path", required=True)
     parser.add_argument("--mode", default="single_node",
                         choices=["single_node", "in_memory", "distributed",
-                                 "dag"])
+                                 "dag", "kubernetes"])
+    parser.add_argument("--k8s_output_dir", default="k8s-manifests",
+                        help="manifest output directory (kubernetes mode)")
+    parser.add_argument("--launch", action="store_true",
+                        help="kubernetes mode: launch the compiled plan "
+                             "through kubectl and wait for completion")
+    parser.add_argument("--namespace", default="default",
+                        help="kubernetes namespace (kubernetes mode)")
     parser.add_argument("--num_sweeps", type=int, default=1,
                         help="coordinate-descent sweeps (in_memory mode)")
     parser.add_argument("--compile_dag_to", default=None,
@@ -51,6 +63,18 @@ def main(args=None) -> dict:
     if args.mode == "distributed":
         from gdmix_tpu.workflow.distributed import maybe_initialize_distributed
         maybe_initialize_distributed()
+    if args.mode == "kubernetes":
+        from gdmix_tpu.workflow.k8s import compile_kubernetes, launch_dag
+        plan = compile_kubernetes(args.config_path, args.k8s_output_dir,
+                                  namespace=args.namespace)
+        if args.launch:
+            order = launch_dag(args.k8s_output_dir,
+                               namespace=args.namespace)
+            logger.info("kubernetes plan complete: %s", order)
+            return {"jobs": order}
+        logger.info("compiled %d jobs to %s (use --launch to run)",
+                    len(plan), args.k8s_output_dir)
+        return {"jobs": [j["name"] for j in plan]}
     if args.mode == "dag":
         from gdmix_tpu.workflow.config import WorkflowConfig
         from gdmix_tpu.workflow.distributed import (execute_job_dag,
