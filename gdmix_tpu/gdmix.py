@@ -43,6 +43,12 @@ def run(argv) -> None:
     if not argv or "--help" in argv or "-h" in argv:
         _print_help()
         return
+    # consume the multi-host env contract (COORDINATOR_ADDRESS/NUM_PROCESSES/
+    # PROCESS_ID) if present — the trainer itself is distribution-aware, like
+    # the reference consuming TF_CONFIG inside the trainer
+    # (fixed_effect_driver.py:26-58); no-op when the env is absent
+    from gdmix_tpu.workflow.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
     params = from_argv(Params, argv)
     driver = get_driver(params, argv)
     if params.action == constants.ACTION_INFERENCE:

@@ -154,6 +154,27 @@ def generate_job_dag(config: WorkflowConfig) -> List[dict]:
     return jobs
 
 
+def iter_dependency_order(jobs: List[dict]):
+    """Yield jobs serially in dependency order: a job appears only after all
+    of its `depends_on` have been yielded. Raises on unknown deps/deadlock.
+    Shared by the kubectl launcher (k8s.launch_dag) and usable by any other
+    one-at-a-time runner; execute_job_dag below is the parallel variant."""
+    by_name = {j["name"]: j for j in jobs}
+    unknown = {d for j in jobs for d in j["depends_on"]} - set(by_name)
+    if unknown:
+        raise RuntimeError(f"DAG references unknown jobs: {sorted(unknown)}")
+    done: set = set()
+    pending = dict(by_name)
+    while pending:
+        name = next((n for n, j in pending.items()
+                     if all(d in done for d in j["depends_on"])), None)
+        if name is None:
+            raise RuntimeError(f"DAG deadlock among {sorted(pending)} "
+                               f"(done: {sorted(done)})")
+        yield pending.pop(name)
+        done.add(name)
+
+
 def execute_job_dag(jobs: List[dict], max_parallel: int = 1,
                     env: Optional[Dict[str, str]] = None,
                     timeout_per_job: float = 3600.0) -> List[str]:

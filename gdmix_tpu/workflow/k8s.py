@@ -46,7 +46,22 @@ _TRAINER_TYPES = {"gdmix_tpu_train"}
 def _sanitize(name: str) -> str:
     """RFC-1123 label: lowercase alphanumerics and '-'."""
     out = "".join(c if c.isalnum() else "-" for c in name.lower())
-    return out.strip("-")[:63]
+    return out.strip("-")[:63].rstrip("-")
+
+
+def _unique_names(jobs: List[dict]) -> Dict[str, str]:
+    """DAG name → sanitized K8s name, de-duplicated: sanitization can
+    collapse distinct names ('per_user' vs 'per-user') — collisions get a
+    deterministic numeric suffix so no plan entry silently shadows another."""
+    out: Dict[str, str] = {}
+    seen: Dict[str, int] = {}
+    for j in jobs:
+        base = _sanitize(j["name"])
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        out[j["name"]] = base if n == 0 else \
+            _sanitize(f"{base[:57]}-{n + 1}")
+    return out
 
 
 def job_manifest(job: dict, *,
@@ -61,7 +76,8 @@ def job_manifest(job: dict, *,
                  data_volume: Optional[dict] = None,
                  env: Optional[Dict[str, str]] = None,
                  backoff_limit: int = 2,
-                 coordinator_port: int = 8476) -> List[dict]:
+                 coordinator_port: int = 8476,
+                 k8s_name: Optional[str] = None) -> List[dict]:
     """One DAG node → [batch/v1 Job] (+ headless Service when multi-host).
 
     Multi-host trainer Jobs use Indexed completion: pod i exports
@@ -71,7 +87,7 @@ def job_manifest(job: dict, *,
     TPU pods carry the GKE node selectors + `google.com/tpu` chip requests
     (the accelerator/topology pair selects the slice shape).
     """
-    name = _sanitize(job["name"])
+    name = k8s_name or _sanitize(job["name"])
     is_trainer = job["type"] in _TRAINER_TYPES
     hosts = num_hosts if is_trainer else 1
 
@@ -97,6 +113,10 @@ def job_manifest(job: dict, *,
             "metadata": {"name": name, "namespace": namespace,
                          "labels": {"app": name}},
             "spec": {"clusterIP": "None",
+                     # workers must resolve pod 0's DNS BEFORE it is Ready
+                     # (jax.distributed.initialize runs at startup on all
+                     # pods at once) — same as StatefulSet/JobSet coordinators
+                     "publishNotReadyAddresses": True,
                      "selector": {"job-name": name},
                      "ports": [{"port": coordinator_port,
                                 "name": "jax-coordinator"}]},
@@ -170,20 +190,29 @@ def compile_kubernetes(config_path: str, output_dir: str,
     knobs.update(overrides)
 
     dag = generate_job_dag(config)
+    if len(dag) > 1 and not knobs.get("data_volume"):
+        logger.warning(
+            "k8s_config.data_volume is not set: stages hand artifacts to each "
+            "other through %s, which must be shared storage mounted into every "
+            "pod (set data_volume, or bake a shared mount into the image) — "
+            "without it each Job writes to its pod's ephemeral filesystem and "
+            "downstream Jobs will fail.", config.output_dir)
+    names = _unique_names(dag)
+    namespace = knobs.get("namespace", "default")
     os.makedirs(output_dir, exist_ok=True)
     plan = []
     for i, job in enumerate(dag):
-        manifests = job_manifest(job, **knobs)
-        fname = f"{i:02d}-{_sanitize(job['name'])}.yaml"
+        manifests = job_manifest(job, k8s_name=names[job["name"]], **knobs)
+        fname = f"{i:02d}-{names[job['name']]}.yaml"
         with open(os.path.join(output_dir, fname), "w") as f:
             yaml.safe_dump_all(manifests, f, sort_keys=False)
-        plan.append({"name": _sanitize(job["name"]),
+        plan.append({"name": names[job["name"]],
                      "manifest": fname,
-                     "depends_on": [_sanitize(d)
-                                    for d in job["depends_on"]],
+                     "depends_on": [names[d] for d in job["depends_on"]],
                      "type": job["type"]})
     with open(os.path.join(output_dir, "plan.json"), "w") as f:
-        json.dump({"name": "gdmix-tpu-workflow", "jobs": plan}, f, indent=2)
+        json.dump({"name": "gdmix-tpu-workflow", "namespace": namespace,
+                   "jobs": plan}, f, indent=2)
     logger.info("Compiled %d jobs to %s", len(plan), output_dir)
     return plan
 
@@ -191,8 +220,12 @@ def compile_kubernetes(config_path: str, output_dir: str,
 # ------------------------------------------------------------- launcher ----
 
 
-def _kubectl(args: List[str], kubectl: str = "kubectl") -> str:
-    proc = subprocess.run([kubectl] + args, capture_output=True, text=True)
+def _kubectl(args: List[str], kubectl: str = "kubectl",
+             timeout: float = 300.0) -> str:
+    # a per-call timeout so a hung API server surfaces as an error instead of
+    # blocking the launcher past its own job deadline forever
+    proc = subprocess.run([kubectl] + args, capture_output=True, text=True,
+                          timeout=timeout)
     if proc.returncode != 0:
         raise RuntimeError(f"{kubectl} {' '.join(args)} failed "
                            f"(exit {proc.returncode}): {proc.stderr[-2000:]}")
@@ -234,37 +267,36 @@ def launch_job(manifest_file: str, name: str, *,
         if cond == "Failed":
             raise RuntimeError(f"Job {name} failed: "
                                f"{json.dumps(obj.get('status', {}))[:2000]}")
-        if time.monotonic() + poll_interval > deadline:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
             raise RuntimeError(f"Timeout waiting for job {name} to complete")
         logger.info("Waiting for job %s (active=%s succeeded=%s)...", name,
                     obj.get("status", {}).get("active", 0),
                     obj.get("status", {}).get("succeeded", 0))
-        time.sleep(poll_interval)
+        time.sleep(min(poll_interval, remaining))
 
 
 def launch_dag(plan_dir: str, *,
-               namespace: str = "default",
+               namespace: Optional[str] = None,
                kubectl: str = "kubectl",
                timeout_per_job: float = 86400.0,
                poll_interval: float = 30.0,
                delete_after: bool = False) -> List[str]:
     """Launch a compiled plan (compile_kubernetes output dir) in dependency
     order, one Job at a time — the role the reference splits across KFP
-    `.after()` chains and per-job launcher pods. Returns completion order."""
+    `.after()` chains and per-job launcher pods. The namespace defaults to
+    the one the plan was COMPILED with (plan.json), so polling always targets
+    the namespace `kubectl apply` created the Job in. Returns completion
+    order."""
+    from gdmix_tpu.workflow.distributed import iter_dependency_order
     with open(os.path.join(plan_dir, "plan.json")) as f:
-        plan = json.load(f)["jobs"]
+        plan_obj = json.load(f)
+    ns = namespace or plan_obj.get("namespace", "default")
     done: List[str] = []
-    pending = {j["name"]: j for j in plan}
-    while pending:
-        runnable = [j for j in pending.values()
-                    if all(d in done for d in j["depends_on"])]
-        if not runnable:
-            raise RuntimeError(f"plan deadlock among {sorted(pending)}")
-        job = runnable[0]
+    for job in iter_dependency_order(plan_obj["jobs"]):
         launch_job(os.path.join(plan_dir, job["manifest"]), job["name"],
-                   namespace=namespace, kubectl=kubectl,
+                   namespace=ns, kubectl=kubectl,
                    timeout=timeout_per_job, poll_interval=poll_interval,
                    delete_after=delete_after)
         done.append(job["name"])
-        pending.pop(job["name"])
     return done

@@ -38,8 +38,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--launch", action="store_true",
                         help="kubernetes mode: launch the compiled plan "
                              "through kubectl and wait for completion")
-    parser.add_argument("--namespace", default="default",
-                        help="kubernetes namespace (kubernetes mode)")
+    parser.add_argument("--namespace", default=None,
+                        help="kubernetes namespace (kubernetes mode; "
+                             "defaults to the config's k8s_config.namespace)")
     parser.add_argument("--num_sweeps", type=int, default=1,
                         help="coordinate-descent sweeps (in_memory mode)")
     parser.add_argument("--compile_dag_to", default=None,
@@ -65,11 +66,11 @@ def main(args=None) -> dict:
         maybe_initialize_distributed()
     if args.mode == "kubernetes":
         from gdmix_tpu.workflow.k8s import compile_kubernetes, launch_dag
+        overrides = {"namespace": args.namespace} if args.namespace else {}
         plan = compile_kubernetes(args.config_path, args.k8s_output_dir,
-                                  namespace=args.namespace)
+                                  **overrides)
         if args.launch:
-            order = launch_dag(args.k8s_output_dir,
-                               namespace=args.namespace)
+            order = launch_dag(args.k8s_output_dir)
             logger.info("kubernetes plan complete: %s", order)
             return {"jobs": order}
         logger.info("compiled %d jobs to %s (use --launch to run)",

@@ -163,6 +163,78 @@ def test_launch_dag_dependency_order(tmp_path):
             assert pos[dep] < pos[name]
 
 
+def test_namespace_flows_from_config_to_plan_and_launcher(tmp_path):
+    """k8s_config.namespace must survive into the manifests AND plan.json so
+    launch_dag polls the namespace apply created the Jobs in (reference
+    launcher polls the CR's own namespace, launch_crd.py:53-55)."""
+    cfg = _write_cfg(tmp_path, extras={"k8s_config": {"namespace": "gdmix"}})
+    out = str(tmp_path / "k8s")
+    compile_kubernetes(cfg, out)
+    with open(os.path.join(out, "plan.json")) as f:
+        plan_obj = json.load(f)
+    assert plan_obj["namespace"] == "gdmix"
+    docs = list(yaml.safe_load_all(
+        open(os.path.join(out, plan_obj["jobs"][0]["manifest"]))))
+    assert docs[-1]["metadata"]["namespace"] == "gdmix"
+    # the CLI must not clobber the config's namespace with a default
+    from gdmix_tpu.workflow.main import main
+    out2 = str(tmp_path / "k8s2")
+    main(["--config_path", cfg, "--mode", "kubernetes",
+          "--k8s_output_dir", out2])
+    with open(os.path.join(out2, "plan.json")) as f:
+        assert json.load(f)["namespace"] == "gdmix"
+
+
+def test_sanitize_collisions_get_unique_names(tmp_path):
+    from gdmix_tpu.workflow.k8s import _unique_names
+    jobs = [{"name": "per_user-tf-train", "type": "gdmix_tpu_train",
+             "depends_on": [], "command": ["true"]},
+            {"name": "per-user-tf-train", "type": "gdmix_tpu_train",
+             "depends_on": [], "command": ["true"]}]
+    names = _unique_names(jobs)
+    assert len(set(names.values())) == 2
+    for n in names.values():  # valid RFC-1123 labels
+        assert n == n.strip("-") and len(n) <= 63
+
+
+def test_launch_job_timeout_respects_full_budget(tmp_path):
+    """poll_interval > timeout must not raise before the budget is spent,
+    and a job completing within the budget must succeed."""
+    import time
+    kubectl, _ = _fake_kubectl(tmp_path, polls_until_done=1)
+    manifest = tmp_path / "job.yaml"
+    manifest.write_text("apiVersion: batch/v1\nkind: Job\n")
+    t0 = time.monotonic()
+    obj = launch_job(str(manifest), "fast-job", kubectl=kubectl,
+                     poll_interval=30.0, timeout=1.0)
+    assert obj["status"]["conditions"][0]["type"] == "Complete"
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_multihost_service_publishes_not_ready_addresses(tmp_path):
+    docs = job_manifest({"name": "t", "type": "gdmix_tpu_train",
+                         "depends_on": [], "command": ["true"]},
+                        num_hosts=2)
+    svc = docs[0]
+    assert svc["spec"]["publishNotReadyAddresses"] is True
+
+
+def test_trainer_cli_consumes_distributed_env(monkeypatch):
+    """python -m gdmix_tpu.gdmix must initialize jax.distributed from the env
+    the kubernetes manifests inject (it is what the Job pods run)."""
+    import gdmix_tpu.gdmix as trainer
+    calls = {}
+    monkeypatch.setattr(
+        "gdmix_tpu.workflow.distributed.maybe_initialize_distributed",
+        lambda: calls.setdefault("init", True) or {"process_id": 0,
+                                                   "num_processes": 1})
+    with pytest.raises(Exception):
+        # params parsing fails fast on the empty flags — but only AFTER
+        # distributed init ran
+        trainer.run(["--action=train"])
+    assert calls.get("init")
+
+
 def test_workflow_main_kubernetes_mode(tmp_path):
     from gdmix_tpu.workflow.main import main
     cfg = _write_cfg(tmp_path)
