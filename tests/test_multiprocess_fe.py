@@ -166,3 +166,49 @@ def test_two_process_full_variance(tmp_path):
     H[-1, -1] -= lam
     expected = np.diagonal(np.linalg.inv(H))
     np.testing.assert_allclose(variances, expected, rtol=1e-3)
+
+
+def test_two_process_trainer_cli_env_contract(tmp_path):
+    """The EXACT command + env the kubernetes Indexed-Job pods run:
+    `python -m gdmix_tpu.gdmix` with COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID (k8s.py injects these; gdmix.py:run consumes them via
+    maybe_initialize_distributed). Two pods over two files must reproduce the
+    single-process oracle — proving the manifests actually distribute."""
+    root = str(tmp_path)
+    X, y, w = _write_dataset(root, [64, 48], seed=8)
+    os.makedirs(os.path.join(root, "models_mp"), exist_ok=True)
+    os.makedirs(os.path.join(root, "scores_mp"), exist_ok=True)
+    cmd = [sys.executable, "-m", "gdmix_tpu.gdmix",
+           "--action=train", "--stage=fixed_effect",
+           "--model_type=logistic_regression",
+           "--label_column_name=response", "--uid_column_name=uid",
+           "--weight_column_name=weight",
+           "--prediction_score_column_name=predictionScore",
+           f"--metadata_file={os.path.join(root, 'tensor_metadata.json')}",
+           f"--training_data_dir={os.path.join(root, 'trainingData')}",
+           "--feature_bag=global",
+           f"--feature_file={os.path.join(root, 'features.csv')}",
+           f"--output_model_dir={os.path.join(root, 'models_mp')}",
+           f"--training_score_dir={os.path.join(root, 'scores_mp')}",
+           "--l2_reg_weight=0.7", "--regularize_bias=False",
+           "--dtype=float64", "--lbfgs_tolerance=1e-14",
+           "--lbfgs_pgtol=1e-10", "--num_of_lbfgs_iterations=500",
+           "--sparsity_threshold=0.0"]
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    base_env.update(JAX_PLATFORMS="cpu", JAX_ENABLE_X64="true",
+                    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                    COORDINATOR_ADDRESS="127.0.0.1:9931", NUM_PROCESSES="2")
+    procs = [subprocess.Popen(cmd, env=dict(base_env, PROCESS_ID=str(pid)),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for pid, p in enumerate(procs):
+        assert p.returncode == 0, f"pod {pid} failed:\n{outs[pid]}"
+    (coeffs,) = load_linear_models_from_avro(
+        os.path.join(root, "models_mp", "part-00000.avro"),
+        os.path.join(root, "features.csv"))
+    oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
+                              regularize_bias=False)
+    np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
