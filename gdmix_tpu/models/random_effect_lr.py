@@ -585,6 +585,9 @@ class RandomEffectLRModel(Model):
         sb = route_and_bucket(mesh, arrays, shard_rows(mesh, ent_rows),
                               shard_rows(mesh, owner_pad),
                               capacity=capacity, b_cap=b_cap, n_cap=n_cap)
+        for t in (sb.dropped, sb.slot_entity, sb.slot_count):
+            if hasattr(t, "copy_to_host_async"):
+                t.copy_to_host_async()   # overlap the three fetches below
         dropped = int(np.sum(np.asarray(jax.device_get(sb.dropped))))
         assert dropped == 0, (
             f"entity routing dropped {dropped} records (capacity={capacity}, "
