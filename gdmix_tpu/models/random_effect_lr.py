@@ -747,10 +747,17 @@ class RandomEffectLRModel(Model):
         has_weight = schema_params.weight_column_name is not None and any(
             schema_params.weight_column_name in g.columns for g in groups)
         score = _group_scorer(self.has_intercept)
-        for bucket in buckets:
-            a = self._bucket_device_arrays(bucket)
+        # dispatch every bucket's scoring before fetching any result (same
+        # round-trip pipelining as fit_groups)
+        pending = [(bucket, score(self._bucket_device_arrays(bucket)))
+                   for bucket in buckets]
+        for _, solved in pending:
+            for t in solved:
+                if hasattr(t, "copy_to_host_async"):
+                    t.copy_to_host_async()
+        for bucket, solved in pending:
             z, z_pc = (np.asarray(jax.device_get(t), np.float64)
-                       for t in score(a))
+                       for t in solved)
             for slot in range(len(bucket.entity_ids)):
                 n = int(bucket.sample_count[slot])
                 uids.append(bucket.uids[slot, :n])
