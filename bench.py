@@ -352,7 +352,32 @@ def run_fe(reps: int = 4) -> float:
     return 1.0 / min(times)
 
 
+def _require_devices(timeout_s: float):
+    """Fail fast (stderr + exit 2, no JSON) when device init hangs — a dead
+    TPU relay otherwise blocks the bench forever. A cold relay's first
+    contact can take minutes, hence the generous default."""
+    import threading
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:   # pragma: no cover - backend-specific
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in out:
+        print(f"bench: devices {out['devices']}", file=sys.stderr)
+        return
+    print(f"bench: device init {'failed: ' + out['error'] if 'error' in out else f'timed out after {timeout_s:.0f}s'} "
+          f"(TPU relay unreachable?) — no measurement taken", file=sys.stderr)
+    sys.exit(2)
+
+
 def main():
+    _require_devices(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 900)))
     reps = int(os.environ.get("BENCH_REPS", 5))
     primary = run_re(make_workload(NUM_ENTITIES), "movielens", reps)
     submetrics = {}
