@@ -213,10 +213,24 @@ class FixedEffectLRModel(Model):
 
         p = self.model_params
         # the fused kernels assume the intercept-last layout with an intercept
-        if p.grad_mode in ("pallas", "pallas_block", "pallas_gather") \
-                and self.has_intercept:
+        if p.grad_mode in ("pallas", "pallas_block", "pallas_gather",
+                           "pallas_flat") and self.has_intercept:
             kernel_kw = {}
-            if p.grad_mode == "pallas_block":
+            if p.grad_mode == "pallas_flat":
+                import math
+                from gdmix_tpu.ops.pallas.fe_flat import (
+                    auto_tile, fe_loss_grad_flat_pallas as _pallas_fn)
+                k = batch.indices.shape[1]
+                etile = auto_tile(num_features)
+                # record-count multiple so the flat entry axis (n·k) tiles
+                tile = etile // math.gcd(etile, k)
+                # bf16x2 (exact two-term split operands, single-pass dots) is
+                # the speed default; "highest" keeps f32 operands in VMEM
+                kernel_kw = dict(
+                    tile=etile,
+                    precision_name={"highest": "high", "float32": "bf16x2",
+                                    "default": "bf16x2"}[p.block_precision])
+            elif p.grad_mode == "pallas_block":
                 from gdmix_tpu.ops.pallas.fe_block import (
                     fe_loss_grad_block_pallas as _pallas_fn)
                 tile = 1024

@@ -164,8 +164,10 @@ class FixedLRParams(LRParams):
     # gather/scatter-add path, "pallas" the fused VMEM kernel
     # (ops/pallas/fe_grad.py), "pallas_block" the fused two-level kernel
     # (ops/pallas/fe_block.py — measured alternative, see its docstring),
+    # "pallas_flat" the flat entry-space gather/scatter pair (ops/pallas/
+    # fe_flat.py — fastest measured on TPU: 2.1× over "block" at N=5M/D=10k),
     # "auto" picks by feature count
-    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"|"pallas_gather"
+    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"|"pallas_gather"|"pallas_flat"
     onehot_max_features: int = 16384
     block_min_features: int = 1024  # auto: block above, onehot at/below
     block_chunk_size: int = 8192    # records per scan step in block mode

@@ -213,3 +213,75 @@ def test_model_grad_mode_pallas_gather(tmp_path):
     oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
                               lam=0.7, regularize_bias=False)
     np.testing.assert_allclose(model.model_coefficients, oracle, atol=5e-3)
+
+
+@pytest.mark.parametrize("precision_name", ["high", "bf16x2"])
+@pytest.mark.parametrize("linear", [False, True])
+def test_flat_kernel_matches_scatter_objective(linear, precision_name):
+    from gdmix_tpu.ops.pallas.fe_flat import fe_loss_grad_flat_pallas
+    ETILE, N, D, K = 512, 1024, 300, 4   # e = 4096 entries, A=3 lane blocks
+    rng = np.random.RandomState(6)
+    idx = rng.randint(0, D, (N, K)).astype(np.int32)
+    val = (rng.randn(N, K) * (rng.rand(N, K) < 0.7)).astype(np.float64)
+    y = (rng.randint(0, 2, N).astype(np.float64) if not linear
+         else rng.randn(N))
+    w = rng.rand(N) + 0.5
+    off = 0.3 * rng.randn(N)
+    x = rng.randn(D + 1) * 0.2
+
+    batch = SparseBatch(jnp.asarray(idx), jnp.asarray(val), jnp.asarray(off),
+                        jnp.asarray(y), jnp.asarray(w))
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        jnp.asarray(x), batch, D, regularize_bias=True, l2_reg_weight=0.0,
+        model_type="linear_regression" if linear else "logistic_regression")
+    v, g = fe_loss_grad_flat_pallas(
+        jnp.asarray(x, jnp.float32), jnp.asarray(idx), jnp.asarray(val),
+        jnp.asarray(y), jnp.asarray(w), jnp.asarray(off), D, linear=linear,
+        tile=ETILE, precision_name=precision_name, interpret=True)
+    # bf16x2: exact two-term bf16 splits → ~2^-17 relative grad error
+    tol = dict(rtol=1e-3, atol=1e-3) if precision_name == "bf16x2" \
+        else dict(rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g, np.float64), np.asarray(g_ref),
+                               **tol)
+
+
+def test_flat_kernel_padding_rows_inert():
+    from gdmix_tpu.ops.pallas.fe_flat import fe_loss_grad_flat_pallas
+    N, D, K = 1024, 160, 4
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, D, (N, K)).astype(np.int32)
+    val = rng.randn(N, K)
+    y = rng.randint(0, 2, N).astype(np.float64)
+    w = np.ones(N)
+    w[N // 2:] = 0.0
+    val[N // 2:] = 0.0   # padding rows carry value 0 (project convention)
+    off = np.zeros(N)
+    x = rng.randn(D + 1) * 0.1
+
+    v1, g1 = fe_loss_grad_flat_pallas(
+        jnp.asarray(x, jnp.float32), jnp.asarray(idx), jnp.asarray(val),
+        jnp.asarray(y), jnp.asarray(w), jnp.asarray(off), D, tile=512,
+        interpret=True)
+    h = N // 2
+    batch = SparseBatch(jnp.asarray(idx[:h]), jnp.asarray(val[:h]),
+                        jnp.asarray(off[:h]), jnp.asarray(y[:h]),
+                        jnp.asarray(w[:h]))
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        jnp.asarray(x), batch, D, regularize_bias=True, l2_reg_weight=0.0)
+    np.testing.assert_allclose(float(v1), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1, np.float64), np.asarray(g_ref),
+                               atol=1e-4)
+
+
+def test_model_grad_mode_pallas_flat(tmp_path):
+    """End-to-end FE training with grad_mode=pallas_flat (interpret on CPU)
+    must match the scipy oracle like the other modes."""
+    from tests.test_fixed_effect_lr import (_make_dataset, _scipy_fe_oracle,
+                                            _train)
+    ds = _make_dataset(tmp_path)
+    model = _train(ds, tmp_path, grad_mode="pallas_flat", dtype="float32",
+                   lbfgs_pgtol=1e-6)
+    oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
+                              lam=0.7, regularize_bias=False)
+    np.testing.assert_allclose(model.model_coefficients, oracle, atol=5e-3)
