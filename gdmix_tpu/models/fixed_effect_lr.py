@@ -87,6 +87,19 @@ def _fe_hessian_full(num_features: int, has_intercept: bool):
     return hf
 
 
+def effective_grad_mode(grad_mode: str, has_intercept: bool,
+                        num_features: int, block_min_features: int,
+                        platform: str) -> str:
+    """Resolve grad_mode="auto" for the current backend: the flat entry-space
+    Pallas kernel on real TPUs for large D (fastest measured path), the XLA
+    block/onehot paths elsewhere (Pallas would run in slow interpret mode)."""
+    if (grad_mode == "auto" and has_intercept
+            and num_features > block_min_features
+            and platform in ("tpu", "axon")):
+        return "pallas_flat"
+    return grad_mode
+
+
 class FixedEffectLRModel(Model):
     """Distributed full-batch LR/linear-regression with on-device L-BFGS."""
 
@@ -212,11 +225,14 @@ class FixedEffectLRModel(Model):
         n = batch.labels.shape[0]
 
         p = self.model_params
+        mode = effective_grad_mode(p.grad_mode, self.has_intercept,
+                                   num_features, p.block_min_features,
+                                   jax.devices()[0].platform)
         # the fused kernels assume the intercept-last layout with an intercept
-        if p.grad_mode in ("pallas", "pallas_block", "pallas_gather",
-                           "pallas_flat") and self.has_intercept:
+        if mode in ("pallas", "pallas_block", "pallas_gather",
+                    "pallas_flat") and self.has_intercept:
             kernel_kw = {}
-            if p.grad_mode == "pallas_flat":
+            if mode == "pallas_flat":
                 import math
                 from gdmix_tpu.ops.pallas.fe_flat import (
                     auto_tile, fe_loss_grad_flat_pallas as _pallas_fn)
@@ -230,11 +246,11 @@ class FixedEffectLRModel(Model):
                     tile=etile,
                     precision_name={"highest": "high", "float32": "bf16x2",
                                     "default": "bf16x2"}[p.block_precision])
-            elif p.grad_mode == "pallas_block":
+            elif mode == "pallas_block":
                 from gdmix_tpu.ops.pallas.fe_block import (
                     fe_loss_grad_block_pallas as _pallas_fn)
                 tile = 1024
-            elif p.grad_mode == "pallas_gather":
+            elif mode == "pallas_gather":
                 from gdmix_tpu.ops.pallas.fe_gather import (
                     fe_loss_grad_gather_pallas as _pallas_fn)
                 tile = 2048
@@ -267,8 +283,8 @@ class FixedEffectLRModel(Model):
                 return v.astype(x.dtype) + lv, g + lg
             return fun
 
-        use_block = (p.grad_mode == "block"
-                     or (p.grad_mode == "auto"
+        use_block = (mode == "block"
+                     or (mode == "auto"
                          and num_features > p.block_min_features))
         if use_block:
             bl_chunk = chunk or max(256, min(n, p.block_chunk_size))
@@ -292,8 +308,8 @@ class FixedEffectLRModel(Model):
                 return v + lv, g + lg
             return fun
 
-        use_onehot = (p.grad_mode == "onehot"
-                      or (p.grad_mode == "auto"
+        use_onehot = (mode == "onehot"
+                      or (mode == "auto"
                           and num_features <= p.onehot_max_features))
         if use_onehot:
             # chunk sized so the dense [chunk, D] block stays ~128 MB

@@ -69,11 +69,19 @@ def _mk_fun(mode, batch):
     if mode == "scatter":
         return with_l2(lambda x, b: fixed_effect_value_and_grad(
             x, b, D, l2_reg_weight=0.0))
+    if mode in ("flat", "flat_high"):
+        from gdmix_tpu.ops.pallas.fe_flat import (auto_tile,
+                                                  fe_loss_grad_flat_pallas)
+        prec = "bf16x2" if mode == "flat" else "high"
+        tile = auto_tile(D)
+        return with_l2(lambda x, b: fe_loss_grad_flat_pallas(
+            x, b.indices, b.values, b.labels, b.weights, b.offsets, D,
+            tile=tile, precision_name=prec))
     raise SystemExit(f"unknown mode {mode}")
 
 
 def main():
-    modes = sys.argv[1:] or ["block", "onehot"]
+    modes = sys.argv[1:] or ["flat", "block", "onehot"]
     print(f"N={N} D={D} K={K} chunk={CHUNK} prec={os.environ.get('FE_PREC','highest')} "
           f"dev={jax.devices()[0]}", flush=True)
     batch = _gen(jax.random.PRNGKey(0))
