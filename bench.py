@@ -10,8 +10,8 @@ Named sub-metrics in the same JSON line:
   re_heavy_tail_models_per_sec — pareto sample counts 2..2048 (straggler mix)
   re_wide_support_models_per_sec — u_cap ≥ 256 per-entity feature support
   fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 via the
-      flat entry-space Pallas kernel, grad_mode=auto's TPU choice (round-1
-      one-hot baseline: 1.03 s/funcall; round-2 block path: 0.126 s)
+      two-level one-hot "block" path, grad_mode=auto's large-D choice
+      (round-1 one-hot baseline: 1.03 s/funcall)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
 """
@@ -307,16 +307,16 @@ def run_re_stage(fg, reps: int) -> float:
 
 
 def run_fe(reps: int = 4) -> float:
-    """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 via the flat
-    entry-space Pallas kernel (ops/pallas/fe_flat.py) — what grad_mode=auto
-    selects on TPU for large D. Data is generated on device (host->device of
-    640MB is relay-bound, irrelevant to the funcall rate being measured)."""
-    from gdmix_tpu.ops.logistic import SparseBatch, l2_value_and_grad
-    from gdmix_tpu.ops.pallas.fe_flat import (auto_tile,
-                                              fe_loss_grad_flat_pallas)
-    n, d, k = 4_997_120, 10_000, 16
-    tile = auto_tile(d)
-    assert (n * k) % tile == 0
+    """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 via the block
+    (two-level one-hot) path — what grad_mode=auto runs for large D. (The
+    opt-in pallas_flat kernel is NOT viable at this scale: its [E, 1] entry
+    columns tile to 512 B/entry in HBM — 40 GB here.) Data is generated on
+    device (host->device of 640MB is relay-bound, irrelevant to the funcall
+    rate being measured)."""
+    from gdmix_tpu.ops.logistic import (SparseBatch,
+                                        fixed_effect_value_and_grad_block,
+                                        l2_value_and_grad)
+    n, d, k, chunk = 4_997_120, 10_000, 16, 8192
 
     @jax.jit
     def gen(key):
@@ -330,10 +330,9 @@ def run_fe(reps: int = 4) -> float:
 
     @jax.jit
     def fun(x, b):
-        # bf16x2 exact-split dots — the pallas_flat speed default
-        v, g = fe_loss_grad_flat_pallas(
-            x, b.indices, b.values, b.labels, b.weights, b.offsets, d,
-            tile=tile, precision_name="bf16x2")
+        # bf16x3 dots — the FixedLRParams.block_precision="float32" default
+        v, g = fixed_effect_value_and_grad_block(
+            x, b, d, chunk=chunk, precision=jax.lax.Precision.HIGH)
         lv, lg = l2_value_and_grad(x, 1.0, has_intercept=True,
                                    regularize_bias=False,
                                    intercept_at_end=True)

@@ -90,13 +90,19 @@ def _fe_hessian_full(num_features: int, has_intercept: bool):
 def effective_grad_mode(grad_mode: str, has_intercept: bool,
                         num_features: int, block_min_features: int,
                         platform: str) -> str:
-    """Resolve grad_mode="auto" for the current backend: the flat entry-space
-    Pallas kernel on real TPUs for large D (fastest measured path), the XLA
-    block/onehot paths elsewhere (Pallas would run in slow interpret mode)."""
-    if (grad_mode == "auto" and has_intercept
-            and num_features > block_min_features
-            and platform in ("tpu", "axon")):
-        return "pallas_flat"
+    """Resolve grad_mode="auto" for the current backend.
+
+    auto stays auto: the XLA two-level one-hot `block` path picks it up
+    downstream for large D (0.126 s/funcall at N=5M, D=10k on v5e) and
+    one-hot below `block_min_features`. The flat entry-space Pallas kernel
+    (grad_mode=pallas_flat) is OPT-IN only: its [E, 1] entry-column arrays
+    tile to T(8,128) in HBM — 512 B per 4 B entry — so at production batch
+    sizes it over-allocates 128× (40 GB at N=5M, K=16) and loses to the
+    block path on pure HBM traffic whenever it does fit. Kept for small
+    batches and future Mosaic toolchains with un-padded vector layouts or a
+    real VMEM table gather (today's tpu.dynamic_gather only shuffles within
+    one 8-sublane vreg: "Multiple source vregs along gather dimension")."""
+    del has_intercept, num_features, block_min_features, platform
     return grad_mode
 
 

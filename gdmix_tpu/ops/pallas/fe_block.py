@@ -142,8 +142,10 @@ def fe_loss_grad_block_pallas(x, indices, values, labels, weights, offsets,
     d = num_features
     a_blocks = max((d + LANE - 1) // LANE, 1)
     d_pad = a_blocks * LANE
+    # Mosaic implements only DEFAULT (1-pass bf16) and HIGHEST (f32) dots —
+    # no 3-pass HIGH mode inside a TPU kernel, so "high" promotes.
     precision = {"highest": jax.lax.Precision.HIGHEST,
-                 "high": jax.lax.Precision.HIGH,
+                 "high": jax.lax.Precision.HIGHEST,
                  "default": jax.lax.Precision.DEFAULT}[precision_name]
 
     w_vec, b = x[:-1], x[-1]

@@ -30,7 +30,8 @@ ce) — 128× less than the block path's one-hot spill. The MXU work is the same
 2·E·A·128 MACs as the block path but from VMEM-resident operands.
 
 precision_name:
-  * "high"    — f32 operands, 3-pass bf16x3 dots (the block path's default).
+  * "high"    — f32 operands, promoted to HIGHEST (6-pass f32) dots: Mosaic
+    has no 3-pass mode inside a kernel, only DEFAULT (1-pass bf16) / HIGHEST.
   * "bf16x2"  — θ and ce ride as exact two-term bf16 splits (hi + lo, each a
     separate operand so no in-kernel lane slicing), one-hots are bf16-EXACT
     (entries 0/1), every dot is a single native bf16 pass with f32
@@ -38,10 +39,20 @@ precision_name:
     (vs f32's 2⁻²⁴) — measured well inside L-BFGS tolerance
     (tests/test_fe_pallas_kernel.py).
 
-Measured (TPU v5e, N=5M, D=10k, K=16 per funcall, round 2): bf16x2 0.0600 s,
-high 0.0851 s — vs the XLA block path's 0.126 s (HIGH) and the fused
-record-major kernel's 0.166 s. 2.1× over the round-2 default, 17× over
-round-1's 1.03 s one-hot. At D=100k: 0.277 s (bf16x2) vs block 0.481 s.
+SCALE CAVEAT (why this mode is OPT-IN, not grad_mode=auto's choice): the
+[E, 1] entry-column arrays this wrapper materializes in HBM are tiled
+T(8,128) by XLA — 512 bytes per 4-byte entry. At production batch sizes the
+allocation alone is prohibitive (N=5M, K=16 → 40 GB for ONE operand; compile
+fails with "Allocation would exceed memory") and wherever it does fit the
+padded traffic (~2 KB/entry across idx/val/gathered/ce) already exceeds the
+block path's one-hot spill (~1.7 KB/entry at D=10k), so the VMEM-resident
+one-hot win never materializes end-to-end. The fix would be dense
+[E/128, 128] layouts, but Mosaic today can neither relayout lane-major
+entries to rows in-kernel nor gather from a VMEM table
+(tpu.dynamic_gather: "Multiple source vregs along gather dimension").
+Use grad_mode=block (ops/logistic.fixed_effect_value_and_grad_block,
+0.126 s/funcall at N=5M, D=10k, K=16 on v5e) for large batches; this kernel
+remains correct (on-chip oracle-tested at small N) for future toolchains.
 
 Same math as fixed_effect_value_and_grad with l2_reg_weight=0 (the caller adds
 the λ-term once); replaces the reference's whole-epoch TF-graph hot loop
@@ -106,14 +117,16 @@ def _scatter_kernel_split(idx_ref, cehi_ref, celo_ref, g2_ref, *,
     idx = idx_ref[...]
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (tile, a_blocks), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 1)
-    cond_a = idx // LANE == iota_a                         # [T, A] bool
+    # bf16 0/1 masks (exact), multiplied in rather than jnp.where-selected:
+    # Mosaic cannot relayout a twice-used [T, A] i1 compare result on real
+    # TPUs ("Invalid relayout: non-singleton dimension replicated"), and
+    # mask·ce with an exact 0/1 bf16 mask is the same value.
+    hi1 = (idx // LANE == iota_a).astype(jnp.bfloat16)     # [T, A], exact
     lo1 = (idx % LANE == iota_l).astype(jnp.bfloat16)      # [T, 128], exact
-    zero = jnp.bfloat16(0.0)
     dims = (((0,), (0,)), ((), ()))                        # contraction over T
-    acc = jax.lax.dot_general(jnp.where(cond_a, cehi_ref[...], zero), lo1,
-                              dims, preferred_element_type=jnp.float32)
-    acc = acc + jax.lax.dot_general(jnp.where(cond_a, celo_ref[...], zero),
-                                    lo1, dims,
+    acc = jax.lax.dot_general(hi1 * cehi_ref[...], lo1, dims,
+                              preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(hi1 * celo_ref[...], lo1, dims,
                                     preferred_element_type=jnp.float32)
     g2_ref[...] += acc
 
@@ -183,8 +196,10 @@ def fe_loss_grad_flat_pallas(x, indices, values, labels, weights, offsets,
     out_shape_g2 = jax.ShapeDtypeStruct((a_blocks, LANE), jnp.float32)
     compiler = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     split = precision_name == "bf16x2"
+    # Mosaic implements only DEFAULT (1-pass bf16) and HIGHEST (f32) dots —
+    # there is no 3-pass HIGH mode inside a TPU kernel, so "high" promotes.
     precision = {"highest": jax.lax.Precision.HIGHEST,
-                 "high": jax.lax.Precision.HIGH,
+                 "high": jax.lax.Precision.HIGHEST,
                  "default": jax.lax.Precision.DEFAULT}.get(precision_name)
 
     if split:

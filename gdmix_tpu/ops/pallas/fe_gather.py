@@ -28,8 +28,10 @@ lanes hit θ[0] and are zeroed by the value columns' iota mask). Replaces the
 reference hot loop fixed_effect_lr_lbfgs_model.py:309-392.
 
 This mode is OPT-IN (grad_mode=pallas_gather): Mosaic versions that cannot
-lower `jnp.take` raise at jit-compile time — pick `block`/`pallas_block`
-there. The shared residual/scatter pieces live in ops/pallas/fe_block.py.
+lower a 1-D `jnp.take` raise at jit-compile time (current TPU toolchains
+reject it with "Only 2D gather is supported") — pick `pallas_flat` (the
+grad_mode=auto production choice) or `block`/`pallas_block` there. The
+shared residual/scatter pieces live in ops/pallas/fe_block.py.
 """
 from __future__ import annotations
 
@@ -95,8 +97,10 @@ def fe_loss_grad_gather_pallas(x, indices, values, labels, weights, offsets,
     d = num_features
     a_blocks = max((d + LANE - 1) // LANE, 1)
     d_pad = a_blocks * LANE
+    # Mosaic implements only DEFAULT (1-pass bf16) and HIGHEST (f32) dots —
+    # no 3-pass HIGH mode inside a TPU kernel, so "high" promotes.
     precision = {"highest": jax.lax.Precision.HIGHEST,
-                 "high": jax.lax.Precision.HIGH,
+                 "high": jax.lax.Precision.HIGHEST,
                  "default": jax.lax.Precision.DEFAULT}[precision_name]
 
     w_vec, b = x[:-1], x[-1]

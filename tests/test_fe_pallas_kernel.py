@@ -288,19 +288,13 @@ def test_model_grad_mode_pallas_flat(tmp_path):
 
 
 def test_effective_grad_mode_auto_resolution():
-    """auto resolves to pallas_flat only on a real TPU backend with an
-    intercept and large D; explicit modes pass through untouched."""
+    """auto stays auto everywhere (the XLA block/onehot ladder resolves it
+    downstream); pallas_flat is strictly opt-in — its [E, 1] entry columns
+    pad 128x in HBM at production batch sizes. Explicit modes pass through."""
     from gdmix_tpu.models.fixed_effect_lr import effective_grad_mode
-    assert effective_grad_mode("auto", True, 10_000, 1024, "tpu") \
-        == "pallas_flat"
-    assert effective_grad_mode("auto", True, 10_000, 1024, "axon") \
-        == "pallas_flat"
-    # CPU: stays auto (block/onehot XLA paths pick it up downstream)
-    assert effective_grad_mode("auto", True, 10_000, 1024, "cpu") == "auto"
-    # small D: one-hot is faster, auto stays
-    assert effective_grad_mode("auto", True, 512, 1024, "tpu") == "auto"
-    # intercept-less models: the fused kernels assume intercept-last layout
-    assert effective_grad_mode("auto", False, 10_000, 1024, "tpu") == "auto"
+    for platform in ("tpu", "axon", "cpu"):
+        assert effective_grad_mode("auto", True, 10_000, 1024, platform) \
+            == "auto"
     # explicit modes are never overridden
     for m in ("block", "onehot", "scatter", "pallas_flat"):
         assert effective_grad_mode(m, True, 10_000, 1024, "tpu") == m
