@@ -51,7 +51,10 @@ _EPSILON = 1.0e-12
 
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                "float32": jax.lax.Precision.HIGH,
-               "default": jax.lax.Precision.DEFAULT}
+               "default": jax.lax.Precision.DEFAULT,
+               # exact two-term bf16 split, single-pass dots — the fast
+               # block mode with f32-grade gradients (ops/logistic.py)
+               "bf16x2": "bf16x2"}
 
 
 # Module-level cached jitted scorer: one trace per (has_intercept, shape) —
@@ -251,6 +254,7 @@ class FixedEffectLRModel(Model):
                 kernel_kw = dict(
                     tile=etile,
                     precision_name={"highest": "high", "float32": "bf16x2",
+                                    "bf16x2": "bf16x2",
                                     "default": "bf16x2"}[p.block_precision])
             elif mode == "pallas_block":
                 from gdmix_tpu.ops.pallas.fe_block import (
@@ -264,6 +268,7 @@ class FixedEffectLRModel(Model):
                 # "float32"→bf16x3/"default"); the gather side is exact f32
                 kernel_kw = dict(
                     precision_name={"highest": "highest", "float32": "high",
+                                    "bf16x2": "default",
                                     "default": "default"}[p.block_precision])
             else:
                 from gdmix_tpu.ops.pallas.fe_grad import (TILE,

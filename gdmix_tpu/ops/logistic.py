@@ -256,6 +256,17 @@ def fixed_effect_value_and_grad_block(x: jnp.ndarray,
     d_pad = a_blocks * lane
     theta2 = jnp.zeros((d_pad,), dtype).at[:num_features].set(w) \
         .reshape(a_blocks, lane)
+    # precision="bf16x2": exact two-term bf16 splits ride the MXU in single
+    # native passes (DEFAULT), one-hots are bf16-EXACT (entries 0/1) so the
+    # HBM one-hot spill halves vs f32 operands; error ~2^-17 relative (two
+    # dots per side), well inside L-BFGS tolerance. Plain DEFAULT would round
+    # θ/ce to one bf16 term (2^-8) — too coarse for solver parity.
+    split = precision == "bf16x2"
+    if split:
+        f32 = jnp.float32
+        theta_hi = theta2.astype(jnp.bfloat16)
+        theta_lo = (theta2.astype(f32) - theta_hi.astype(f32)) \
+            .astype(jnp.bfloat16)
 
     def reshape(arr):
         return arr.reshape((c, chunk) + arr.shape[1:])
@@ -268,12 +279,21 @@ def fixed_effect_value_and_grad_block(x: jnp.ndarray,
         v_acc, g2_acc, r_acc = carry
         cb = SparseBatch(*ch)
         idx = cb.indices.reshape(e)
-        hi1 = (idx[:, None] // lane == iota_a).astype(dtype)   # [e, A]
-        lo1 = (idx[:, None] % lane == iota_l).astype(dtype)    # [e, lane]
-        G = jax.lax.dot_general(hi1, theta2, (((1,), (0,)), ((), ())),
-                                precision=precision,
-                                preferred_element_type=dtype)  # [e, lane]
-        gathered = jnp.sum(G * lo1, axis=1)                    # [e] = θ[idx]
+        onehot_dt = jnp.bfloat16 if split else dtype
+        hi1 = (idx[:, None] // lane == iota_a).astype(onehot_dt)  # [e, A]
+        lo1 = (idx[:, None] % lane == iota_l).astype(onehot_dt)   # [e, lane]
+        gdims = (((1,), (0,)), ((), ()))
+        if split:
+            G = (jax.lax.dot_general(hi1, theta_hi, gdims,
+                                     preferred_element_type=f32)
+                 + jax.lax.dot_general(hi1, theta_lo, gdims,
+                                       preferred_element_type=f32))
+            gathered = jnp.sum(G * lo1.astype(f32), axis=1).astype(dtype)
+        else:
+            G = jax.lax.dot_general(hi1, theta2, gdims,
+                                    precision=precision,
+                                    preferred_element_type=dtype)  # [e, lane]
+            gathered = jnp.sum(G * lo1, axis=1)                # [e] = θ[idx]
         vals = cb.values.reshape(e)
         z = jnp.sum((vals * gathered).reshape(chunk, k), axis=1) \
             + cb.offsets + b
@@ -285,10 +305,20 @@ def fixed_effect_value_and_grad_block(x: jnp.ndarray,
             dz = jax.nn.sigmoid(z) - cb.labels
         r = cb.weights * dz
         ce = vals * jnp.broadcast_to(r[:, None], (chunk, k)).reshape(e)
-        g2 = jax.lax.dot_general(hi1 * ce[:, None], lo1,
-                                 (((0,), (0,)), ((), ())),
-                                 precision=precision,
-                                 preferred_element_type=dtype)  # [A, lane]
+        sdims = (((0,), (0,)), ((), ()))
+        if split:
+            ce32 = ce.astype(f32)
+            ce_hi = ce32.astype(jnp.bfloat16)
+            ce_lo = (ce32 - ce_hi.astype(f32)).astype(jnp.bfloat16)
+            g2 = (jax.lax.dot_general(hi1 * ce_hi[:, None], lo1, sdims,
+                                      preferred_element_type=f32)
+                  + jax.lax.dot_general(hi1 * ce_lo[:, None], lo1, sdims,
+                                        preferred_element_type=f32)
+                  ).astype(dtype)
+        else:
+            g2 = jax.lax.dot_general(hi1 * ce[:, None], lo1, sdims,
+                                     precision=precision,
+                                     preferred_element_type=dtype)  # [A, lane]
         return (v_acc + jnp.sum(cb.weights * per), g2_acc + g2,
                 r_acc + jnp.sum(r)), None
 

@@ -174,7 +174,7 @@ class FixedLRParams(LRParams):
     # MXU dot precision for block mode: "float32" = bf16x3 (~f32-accurate —
     # measured identical objective to "highest" at N=5M/D=10k, 15% faster;
     # the one-hot operand is exact in bf16). "default" (1-pass bf16) rounds θ.
-    block_precision: str = "float32"  # "highest"|"float32"|"default"
+    block_precision: str = "float32"  # "highest"|"float32"|"bf16x2"|"default"
 
     def __post_init__(self):
         super().__post_init__()

@@ -62,6 +62,9 @@ def _mk_fun(mode, batch):
     if mode == "block":
         return with_l2(lambda x, b: fixed_effect_value_and_grad_block(
             x, b, D, chunk=CHUNK, precision=PREC))
+    if mode == "block_bf16x2":
+        return with_l2(lambda x, b: fixed_effect_value_and_grad_block(
+            x, b, D, chunk=CHUNK, precision="bf16x2"))
     if mode == "onehot":
         oh_chunk = 2048  # dense [chunk, D] block ~80MB at D=10k (round-1 cfg)
         return with_l2(lambda x, b: fixed_effect_value_and_grad_onehot(

@@ -280,6 +280,30 @@ def test_block_grad_matches_reference_path(model_type, has_intercept):
                                atol=1e-10)
 
 
+def test_block_bf16x2_matches_reference_path():
+    """precision="bf16x2" (exact two-term bf16 splits, single-pass dots) stays
+    within ~2^-17 relative of the f32 reference data term — the fast TPU block
+    mode must not degrade gradients beyond L-BFGS tolerance."""
+    from gdmix_tpu.ops.logistic import fixed_effect_value_and_grad_block
+    d, n, k = 300, 96, 7
+    indices, values, X, y, offsets, weights = _random_sparse(n=n, d=d, k=k,
+                                                             seed=13)
+    batch = _batch(indices, values, offsets, y, weights)
+    x = jnp.asarray(np.random.RandomState(5).randn(d + 1), jnp.float32)
+    batch32 = type(batch)(*[a.astype(jnp.float32)
+                            if a.dtype.kind == "f" else a for a in batch])
+
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        x, batch32, d, regularize_bias=True, l2_reg_weight=0.0)
+    v_sp, g_sp = jax.jit(
+        lambda xx, bb: fixed_effect_value_and_grad_block(
+            xx, bb, d, chunk=32, precision="bf16x2"))(x, batch32)
+    np.testing.assert_allclose(float(v_sp), float(v_ref), rtol=3e-5)
+    scale = np.max(np.abs(np.asarray(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               atol=3e-5 * scale)
+
+
 def test_block_grad_model_fit_matches_oracle(tmp_path):
     """End-to-end FE fit with grad_mode=block equals the scipy oracle."""
     from tests.test_fixed_effect_lr import (_make_dataset, _params,
