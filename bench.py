@@ -9,9 +9,10 @@ logistic regressions solved by the bucketed vmapped on-device solver
 Named sub-metrics in the same JSON line:
   re_heavy_tail_models_per_sec — pareto sample counts 2..2048 (straggler mix)
   re_wide_support_models_per_sec — u_cap ≥ 256 per-entity feature support
-  fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 via the
-      two-level one-hot "block" path, grad_mode=auto's large-D choice
-      (round-1 one-hot baseline: 1.03 s/funcall)
+  fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 through
+      FixedEffectLRModel._objective_fun (the production class's own dispatch;
+      grad_mode=auto resolves to the two-level one-hot "block" path here;
+      round-1 one-hot baseline: 1.03 s/funcall)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
 """
@@ -307,52 +308,73 @@ def run_re_stage(fg, reps: int) -> float:
 
 
 def run_fe(reps: int = 4) -> float:
-    """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 via the block
-    (two-level one-hot) path — what grad_mode=auto runs for large D. (The
-    opt-in pallas_flat kernel is NOT viable at this scale: its [E, 1] entry
-    columns tile to 512 B/entry in HBM — 40 GB here.) Data is generated on
-    device (host->device of 640MB is relay-bound, irrelevant to the funcall
-    rate being measured)."""
-    from gdmix_tpu.ops.logistic import (SparseBatch,
-                                        fixed_effect_value_and_grad_block,
-                                        l2_value_and_grad)
-    n, d, k, chunk = 4_997_120, 10_000, 16, 8192
+    """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 THROUGH THE
+    PRODUCTION CLASS: the timed objective is FixedEffectLRModel's own
+    _objective_fun — the exact (value, grad) every fit_data L-BFGS funcall
+    evaluates — so the model's grad_mode=auto resolution (block here), chunk
+    padding, precision table and L2 wiring are all on the measured path; a
+    regression in any of them moves this number. Data is generated on device
+    (host->device of 640MB is relay-bound, irrelevant to the funcall rate
+    being measured)."""
+    import shutil
+    import tempfile
+    from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+    from gdmix_tpu.ops.logistic import SparseBatch
+    from gdmix_tpu.params import FixedLRParams, Params
+    n = int(os.environ.get("BENCH_FE_N", 4_997_120))  # CPU smoke: set small
+    d, k = 10_000, 16
 
-    @jax.jit
-    def gen(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        return SparseBatch(
-            jax.random.randint(k1, (n, k), 0, d, jnp.int32),
-            jax.random.normal(k2, (n, k), jnp.float32),
-            0.1 * jax.random.normal(k4, (n,), jnp.float32),
-            jax.random.bernoulli(k3, 0.5, (n,)).astype(jnp.float32),
-            jnp.ones((n,), jnp.float32))
+    tmp = tempfile.mkdtemp(prefix="gdx_bench_fe_")
+    try:
+        md_file = os.path.join(tmp, "tensor_metadata.json")
+        with open(md_file, "w") as f:
+            json.dump({"features": [
+                {"name": "global", "dtype": "float", "shape": [d],
+                 "isSparse": True},
+                {"name": "uid", "dtype": "long", "shape": [],
+                 "isSparse": False},
+                {"name": "offset", "dtype": "float", "shape": [],
+                 "isSparse": False}],
+                "labels": [{"name": "response", "dtype": "float",
+                            "shape": [], "isSparse": False}]}, f)
+        model_params = FixedLRParams(
+            metadata_file=md_file, output_model_dir=tmp, feature_bag="global",
+            l2_reg_weight=1.0, regularize_bias=False, dtype="float32")
+        base_params = Params(
+            action="train", stage="fixed_effect",
+            model_type="logistic_regression", label_column_name="response",
+            uid_column_name="uid",
+            prediction_score_column_name="predictionScore")
+        model = FixedEffectLRModel(model_params, base_params)
 
-    @jax.jit
-    def fun(x, b):
-        # bf16x3 dots — the FixedLRParams.block_precision="float32" default
-        v, g = fixed_effect_value_and_grad_block(
-            x, b, d, chunk=chunk, precision=jax.lax.Precision.HIGH)
-        lv, lg = l2_value_and_grad(x, 1.0, has_intercept=True,
-                                   regularize_bias=False,
-                                   intercept_at_end=True)
-        return v + lv, g + lg
+        @jax.jit
+        def gen(key):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            return SparseBatch(
+                jax.random.randint(k1, (n, k), 0, d, jnp.int32),
+                jax.random.normal(k2, (n, k), jnp.float32),
+                0.1 * jax.random.normal(k4, (n,), jnp.float32),
+                jax.random.bernoulli(k3, 0.5, (n,)).astype(jnp.float32),
+                jnp.ones((n,), jnp.float32))
 
-    batch = gen(jax.random.PRNGKey(0))
-    float(jnp.sum(batch.values))
-    x = jnp.zeros((d + 1,), jnp.float32)
-    v, g = fun(x, batch)
-    float(v)  # compile + first call
-    times = []
-    for _ in range(reps):
-        x = x - 1e-4 * g
-        t0 = time.time()
-        v, g = fun(x, batch)
-        float(v), float(jnp.sum(g))  # host fetch = sync
-        times.append(time.time() - t0)
-    sys.stderr.write(f"bench[fe]: funcall min={min(times):.4f}s "
-                     f"(round-1 one-hot {FE_ROUND1_FUNCALL_S}s)\n")
-    return 1.0 / min(times)
+        batch = gen(jax.random.PRNGKey(0))
+        float(jnp.sum(batch.values))
+        fun = jax.jit(model._objective_fun(batch))
+        x = jnp.zeros((model._dim,), jnp.float32)
+        v, g = fun(x)
+        float(v)  # compile + first call
+        times = []
+        for _ in range(reps):
+            x = x - 1e-4 * g
+            t0 = time.time()
+            v, g = fun(x)
+            float(v), float(jnp.sum(g))  # host fetch = sync
+            times.append(time.time() - t0)
+        sys.stderr.write(f"bench[fe]: funcall min={min(times):.4f}s "
+                         f"(round-1 one-hot {FE_ROUND1_FUNCALL_S}s)\n")
+        return 1.0 / min(times)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _require_devices(timeout_s: float):

@@ -92,20 +92,27 @@ def _fe_hessian_full(num_features: int, has_intercept: bool):
 
 def effective_grad_mode(grad_mode: str, has_intercept: bool,
                         num_features: int, block_min_features: int,
-                        platform: str) -> str:
-    """Resolve grad_mode="auto" for the current backend.
+                        onehot_max_features: int) -> str:
+    """Resolve grad_mode to the CONCRETE strategy _objective_fun runs.
 
-    auto stays auto: the XLA two-level one-hot `block` path picks it up
-    downstream for large D (0.126 s/funcall at N=5M, D=10k on v5e) and
-    one-hot below `block_min_features`. The flat entry-space Pallas kernel
-    (grad_mode=pallas_flat) is OPT-IN only: its [E, 1] entry-column arrays
-    tile to T(8,128) in HBM — 512 B per 4 B entry — so at production batch
-    sizes it over-allocates 128× (40 GB at N=5M, K=16) and loses to the
-    block path on pure HBM traffic whenever it does fit. Kept for small
-    batches and future Mosaic toolchains with un-padded vector layouts or a
-    real VMEM table gather (today's tpu.dynamic_gather only shuffles within
-    one 8-sublane vreg: "Multiple source vregs along gather dimension")."""
-    del has_intercept, num_features, block_min_features, platform
+    "auto" picks the two-level one-hot `block` path above
+    `block_min_features` (0.13 s/funcall at N=5M, D=10k on v5e; no feature-
+    count cap) and the single-level `onehot` densification at/below it
+    (faster only at small D); past both ceilings it falls back to the
+    scatter-add path. The Pallas kernels are strictly OPT-IN — in
+    particular pallas_flat's [E, 1] entry columns tile to T(8,128) in HBM
+    (512 B per 4 B entry → 40 GB at N=5M, K=16), so it loses to `block` at
+    production batch sizes — and they require the fused intercept-last
+    layout: without an intercept they resolve to the scatter path (the same
+    fallthrough _objective_fun always applied)."""
+    if grad_mode == "auto":
+        if num_features > block_min_features:
+            return "block"
+        if num_features <= onehot_max_features:
+            return "onehot"
+        return "scatter"
+    if grad_mode.startswith("pallas") and not has_intercept:
+        return "scatter"
     return grad_mode
 
 
@@ -236,10 +243,10 @@ class FixedEffectLRModel(Model):
         p = self.model_params
         mode = effective_grad_mode(p.grad_mode, self.has_intercept,
                                    num_features, p.block_min_features,
-                                   jax.devices()[0].platform)
+                                   p.onehot_max_features)
         # the fused kernels assume the intercept-last layout with an intercept
-        if mode in ("pallas", "pallas_block", "pallas_gather",
-                    "pallas_flat") and self.has_intercept:
+        # (effective_grad_mode already resolved pallas-without-intercept away)
+        if mode in ("pallas", "pallas_block", "pallas_gather", "pallas_flat"):
             kernel_kw = {}
             if mode == "pallas_flat":
                 import math
@@ -264,11 +271,14 @@ class FixedEffectLRModel(Model):
                 from gdmix_tpu.ops.pallas.fe_gather import (
                     fe_loss_grad_gather_pallas as _pallas_fn)
                 tile = 2048
-                # scatter-dot precision follows block_precision ("highest"/
-                # "float32"→bf16x3/"default"); the gather side is exact f32
+                # scatter-dot precision follows block_precision; the gather
+                # side is exact f32. "bf16x2" promotes to "high" (= HIGHEST
+                # in-kernel): the kernel has no two-term split mode, and
+                # plain 1-pass bf16 would silently round ce to ~2^-8 — the
+                # user opted into ~2^-17-exact gradients.
                 kernel_kw = dict(
                     precision_name={"highest": "highest", "float32": "high",
-                                    "bf16x2": "default",
+                                    "bf16x2": "high",
                                     "default": "default"}[p.block_precision])
             else:
                 from gdmix_tpu.ops.pallas.fe_grad import (TILE,
@@ -294,10 +304,7 @@ class FixedEffectLRModel(Model):
                 return v.astype(x.dtype) + lv, g + lg
             return fun
 
-        use_block = (mode == "block"
-                     or (mode == "auto"
-                         and num_features > p.block_min_features))
-        if use_block:
+        if mode == "block":
             bl_chunk = chunk or max(256, min(n, p.block_chunk_size))
 
             def fun(x):
@@ -319,10 +326,7 @@ class FixedEffectLRModel(Model):
                 return v + lv, g + lg
             return fun
 
-        use_onehot = (mode == "onehot"
-                      or (mode == "auto"
-                          and num_features <= p.onehot_max_features))
-        if use_onehot:
+        if mode == "onehot":
             # chunk sized so the dense [chunk, D] block stays ~128 MB
             oh_chunk = chunk or max(256, min(n, (1 << 25) // max(num_features, 1)))
             oh_chunk = min(oh_chunk, n)

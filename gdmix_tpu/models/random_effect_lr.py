@@ -758,13 +758,16 @@ class RandomEffectLRModel(Model):
         for bucket, solved in pending:
             z, z_pc = (np.asarray(jax.device_get(t), np.float64)
                        for t in solved)
-            for slot in range(len(bucket.entity_ids)):
-                n = int(bucket.sample_count[slot])
-                uids.append(bucket.uids[slot, :n])
-                totals.append(z[slot, :n])
-                per_coords.append(z_pc[slot, :n])
-                labels.append(bucket.labels[slot, :n])
-                weights.append(bucket.weights[slot, :n])
+            # one masked row-major gather per bucket (≡ the per-slot loop:
+            # slot 0's first n rows, then slot 1's, ...) — no per-entity python
+            b_real = len(bucket.entity_ids)
+            n = bucket.sample_count[:b_real].astype(np.int64)
+            mask = np.arange(bucket.n_cap)[None, :] < n[:, None]
+            uids.append(bucket.uids[:b_real][mask])
+            totals.append(z[:b_real][mask])
+            per_coords.append(z_pc[:b_real][mask])
+            labels.append(bucket.labels[:b_real][mask])
+            weights.append(bucket.weights[:b_real][mask])
         out = {"uid": np.concatenate(uids), "total": np.concatenate(totals),
                "per_coordinate": np.concatenate(per_coords)}
         if has_label:

@@ -29,9 +29,10 @@ reference hot loop fixed_effect_lr_lbfgs_model.py:309-392.
 
 This mode is OPT-IN (grad_mode=pallas_gather): Mosaic versions that cannot
 lower a 1-D `jnp.take` raise at jit-compile time (current TPU toolchains
-reject it with "Only 2D gather is supported") — pick `pallas_flat` (the
-grad_mode=auto production choice) or `block`/`pallas_block` there. The
-shared residual/scatter pieces live in ops/pallas/fe_block.py.
+reject it with "Only 2D gather is supported") — use `block` there (the
+grad_mode=auto production choice; `pallas_flat` is a small-batch-only
+opt-in, see fe_flat.py's 128× HBM-padding caveat). The shared
+residual/scatter pieces live in ops/pallas/fe_block.py.
 """
 from __future__ import annotations
 

@@ -165,8 +165,10 @@ class FixedLRParams(LRParams):
     # (ops/pallas/fe_grad.py), "pallas_block" the fused two-level kernel
     # (ops/pallas/fe_block.py — measured alternative, see its docstring),
     # "pallas_flat" the flat entry-space gather/scatter pair (ops/pallas/
-    # fe_flat.py — fastest measured on TPU: 2.1× over "block" at N=5M/D=10k),
-    # "auto" picks by feature count
+    # fe_flat.py — experimental SMALL-BATCH opt-in only: its [E, 1] entry
+    # columns tile to 512 B/entry in HBM, 40 GB at N=5M/K=16, and lose to
+    # "block" on HBM traffic whenever they do fit), "auto" picks by feature
+    # count
     grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"|"pallas_gather"|"pallas_flat"
     onehot_max_features: int = 16384
     block_min_features: int = 1024  # auto: block above, onehot at/below

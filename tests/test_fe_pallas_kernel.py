@@ -288,13 +288,22 @@ def test_model_grad_mode_pallas_flat(tmp_path):
 
 
 def test_effective_grad_mode_auto_resolution():
-    """auto stays auto everywhere (the XLA block/onehot ladder resolves it
-    downstream); pallas_flat is strictly opt-in — its [E, 1] entry columns
-    pad 128x in HBM at production batch sizes. Explicit modes pass through."""
+    """auto resolves to the concrete strategy: block above
+    block_min_features, onehot at/below (pallas_flat is strictly opt-in —
+    its [E, 1] entry columns pad 128x in HBM at production batch sizes).
+    Explicit modes pass through, except pallas kernels without an intercept
+    (they need the fused intercept-last layout) resolve to scatter."""
     from gdmix_tpu.models.fixed_effect_lr import effective_grad_mode
-    for platform in ("tpu", "axon", "cpu"):
-        assert effective_grad_mode("auto", True, 10_000, 1024, platform) \
-            == "auto"
-    # explicit modes are never overridden
+    # auto: block above block_min_features, onehot at/below
+    assert effective_grad_mode("auto", True, 10_000, 1024, 16384) == "block"
+    assert effective_grad_mode("auto", True, 1024, 1024, 16384) == "onehot"
+    assert effective_grad_mode("auto", False, 50, 1024, 16384) == "onehot"
+    # degenerate config: past both ceilings -> scatter
+    assert effective_grad_mode("auto", True, 18_000, 20_000, 16384) \
+        == "scatter"
+    # explicit modes are never overridden...
     for m in ("block", "onehot", "scatter", "pallas_flat"):
-        assert effective_grad_mode(m, True, 10_000, 1024, "tpu") == m
+        assert effective_grad_mode(m, True, 10_000, 1024, 16384) == m
+    # ...except pallas without an intercept, which falls back to scatter
+    for m in ("pallas", "pallas_block", "pallas_gather", "pallas_flat"):
+        assert effective_grad_mode(m, False, 10_000, 1024, 16384) == "scatter"
