@@ -8,6 +8,11 @@ logistic regressions solved by the bucketed vmapped on-device solver
 
 Named sub-metrics in the same JSON line:
   re_heavy_tail_models_per_sec — pareto sample counts 2..2048 (straggler mix)
+  re_sharded_heavy_tail_models_per_sec — the same pareto mix through the
+      sharded device plane (fit_flat → fit_records_sharded: routing +
+      on-device per-tier grouping), fit-only
+  re_stage_models_per_sec — fit_flat + avro export + reload through the
+      production class (the per-partition stage the reference's trainer runs)
   re_wide_support_models_per_sec — u_cap ≥ 256 per-entity feature support
   fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 through
       FixedEffectLRModel._objective_fun (the production class's own dispatch;
@@ -242,56 +247,65 @@ def make_workload_flat(num_entities: int, seed: int = 0, d: int = 24,
         indices=idx_all, values=val_all, rec_nnz=nnz_all)
 
 
-def run_re_stage(fg, reps: int) -> float:
-    """End-to-end RE STAGE rate through the production class: fit_groups
-    (columnar bucketize + cached vmapped solves + ModelTable collection) +
-    photon-ml avro export + model reload — everything the reference's
-    random-effect trainer does per partition except file-dataset decode
-    (random_effect_lr_lbfgs_model.py:92-138). models/sec including host work."""
-    import shutil
-    import tempfile
+def _stage_model(d: int, tmp: str):
+    """The production RandomEffectLRModel over a synthetic d-wide feature bag
+    (metadata + feature list written under tmp)."""
     from gdmix_tpu.io.feature_list import write_feature_list
     from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
     from gdmix_tpu.params import Params, REParams
 
+    md_file = os.path.join(tmp, "tensor_metadata.json")
+    with open(md_file, "w") as f:
+        json.dump({"features": [
+            {"name": "per_entity", "dtype": "float", "shape": [d],
+             "isSparse": True},
+            {"name": "user_id", "dtype": "string", "shape": [],
+             "isSparse": False},
+            {"name": "uid", "dtype": "long", "shape": [],
+             "isSparse": False},
+            {"name": "offset", "dtype": "float", "shape": [],
+             "isSparse": False}],
+            "labels": [{"name": "response", "dtype": "float",
+                        "shape": [], "isSparse": False}]}, f)
+    feature_file = os.path.join(tmp, "features.csv")
+    write_feature_list([(f"f{i}", "") for i in range(d)], feature_file)
+    model_params = REParams(
+        metadata_file=md_file, output_model_dir=tmp,
+        feature_bag="per_entity", feature_file=feature_file,
+        partition_entity="user_id", l2_reg_weight=1.0,
+        regularize_bias=False, dtype="float32", lbfgs_tolerance=1e-12,
+        lbfgs_pgtol=1e-5, num_of_lbfgs_iterations=100,
+        sparsity_threshold=1e-4)
+    base_params = Params(
+        action="train", stage="random_effect",
+        model_type="logistic_regression", label_column_name="response",
+        uid_column_name="uid",
+        prediction_score_column_name="predictionScore")
+    return RandomEffectLRModel(model_params, base_params), base_params
+
+
+def run_re_stage(fg, reps: int) -> float:
+    """End-to-end RE STAGE rate through the production class: fit_flat (the
+    exact dispatch RandomEffectLRModel.train runs — re_mode=auto takes the
+    sharded device plane: host support/local-index prep + routing + on-device
+    per-tier grouping + cached solves + ModelTable collection) + photon-ml
+    avro export + model reload — everything the reference's random-effect
+    trainer does per partition except file-dataset decode
+    (random_effect_lr_lbfgs_model.py:92-138). models/sec including host work."""
+    import shutil
+    import tempfile
+
     d = int(fg.indices.max()) + 1
     tmp = tempfile.mkdtemp(prefix="gdx_bench_stage_")
     try:
-        md_file = os.path.join(tmp, "tensor_metadata.json")
-        with open(md_file, "w") as f:
-            json.dump({"features": [
-                {"name": "per_entity", "dtype": "float", "shape": [d],
-                 "isSparse": True},
-                {"name": "user_id", "dtype": "string", "shape": [],
-                 "isSparse": False},
-                {"name": "uid", "dtype": "long", "shape": [],
-                 "isSparse": False},
-                {"name": "offset", "dtype": "float", "shape": [],
-                 "isSparse": False}],
-                "labels": [{"name": "response", "dtype": "float",
-                            "shape": [], "isSparse": False}]}, f)
-        feature_file = os.path.join(tmp, "features.csv")
-        write_feature_list([(f"f{i}", "") for i in range(d)], feature_file)
-        model_params = REParams(
-            metadata_file=md_file, output_model_dir=tmp,
-            feature_bag="per_entity", feature_file=feature_file,
-            partition_entity="user_id", l2_reg_weight=1.0,
-            regularize_bias=False, dtype="float32", lbfgs_tolerance=1e-12,
-            lbfgs_pgtol=1e-5, num_of_lbfgs_iterations=100,
-            sparsity_threshold=1e-4)
-        base_params = Params(
-            action="train", stage="random_effect",
-            model_type="logistic_regression", label_column_name="response",
-            uid_column_name="uid",
-            prediction_score_column_name="predictionScore")
-        model = RandomEffectLRModel(model_params, base_params)
+        model, base_params = _stage_model(d, tmp)
         model_file = os.path.join(tmp, "part-00000.avro")
 
         rep_times = []
         n_loaded = 0
         for rep in range(max(reps, 2)):  # rep 0 = compile warm-up
             t0 = time.time()
-            weights = model.fit_groups(fg, {}, base_params)
+            weights = model.fit_flat(fg, {}, base_params)
             model._save_model(model_file, weights)
             loaded = model._load_weights(model_file)
             n_loaded = len(loaded)
@@ -301,6 +315,33 @@ def run_re_stage(fg, reps: int) -> float:
         assert n_loaded == n_models, (n_loaded, n_models)
         sys.stderr.write(
             f"bench[re-stage]: {n_models} models fit+export+reload in "
+            f"{elapsed:.3f}s (reps {[round(t, 3) for t in rep_times]})\n")
+        return n_models / elapsed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_re_sharded(fg, tag: str, reps: int) -> float:
+    """models/sec through the sharded device plane alone (fit_flat →
+    fit_records_sharded): the multi-chip production path, timed fit-only —
+    the sharded counterpart of run_re's host-bucket solve metric."""
+    import shutil
+    import tempfile
+
+    d = int(fg.indices.max()) + 1
+    tmp = tempfile.mkdtemp(prefix="gdx_bench_shard_")
+    try:
+        model, base_params = _stage_model(d, tmp)
+        rep_times = []
+        for rep in range(max(reps, 2)):  # rep 0 = compile warm-up
+            t0 = time.time()
+            weights = model.fit_flat(fg, {}, base_params)
+            n_models = len(weights)
+            rep_times.append(time.time() - t0)
+        elapsed = min(rep_times[1:])
+        assert n_models == len(fg), (n_models, len(fg))
+        sys.stderr.write(
+            f"bench[{tag}]: {n_models} models via the sharded plane in "
             f"{elapsed:.3f}s (reps {[round(t, 3) for t in rep_times]})\n")
         return n_models / elapsed
     finally:
@@ -420,6 +461,12 @@ def main():
         submetrics["re_stage_models_per_sec"] = round(
             run_re_stage(make_workload_flat(STAGE_ENTITIES, seed=3),
                          max(reps - 2, 2)), 1)
+    if HEAVY_ENTITIES:
+        heavy_fg = make_workload_flat(HEAVY_ENTITIES, seed=1, count_hi=2048,
+                                      pareto_a=1.2)
+        submetrics["re_sharded_heavy_tail_models_per_sec"] = round(
+            run_re_sharded(heavy_fg, "sharded-heavy-tail",
+                           max(reps - 2, 1)), 1)
     if RUN_FE:
         fe_rate = run_fe()
         submetrics["fe_funcalls_per_sec"] = round(fe_rate, 2)

@@ -44,7 +44,7 @@ from gdmix_tpu.ops.logistic import (SparseBatch, hessian_diag, hessian_full,
                                     per_entity_value_and_grad, predict_logits)
 from gdmix_tpu.ops.newton import densify_bucket, newton_lr_batch
 from gdmix_tpu.ops.segment import ENTITY_SENTINEL
-from gdmix_tpu.parallel.entity_sharding import route_and_bucket, shard_rows
+from gdmix_tpu.parallel.entity_sharding import shard_rows
 from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh, pad_to_multiple
 from gdmix_tpu.params import Params, REParams, from_argv
 
@@ -288,7 +288,11 @@ class RandomEffectLRModel(Model):
                 training_data_dir, self.metadata,
                 self.model_params.partition_entity, self.feature_bag_name,
                 data_format=self.model_params.data_format)
-        model_weights = self.fit_groups(groups, model_weights, schema_params)
+            model_weights = self.fit_groups(groups, model_weights,
+                                            schema_params)
+        else:
+            model_weights = self.fit_flat(groups, model_weights,
+                                          schema_params)
         self._save_model(model_file, model_weights)
 
         # Scoring
@@ -305,6 +309,48 @@ class RandomEffectLRModel(Model):
             i and o and predict(input_path=i, output_file=o)
 
     # ---------------------------------------------------------- bucket solving --
+
+    def _flat_records_view(self, fg):
+        """A FlatGroups partition as per-record columns (zero-copy except the
+        E-scale entity repeat) — the input form fit_records_sharded takes."""
+        from gdmix_tpu.io.input_pipeline import PerRecordData
+        cols = dict(fg.columns)
+        cols[self.model_params.partition_entity] = np.repeat(
+            np.asarray(fg.entity_ids, dtype=object),
+            np.asarray(fg.counts, np.int64))
+        return PerRecordData(columns=cols, indices=fg.indices,
+                             values=fg.values, nnz=fg.rec_nnz,
+                             num_samples=int(np.asarray(fg.counts).sum()))
+
+    def fit_flat(self, fg, model_weights: Mapping[str, SparseModel],
+                 schema_params) -> Mapping[str, SparseModel]:
+        """Train a columnar FlatGroups partition through the configured
+        random-effect plane (REParams.re_mode — the user-facing switch the
+        reference lacks, its equivalent plane being the Spark shuffle +
+        process pool that is always on, DataPartitioner.scala:235-276):
+
+          sharded — route records to entity-owner shards over ICI and group/
+                    pack ON DEVICE (fit_records_sharded); the default
+                    whenever the feature bag is rectangular ("auto"). On a
+                    1-device mesh the all_to_all degenerates to identity and
+                    the plane is simply device-side grouping — still faster
+                    than the host marshal.
+          host    — numpy grouping + bucketize (fit_groups).
+
+        Under multi-process, each process solves its own partition on its
+        LOCAL mesh; the cross-process level stays partition round-robin +
+        model-file exchange (≡ random_effect_driver.py:60-68)."""
+        mode = self.model_params.re_mode
+        use_sharded = (mode == "sharded"
+                       or (mode == "auto" and fg.indices is not None))
+        if not use_sharded:
+            return self.fit_groups(fg, model_weights, schema_params)
+        from gdmix_tpu.parallel.mesh import local_mesh
+        mesh = get_mesh() if jax.process_count() == 1 else local_mesh()
+        return self.fit_records_sharded(self._flat_records_view(fg),
+                                        schema_params,
+                                        model_weights=model_weights,
+                                        mesh=mesh)
 
     def fit_groups(self, groups, model_weights: Mapping[str, SparseModel],
                    schema_params) -> Mapping[str, SparseModel]:
@@ -384,14 +430,15 @@ class RandomEffectLRModel(Model):
                 float(p.lbfgs_pgtol), p.num_of_lbfgs_curvature_pairs,
                 self.variance_mode)
 
-    def _dispatch_bucket(self, bucket: EntityBucket):
-        """Dispatch the bucket's batched solve; returns unsynced device arrays
-        (thetas, variances, converged) so callers can pipeline buckets."""
+    def _select_solver(self, u_cap: int, B: int, n_cap: int):
+        """The solver ladder shared by the host-bucket and sharded planes:
+        Newton–Cholesky (dim ≤ newton_max_dim) → sample-space (Woodbury) dual
+        Newton (n < dim, kernel fits) → densified L-BFGS → sparse vmapped
+        L-BFGS. Solvers are cached at module level so identical (config,
+        shape) pairs reuse one jitted computation — fresh closures per bucket
+        would defeat jax's jit cache (very costly on remote TPU)."""
         p = self.model_params
-        u_cap = bucket.u_cap
         dim = u_cap + (1 if self.has_intercept else 0)
-        arrays = self._bucket_device_arrays(bucket)
-        B, n_cap = bucket.indices.shape[0], bucket.n_cap
         use_newton = (p.batch_solver == "newton"
                       or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
         # explicit newton_dual is honored whenever the kernel fits; auto
@@ -406,24 +453,32 @@ class RandomEffectLRModel(Model):
                 "batch_solver=newton_dual: bucket B=%d n=%d dim=%d exceeds "
                 "dual_newton_max_elems/dense_lbfgs_max_elems — falling back "
                 "to L-BFGS", B, n_cap, dim)
-        use_dense_lbfgs = (not use_newton and not use_dual
-                           and B * n_cap * dim <= p.dense_lbfgs_max_elems)
-        # Solvers are cached at module level so identical (config, shape) pairs
-        # reuse one jitted computation — fresh closures per bucket would defeat
-        # jax's jit cache and recompile every call (very costly on remote TPU).
+        use_dense = (not use_newton and not use_dual
+                     and B * n_cap * dim <= p.dense_lbfgs_max_elems)
+        return (_newton_solver(u_cap, *self._solver_key()) if use_newton
+                else _newton_dual_solver(u_cap, *self._solver_key())
+                if use_dual
+                else _lbfgs_dense_solver(u_cap, *self._solver_key())
+                if use_dense
+                else _lbfgs_solver(u_cap, *self._solver_key()))
+
+    def _dispatch_bucket(self, bucket: EntityBucket):
+        """Dispatch the bucket's batched solve; returns unsynced device arrays
+        (thetas, variances, converged) so callers can pipeline buckets."""
+        p = self.model_params
+        u_cap = bucket.u_cap
+        dim = u_cap + (1 if self.has_intercept else 0)
+        arrays = self._bucket_device_arrays(bucket)
+        B, n_cap = bucket.indices.shape[0], bucket.n_cap
+        use_newton = (p.batch_solver == "newton"
+                      or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
         two_phase = (use_newton and p.newton_phase1_iters > 0
                      and self.variance_mode is None
                      and p.num_of_lbfgs_iterations > p.newton_phase1_iters)
         if two_phase:
             # the inter-phase straggler compaction needs a host sync anyway
             return self._solve_two_phase(bucket, arrays, u_cap)
-        solve = (_newton_solver(u_cap, *self._solver_key()) if use_newton
-                 else _newton_dual_solver(u_cap, *self._solver_key())
-                 if use_dual
-                 else _lbfgs_dense_solver(u_cap, *self._solver_key())
-                 if use_dense_lbfgs
-                 else _lbfgs_solver(u_cap, *self._solver_key()))
-        return solve(arrays)
+        return self._select_solver(u_cap, B, n_cap)(arrays)
 
     def _collect_bucket(self, bucket: EntityBucket,
                         solved) -> Dict[str, SparseModel]:
@@ -504,13 +559,29 @@ class RandomEffectLRModel(Model):
                             mesh=None) -> Dict[str, SparseModel]:
         """Multi-chip training straight from per-record data: records are routed
         over ICI to the shard owning their entity (parallel/entity_sharding ≡
-        the Spark shuffle-by-entity, DataPartitioner.scala:235-276), grouped and
-        packed into solver blocks on device, and each chip solves its own
-        entities with the shared cached vmapped solver (row-sharded coefficient
-        table). Uses GLOBAL feature indexing (theta dim = num_features + 1), so
-        it suits the moderate per-entity feature spaces random effects have;
-        output is identical to fit_groups (equality-tested).
+        the Spark shuffle-by-entity, DataPartitioner.scala:235-276), grouped
+        and packed into per-TIER solver blocks on device, and each chip solves
+        its own entities with the shared cached solver ladder (row-sharded
+        coefficient table). Output is identical to fit_groups
+        (equality-tested).
+
+        Tiering + local indexing: entities are bucketed into power-of-two
+        sample-count tiers (the host path's ladder) so one heavy-tailed entity
+        doesn't pad every slot to the global max, and every record's feature
+        ids are remapped on host to the entity's compact [0, U) support before
+        routing — the reference's enable_local_indexing
+        (job_consumers.py:209-232) — so each tier's solve dimension is its max
+        support, not the global feature count, and theta0 stays
+        [slots, u_cap+1] instead of a dense [slots, D+1].
+
+        Slot assignment is fully host-predicted (build_entity_blocks packs
+        each shard's entities in ascending entity order), so the whole
+        route → pack → solve chain dispatches with NO device round-trip before
+        the final result fetch.
         """
+        from gdmix_tpu.data.bucketing import _next_pow2, _sample_caps
+        from gdmix_tpu.data.partitioner import factorize_entities
+        from gdmix_tpu.parallel.entity_sharding import pack_tier, route_records
         model_weights = model_weights if model_weights is not None else {}
         mesh = mesh if mesh is not None else get_mesh()
         num_shards = len(mesh.devices.flatten())
@@ -519,15 +590,17 @@ class RandomEffectLRModel(Model):
         dt = self.dtype
         D = self.num_features
         off = 1 if self.has_intercept else 0
-        dim = D + off
 
-        from gdmix_tpu.data.partitioner import factorize_entities
         uniq, inv = factorize_entities(data.columns[p.partition_entity])
         E = len(uniq)
+        prior_table = ModelTable.from_models(model_weights, self.has_intercept)
+        if E == 0:
+            return (prior_table if prior_table is not None
+                    else dict(model_weights))
+        counts = np.bincount(inv, minlength=E)
         # round-robin ownership over sorted entity ids (≡ hash partitioning:
         # any deterministic balanced assignment works)
         owner_of_entity = (np.arange(E) % num_shards).astype(np.int32)
-        owner_rows = owner_of_entity[inv]
 
         labels = (data.columns[schema_params.label_column_name]
                   .astype(np.float64)
@@ -546,6 +619,34 @@ class RandomEffectLRModel(Model):
             indices = np.zeros((n, 1), np.int32)
             values = np.zeros((n, 1))
 
+        # per-entity sorted supports + per-entry LOCAL feature ids (the
+        # entity-compact remap rides WITH each record through the exchange)
+        sup_keys, sup_feat, sup_offs = self._entity_supports(
+            inv, data.indices, data.values, data.nnz, E, D)
+        u_counts = np.diff(sup_offs)
+        u_eff = np.maximum(u_counts, 1)
+        local_indices = np.zeros(indices.shape, np.int32)
+        if data.indices is not None and sup_keys.size:
+            k = indices.shape[1]
+            if data.nnz is not None:
+                entry_ok = np.arange(k)[None, :] \
+                    < np.asarray(data.nnz)[:, None]
+            else:
+                entry_ok = values != 0
+            flat_pos = np.flatnonzero(entry_ok.ravel())
+            flat_rec = flat_pos // k
+            ent_e = inv[flat_rec].astype(np.int64)
+            fid_e = indices.ravel()[flat_pos].astype(np.int64)
+            pos = np.searchsorted(sup_keys, ent_e * D + fid_e)
+            li = local_indices.reshape(-1)
+            li[flat_pos] = (pos - sup_offs[ent_e]).astype(np.int32)
+            local_indices = li.reshape(indices.shape)
+
+        # power-of-two sample-count tiers (the host bucketize ladder)
+        caps = np.asarray(_sample_caps(counts, 8))
+        tier_of_entity = np.searchsorted(caps, counts,
+                                         side="left").astype(np.int32)
+
         # pad the record axis so it shards evenly; padding rows carry weight 0
         # and the entity sentinel (they can never enter a block)
         n_pad = pad_to_multiple(max(n, 1), num_shards * 8)
@@ -559,74 +660,82 @@ class RandomEffectLRModel(Model):
             return np.concatenate([a, block], axis=0)
 
         ent_rows = padr(inv.astype(np.int32), int(ENTITY_SENTINEL))
-        owner_pad = padr(owner_rows, 0)
+        owner_pad = padr(owner_of_entity[inv], 0)
         if extra:  # spread padding rows round-robin (they carry the sentinel)
             owner_pad[n:] = np.arange(extra) % num_shards
+        tier_rows = padr(tier_of_entity[inv], 0)
 
-        # exact capacity planning (host): max records any source shard sends
-        # to any destination; max entities owned by one shard; max entity size
+        # exact routing capacity: max records any source shard sends anywhere
         src = np.arange(n_pad) // rows_per_shard
         pair = np.bincount(src * num_shards + owner_pad,
                            minlength=num_shards * num_shards)
         capacity = pad_to_multiple(max(int(pair.max()), 1), 8)
-        b_cap = pad_to_multiple(
-            max(int(np.bincount(owner_of_entity, minlength=num_shards).max()),
-                1), 8)
-        b_cap = min(b_cap, num_shards * capacity)
-        n_cap = pad_to_multiple(max(int(np.bincount(inv).max()), 1), 8)
+        per_shard_rows = num_shards * capacity  # routed records per shard
 
-        arrays = dict(
-            indices=shard_rows(mesh, padr(indices)),
-            values=shard_rows(mesh, padr(values).astype(dt)),
-            offsets=shard_rows(mesh, padr(offsets).astype(dt)),
-            labels=shard_rows(mesh, padr(labels).astype(dt)),
-            weights=shard_rows(mesh, padr(weights).astype(dt)),
-        )
-        sb = route_and_bucket(mesh, arrays, shard_rows(mesh, ent_rows),
-                              shard_rows(mesh, owner_pad),
-                              capacity=capacity, b_cap=b_cap, n_cap=n_cap)
-        for t in (sb.dropped, sb.slot_entity, sb.slot_count):
-            if hasattr(t, "copy_to_host_async"):
-                t.copy_to_host_async()   # overlap the three fetches below
-        dropped = int(np.sum(np.asarray(jax.device_get(sb.dropped))))
-        assert dropped == 0, (
-            f"entity routing dropped {dropped} records (capacity={capacity}, "
-            f"b_cap={b_cap}, n_cap={n_cap}) — capacities are planned exactly, "
-            f"this is a bug")
-        slot_ent = np.asarray(jax.device_get(sb.slot_entity))
-        slot_n = np.asarray(jax.device_get(sb.slot_count)).astype(np.float64)
+        # ONE all-to-all for every payload column incl. entity/tier tags
+        routed = route_records(
+            mesh,
+            dict(indices=shard_rows(mesh, padr(local_indices)),
+                 values=shard_rows(mesh, padr(values).astype(dt)),
+                 offsets=shard_rows(mesh, padr(offsets).astype(dt)),
+                 labels=shard_rows(mesh, padr(labels).astype(dt)),
+                 weights=shard_rows(mesh, padr(weights).astype(dt)),
+                 _ent=shard_rows(mesh, ent_rows),
+                 _tier=shard_rows(mesh, tier_rows)),
+            shard_rows(mesh, owner_pad), capacity=capacity)
+        r_ent = routed.arrays["_ent"]
+        r_tier = routed.arrays["_tier"]
 
-        # warm start (global layout [b, w(D)]), restricted to each entity's
-        # CURRENT support — the reference's prior-model reconciliation
-        # (job_consumers.py:260-288). Fully columnar: one key intersection
-        # between the prior table's flat coefs and the support keys.
-        sup_keys, sup_feat, sup_offs = self._entity_supports(
-            inv, data.indices, data.values, data.nnz, E, D)
-        theta0 = np.zeros((num_shards * b_cap, dim))
-        slot_of = np.full(E, -1, np.int64)
-        valid_slots = np.flatnonzero(slot_ent >= 0)
-        slot_of[slot_ent[valid_slots]] = valid_slots
-        prior_table = ModelTable.from_models(model_weights, self.has_intercept)
+        # host-predicted slot assignment per tier: build_entity_blocks packs
+        # each shard's tier members in ascending entity order, so slot =
+        # owner·b_cap + rank-within-owner — no device fetch needed
+        tiers = []
+        slot_of_entity = np.full(E, -1, np.int64)  # slot within the OWN tier
+        for t in range(len(caps)):
+            members = np.flatnonzero(tier_of_entity == t)
+            if members.size == 0:
+                continue
+            own_m = owner_of_entity[members]
+            per_shard = np.bincount(own_m, minlength=num_shards)
+            b_cap_t = min(max(8, _next_pow2(int(per_shard.max()))),
+                          per_shard_rows)
+            u_cap_t = pad_to_multiple(max(int(u_eff[members].max()), 1), 8)
+            order = np.argsort(own_m, kind="stable")   # members already ↑
+            sorted_members = members[order]
+            shard_of = own_m[order]
+            shard_starts = np.searchsorted(shard_of, np.arange(num_shards))
+            rank = np.arange(members.size) - shard_starts[shard_of]
+            slots = shard_of.astype(np.int64) * b_cap_t + rank
+            slot_of_entity[sorted_members] = slots
+            tiers.append(dict(t=t, n_cap=int(caps[t]), b_cap=b_cap_t,
+                              u_cap=u_cap_t, members=sorted_members,
+                              slots=slots))
+
+        # warm start in LOCAL space (reference prior reconciliation,
+        # job_consumers.py:260-288): one key intersection for table priors
+        warm_icpt = None   # (entity, value)
+        warm_coef = None   # (entity, local position, value)
         if len(model_weights) and prior_table is not None \
                 and E * D < (1 << 62):
             id2row = prior_table.id2row
             prow = np.fromiter((id2row.get(u, -1) for u in uniq), np.int64, E)
-            ents = np.flatnonzero((prow >= 0) & (slot_of >= 0))
-            rows = prow[ents]
-            if off and prior_table.icpt is not None:
-                theta0[slot_of[ents], 0] = prior_table.icpt[rows]
-            p_ent, p_fid, p_val, _, hit = intersect_prior_support(
-                prior_table, ents, rows, sup_keys, D)
-            theta0[slot_of[p_ent[hit]], off + p_fid[hit]] = p_val[hit]
-        elif len(model_weights):  # mixed-variance dict prior: per-slot path
-            for slot, e in enumerate(slot_ent):
-                if e < 0:
-                    continue
+            ents = np.flatnonzero(prow >= 0)
+            if ents.size:
+                if off and prior_table.icpt is not None:
+                    warm_icpt = (ents, prior_table.icpt[prow[ents]])
+                p_ent, _, p_val, pos, hit = intersect_prior_support(
+                    prior_table, ents, prow[ents], sup_keys, D)
+                warm_coef = (p_ent[hit],
+                             pos[hit] - sup_offs[p_ent[hit]], p_val[hit])
+        elif len(model_weights):  # mixed-variance dict prior: per-entity path
+            wi_e, wi_v, w_e, w_l, w_v = [], [], [], [], []
+            for e in range(E):
                 prior = model_weights.get(uniq[e])
                 if prior is None:
                     continue
                 if off:
-                    theta0[slot, 0] = prior.theta[0]
+                    wi_e.append(e)
+                    wi_v.append(prior.theta[0])
                 sup = sup_feat[sup_offs[e]:sup_offs[e + 1]]
                 if len(prior.unique_global_indices) and len(sup):
                     p_idx = np.asarray(prior.unique_global_indices)
@@ -636,56 +745,88 @@ class RandomEffectLRModel(Model):
                     pos = np.clip(np.searchsorted(p_sorted, sup), 0,
                                   len(p_sorted) - 1)
                     hit = p_sorted[pos] == sup
-                    theta0[slot, off + sup[hit]] = p_theta[pos[hit]]
+                    w_e.append(np.full(int(hit.sum()), e, np.int64))
+                    w_l.append(np.flatnonzero(hit).astype(np.int64))
+                    w_v.append(p_theta[pos[hit]])
+            if wi_e:
+                warm_icpt = (np.asarray(wi_e, np.int64), np.asarray(wi_v))
+            if w_e:
+                warm_coef = (np.concatenate(w_e), np.concatenate(w_l),
+                             np.concatenate(w_v))
 
-        solver_arrays = dict(
-            sb.blocks,
-            sample_count=shard_rows(mesh, slot_n.astype(dt)),
-            theta0=shard_rows(mesh, theta0.astype(dt)),
-        )
-        use_newton = (p.batch_solver == "newton"
-                      or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
-        use_dual = (not use_newton
-                    and (p.batch_solver == "newton_dual"
-                         or (p.batch_solver == "auto" and n_cap < dim))
-                    and num_shards * b_cap * n_cap * n_cap
-                    <= p.dual_newton_max_elems
-                    and num_shards * b_cap * n_cap * dim
-                    <= p.dense_lbfgs_max_elems)
-        use_dense = (num_shards * b_cap * n_cap * dim
-                     <= p.dense_lbfgs_max_elems)
-        solve = (_newton_solver(D, *self._solver_key()) if use_newton
-                 else _newton_dual_solver(D, *self._solver_key()) if use_dual
-                 else _lbfgs_dense_solver(D, *self._solver_key()) if use_dense
-                 else _lbfgs_solver(D, *self._solver_key()))
-        thetas, variances, _ = (np.asarray(jax.device_get(t), np.float64)
-                                for t in solve(solver_arrays))
+        # dispatch every tier's pack + solve before fetching anything
+        pending = []
+        for ti in tiers:
+            dim_t = ti["u_cap"] + off
+            theta0 = np.zeros((num_shards * ti["b_cap"], dim_t))
+            if warm_icpt is not None:
+                we, wv = warm_icpt
+                sel = tier_of_entity[we] == ti["t"]
+                theta0[slot_of_entity[we[sel]], 0] = wv[sel]
+            if warm_coef is not None:
+                ce, cl, cv = warm_coef
+                sel = tier_of_entity[ce] == ti["t"]
+                theta0[slot_of_entity[ce[sel]], off + cl[sel]] = cv[sel]
+            sample_count = np.zeros(num_shards * ti["b_cap"])
+            sample_count[ti["slots"]] = counts[ti["members"]]
+            blocks, _, _, pack_dropped = pack_tier(
+                mesh, routed, r_ent, r_tier, ti["t"],
+                b_cap=ti["b_cap"], n_cap=ti["n_cap"])
+            solver_arrays = dict(
+                blocks,
+                sample_count=shard_rows(mesh, sample_count.astype(dt)),
+                theta0=shard_rows(mesh, theta0.astype(dt)))
+            solve = self._select_solver(
+                ti["u_cap"], num_shards * ti["b_cap"], ti["n_cap"])
+            solved = solve(solver_arrays)
+            for a in (*solved, pack_dropped):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            pending.append((ti, solved, pack_dropped))
+        if hasattr(routed.overflow, "copy_to_host_async"):
+            routed.overflow.copy_to_host_async()
 
-        # columnar collection: gather each solved slot's support coefficients
+        # columnar collection: gather each tier's support coefficients
         # straight into ModelTable columns (no per-entity python)
-        thetas = np.where(np.abs(thetas) <= p.sparsity_threshold, 0.0, thetas)
-        ents_v = slot_ent[valid_slots]
-        lens_v = sup_offs[ents_v + 1] - sup_offs[ents_v]
-        src = flat_positions(sup_offs[ents_v], lens_v)
-        feat = sup_feat[src]
-        rows = np.repeat(valid_slots, lens_v)
-        offs_out = np.zeros(len(ents_v) + 1, np.int64)
-        np.cumsum(lens_v, out=offs_out[1:])
         with_var = self.variance_mode is not None
-        new = ModelTable(
-            ids=uniq[ents_v].astype(object), offs=offs_out,
-            coef_ids=feat, coef_vals=thetas[rows, off + feat],
-            icpt=thetas[valid_slots, 0].copy() if off else None,
-            coef_vars=variances[rows, off + feat] if with_var else None,
-            icpt_vars=(variances[valid_slots, 0].copy()
-                       if with_var and off else None))
+        dropped = int(np.sum(np.asarray(jax.device_get(routed.overflow))))
+        tables = []
+        for ti, solved, pack_dropped in pending:
+            thetas, variances, _ = (np.asarray(jax.device_get(x), np.float64)
+                                    for x in solved)
+            dropped += int(np.sum(np.asarray(jax.device_get(pack_dropped))))
+            thetas = np.where(np.abs(thetas) <= p.sparsity_threshold, 0.0,
+                              thetas)
+            ents_t, slots_t = ti["members"], ti["slots"]
+            lens = u_counts[ents_t]
+            src = flat_positions(sup_offs[ents_t], lens)
+            inner = np.arange(int(lens.sum())) \
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            rows = np.repeat(slots_t, lens)
+            offs_out = np.zeros(len(ents_t) + 1, np.int64)
+            np.cumsum(lens, out=offs_out[1:])
+            tables.append(ModelTable(
+                ids=uniq[ents_t].astype(object), offs=offs_out,
+                coef_ids=sup_feat[src],
+                coef_vals=thetas[rows, off + inner],
+                icpt=thetas[slots_t, 0].copy() if off else None,
+                coef_vars=(variances[rows, off + inner] if with_var
+                           else None),
+                icpt_vars=(variances[slots_t, 0].copy()
+                           if with_var and off else None)))
+        assert dropped == 0, (
+            f"entity routing dropped {dropped} records (capacity={capacity}, "
+            f"tiers={[(ti['b_cap'], ti['n_cap']) for ti in tiers]}) — "
+            f"capacities are planned exactly, this is a bug")
+        new = ModelTable.concat(tables, has_intercept=self.has_intercept,
+                                with_variance=with_var)
         merged = (prior_table.merged_with(new) if prior_table is not None
                   else dict(model_weights))
         if prior_table is None:
             merged.update(new)
-        logger.info("sharded fit: %d entities over %d shards (b_cap=%d, "
-                    "n_cap=%d, capacity=%d); %d models total", E, num_shards,
-                    b_cap, n_cap, capacity, len(merged))
+        logger.info("sharded fit: %d entities over %d shards in %d tiers "
+                    "(capacity=%d); %d models total", E, num_shards,
+                    len(tiers), capacity, len(merged))
         return merged
 
     def _solve_two_phase(self, bucket: EntityBucket, arrays, u_cap: int):

@@ -41,6 +41,58 @@ class ShardedBlocks(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
+def _route_fn(mesh: Mesh, capacity: int, axis: str, keys: tuple):
+    def fn(arrays, owner):
+        r = route_to_entity_shards(mesh, arrays, owner, capacity, axis)
+        return r.arrays, r.valid, r.overflow
+    return jax.jit(fn)
+
+
+def route_records(mesh: Mesh, arrays: Dict[str, jnp.ndarray],
+                  owner: jnp.ndarray, *, capacity: int, axis: str = DATA_AXIS):
+    """One fixed-capacity all-to-all delivering ALL payload columns to their
+    entity-owner shards; per-tier packing (pack_tier) then reuses the routed
+    arrays without re-routing. Returns a routing.Routed."""
+    from gdmix_tpu.parallel.routing import Routed
+    fn = _route_fn(mesh, capacity, axis, tuple(sorted(arrays)))
+    out, valid, overflow = fn(arrays, owner.astype(jnp.int32))
+    return Routed(arrays=out, valid=valid, overflow=overflow)
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_tier_fn(mesh: Mesh, b_cap: int, n_cap: int, axis: str, keys: tuple):
+    def fn(payload, valid, ent, tier_col, t):
+        def bucket_local(r_arrays, r_valid, r_ent, r_tier, tt):
+            v = r_valid & (r_tier == tt)
+            blocks, slot_entity, slot_count, dropped = build_entity_blocks(
+                r_ent, r_arrays, v, b_cap, n_cap)
+            return blocks, slot_entity, slot_count, dropped[None]
+        fn2 = shard_map(
+            bucket_local, mesh=mesh,
+            in_specs=({k: P(axis) for k in payload}, P(axis), P(axis),
+                      P(axis), P()),
+            out_specs=({k: P(axis) for k in payload}, P(axis), P(axis),
+                       P(axis)))
+        return fn2(payload, valid, ent, tier_col, t)
+    return jax.jit(fn)
+
+
+def pack_tier(mesh: Mesh, routed, ent: jnp.ndarray, tier_col: jnp.ndarray,
+              t: int, *, b_cap: int, n_cap: int, axis: str = DATA_AXIS):
+    """Pack ONE sample-count tier's routed records into [P·b_cap, n_cap, ...]
+    solver blocks, on device (records of other tiers are masked to the entity
+    sentinel and never enter a block). The tier index rides as a device scalar
+    so tiers sharing (b_cap, n_cap) reuse one compiled computation.
+
+    Returns (blocks, slot_entity, slot_count, dropped[P])."""
+    payload = {k: v for k, v in routed.arrays.items()
+               if k not in ("_ent", "_tier")}
+    fn = _pack_tier_fn(mesh, b_cap, n_cap, axis, tuple(sorted(payload)))
+    return fn(payload, routed.valid, ent, tier_col,
+              jnp.asarray(t, jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
 def _route_and_bucket_fn(mesh: Mesh, capacity: int, b_cap: int, n_cap: int,
                          axis: str, keys: tuple):
     def fn(arrays: Dict[str, jnp.ndarray], owner: jnp.ndarray):

@@ -22,6 +22,16 @@ def get_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def local_mesh() -> Mesh:
+    """Process-LOCAL 1-D mesh (this host's devices only). Under multi-host
+    the random-effect plane composes two levels — ICI routing within each
+    process's local mesh × round-robin entity ownership + model-file exchange
+    across processes (≡ the reference's partitions-across-workers × pool-
+    within-worker, random_effect_lr_lbfgs_model.py:82-217) — so its
+    collectives must stay inside the process."""
+    return Mesh(np.array(jax.local_devices()), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh, rank: int = 1, batch_dim: int = 0) -> NamedSharding:
     """Shard `batch_dim` of a rank-`rank` array along the data axis."""
     spec = [None] * rank

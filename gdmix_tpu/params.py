@@ -219,9 +219,20 @@ class REParams(LRParams):
     # Default off: the phase-1 theta fetch is transfer-bound on relay-attached
     # TPUs (measured 43k vs 109k models/s); enable on locally-attached chips.
     newton_phase1_iters: int = 0
+    # random-effect training plane: "sharded" routes records over ICI to
+    # entity-owner shards and groups/packs on device (fit_records_sharded —
+    # the multi-chip plane; on a 1-device mesh the all_to_all degenerates to
+    # identity and it is simply on-device grouping); "host" groups/buckets in
+    # numpy (fit_groups); "auto" takes the device plane whenever the feature
+    # bag is rectangular (padded [N, K]), host otherwise (intercept-only /
+    # ragged). Under multi-process, sharded solves each process's entities on
+    # its LOCAL mesh; the cross-process level stays partition round-robin +
+    # model files (≡ random_effect_driver.py:60-68).
+    re_mode: str = "auto"   # "auto"|"host"|"sharded"
 
     def __post_init__(self):
         super().__post_init__()
         assert self.random_effect_variance_mode is None \
             or self.random_effect_variance_mode in _VARIANCE_MODES
         assert self.batch_solver in ("auto", "lbfgs", "newton", "newton_dual")
+        assert self.re_mode in ("auto", "host", "sharded")

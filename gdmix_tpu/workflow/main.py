@@ -43,6 +43,13 @@ def get_parser() -> argparse.ArgumentParser:
                              "defaults to the config's k8s_config.namespace)")
     parser.add_argument("--num_sweeps", type=int, default=1,
                         help="coordinate-descent sweeps (in_memory mode)")
+    parser.add_argument("--re_mode", default=None,
+                        choices=["auto", "host", "sharded"],
+                        help="random-effect training plane (in_memory mode): "
+                             "sharded = ICI routing + on-device grouping "
+                             "(fit_records_sharded), host = numpy grouping; "
+                             "auto (default, also a YAML top-level key) takes "
+                             "sharded whenever the feature bag is rectangular")
     parser.add_argument("--compile_dag_to", default=None,
                         help="emit the job DAG json here instead of running")
     parser.add_argument("--max_parallel", type=int, default=1,
@@ -87,7 +94,8 @@ def main(args=None) -> dict:
     if args.mode == "in_memory":
         from gdmix_tpu.workflow.pipeline import run_gdmix_in_memory
         metrics = run_gdmix_in_memory(args.config_path,
-                                      num_sweeps=args.num_sweeps)
+                                      num_sweeps=args.num_sweeps,
+                                      re_mode=args.re_mode)
     else:
         from gdmix_tpu.workflow.single_node import run_gdmix_single_node
         metrics = run_gdmix_single_node(args.config_path, resume=args.resume)

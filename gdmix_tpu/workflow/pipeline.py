@@ -80,26 +80,30 @@ class InMemoryPipeline:
       * "host":    group entities on host (numpy) and solve vmapped buckets
       * "sharded": route records to entity-owner shards over ICI and group on
                    device (parallel/entity_sharding) — the multi-chip path
-      * "auto":    "sharded" when the mesh has more than one device
+      * "auto":    "sharded" whenever the feature bag is rectangular (the
+                   default; a 1-device mesh degenerates gracefully — the
+                   all_to_all is identity and grouping still runs on device)
+
+    Under multi-process the two parallelism levels COMPOSE (≡ the reference's
+    partitions-across-workers × pool-within-worker,
+    random_effect_lr_lbfgs_model.py:82-217): entities are round-robin OWNED
+    per process and exchanged as model files, while each process routes/
+    groups/solves its own entities over its process-LOCAL device mesh.
     """
 
     def __init__(self, config: WorkflowConfig, num_sweeps: int = 1,
-                 re_mode: str = "host"):
+                 re_mode: str = "auto"):
         assert re_mode in ("host", "sharded", "auto")
         self.config = config
         self.num_sweeps = num_sweeps
         self.re_mode = re_mode
         self.metrics: Dict[str, float] = {}
 
-    def _use_sharded_re(self) -> bool:
-        import jax
-        if jax.process_count() > 1:
-            # cross-process RE uses entity partitioning + model-file exchange
-            # (the reference's partition architecture), not device routing
-            return False
+    def _use_sharded_re(self, data: PerRecordData) -> bool:
         if self.re_mode == "auto":
-            from gdmix_tpu.parallel.mesh import get_mesh
-            return len(get_mesh().devices.flatten()) > 1
+            # the device plane needs a rectangular padded bag; intercept-only
+            # coordinates (indices None) keep the host grouping
+            return data.indices is not None
         return self.re_mode == "sharded"
 
     @staticmethod
@@ -227,10 +231,31 @@ class InMemoryPipeline:
                     max_samples=item["max_samples"],
                     uid_column_name=params.uid_column_name,
                     offset_column_name=mp.offset_column_name)
-                if self._use_sharded_re():
+                if self._use_sharded_re(item["train"]):
                     active = self._active_records(item["train"], pcfg)
-                    item["weights"] = model.fit_records_sharded(
-                        active, params, model_weights=item["weights"])
+                    if nproc > 1:
+                        # two composed levels: round-robin entity OWNERSHIP
+                        # across processes (model-file exchange), ICI routing
+                        # within each process's local mesh
+                        from gdmix_tpu.data.partitioner import \
+                            factorize_entities
+                        from gdmix_tpu.io.input_pipeline import slice_rows
+                        from gdmix_tpu.parallel.mesh import local_mesh
+                        uniq, inv = factorize_entities(
+                            active.columns[mp.partition_entity])
+                        owned = (np.arange(len(uniq)) % nproc) == rank
+                        partial = model.fit_records_sharded(
+                            slice_rows(active, np.flatnonzero(owned[inv])),
+                            params, model_weights=item["weights"],
+                            mesh=local_mesh())
+                        partial = {eid: partial[eid] for eid in uniq[owned]}
+                        merged = self._exchange_re_models(
+                            os.path.join(cfg.output_dir, name, MODELS),
+                            sweep, name, partial, model)
+                        item["weights"] = dict(item["weights"], **merged)
+                    else:
+                        item["weights"] = model.fit_records_sharded(
+                            active, params, model_weights=item["weights"])
                 else:
                     groups = self._group(item["train"], pcfg, model.metadata,
                                          active_only=True)
@@ -348,8 +373,13 @@ class InMemoryPipeline:
 
 
 def run_gdmix_in_memory(config_path_or_obj, num_sweeps: int = 1,
-                        re_mode: str = "host") -> Dict[str, float]:
+                        re_mode: Optional[str] = None) -> Dict[str, float]:
+    """re_mode precedence: explicit argument > the config's top-level
+    `re_mode` key > "auto" (the sharded multi-chip plane whenever the
+    feature bag is rectangular)."""
     config = (config_path_or_obj if isinstance(config_path_or_obj, WorkflowConfig)
               else WorkflowConfig.from_file(config_path_or_obj))
+    if re_mode is None:
+        re_mode = config.extras.get("re_mode", "auto")
     return InMemoryPipeline(config, num_sweeps=num_sweeps,
                             re_mode=re_mode).run()

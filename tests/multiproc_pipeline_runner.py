@@ -1,10 +1,13 @@
 """Subprocess runner for the 2-process x 4-virtual-device in-HBM pipeline test.
 
-Usage: python tests/multiproc_pipeline_runner.py <pid> <nproc> <ml_root> <out> <port>
+Usage: python tests/multiproc_pipeline_runner.py <pid> <nproc> <ml_root> <out>
+       <port> [re_mode]
 Runs the full 3-coordinate coordinate-descent pipeline under jax.distributed:
-FE trains SPMD over all 8 devices; RE entities are round-robin owned per
-process and merged through the model-file exchange. Each process writes its
-metric ladder to metrics_<pid>.json for the test to compare.
+FE trains SPMD over all 8 devices; RE composes the two parallelism levels —
+entities round-robin OWNED per process (model-file exchange) × ICI routing +
+on-device grouping over each process's 4-device LOCAL mesh (re_mode=sharded,
+the default plane). Each process writes its metric ladder plus the number of
+sharded-plane solves to metrics_<pid>.json for the test to assert on.
 """
 import json
 import os
@@ -12,6 +15,7 @@ import sys
 
 pid, nproc, ml_root, out_dir, port = (int(sys.argv[1]), int(sys.argv[2]),
                                       sys.argv[3], sys.argv[4], sys.argv[5])
+re_mode = sys.argv[6] if len(sys.argv) > 6 else "sharded"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -24,10 +28,27 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel  # noqa: E402
 from gdmix_tpu.workflow.pipeline import run_gdmix_in_memory  # noqa: E402
 from tests.test_e2e_pipeline import _config  # noqa: E402
 
-metrics = run_gdmix_in_memory(_config(ml_root, out_dir), num_sweeps=2)
+sharded_calls = []
+_orig = RandomEffectLRModel.fit_records_sharded
+
+
+def _spy(self, data, schema_params, model_weights=None, mesh=None):
+    # the composed plane must route over the process-LOCAL mesh
+    assert mesh is None or len(mesh.devices.flatten()) == len(
+        jax.local_devices()), mesh
+    sharded_calls.append(self.model_params.partition_entity)
+    return _orig(self, data, schema_params, model_weights=model_weights,
+                 mesh=mesh)
+
+
+RandomEffectLRModel.fit_records_sharded = _spy
+
+metrics = run_gdmix_in_memory(_config(ml_root, out_dir), num_sweeps=2,
+                              re_mode=re_mode)
 with open(os.path.join(out_dir, f"metrics_{pid}.json"), "w") as f:
-    json.dump(metrics, f)
-print(f"proc {pid}: {metrics}", flush=True)
+    json.dump({"metrics": metrics, "sharded_calls": sharded_calls}, f)
+print(f"proc {pid}: {metrics} (sharded calls: {sharded_calls})", flush=True)

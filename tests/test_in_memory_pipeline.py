@@ -66,6 +66,50 @@ def test_sharded_re_mode_matches_host_mode(ml_data, tmp_path):
                                        err_msg=f"{coord}/{eid}")
 
 
+def test_cli_default_routes_sharded(ml_data, tmp_path, monkeypatch):
+    """A plain `--mode in_memory` CLI run takes the multi-chip sharded RE
+    plane BY DEFAULT on the 8-device virtual mesh (VERDICT r2 item 1:
+    fit_records_sharded is the user-reachable production path, matching the
+    reference where the partitioned plane is the default,
+    random_effect_driver.py:60-68 — not an opt-in), and --re_mode host
+    opts out."""
+    import yaml
+    from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+    from gdmix_tpu.workflow.main import main
+    calls = []
+    orig = RandomEffectLRModel.fit_records_sharded
+
+    def spy(self, *a, **kw):
+        calls.append(self.model_params.partition_entity)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(RandomEffectLRModel, "fit_records_sharded", spy)
+    cfg = _config(ml_data, str(tmp_path / "out"))
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"output_dir": cfg.output_dir,
+                        "fixed_effect_config": cfg.fixed_effect_config,
+                        "random_effect_config": cfg.random_effect_config},
+                       f, sort_keys=False)
+    metrics = main(["--config_path", cfg_path, "--mode", "in_memory"])
+    assert calls == ["user_id", "movie_id"]   # both RE coordinates sharded
+    assert metrics["per-movie"] > metrics["global"]   # ladder still climbs
+    # --re_mode host opts out of the device plane
+    calls.clear()
+    main(["--config_path", cfg_path, "--mode", "in_memory",
+          "--re_mode", "host"])
+    assert calls == []
+    # a YAML top-level re_mode key is honored too
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"output_dir": cfg.output_dir,
+                        "fixed_effect_config": cfg.fixed_effect_config,
+                        "random_effect_config": cfg.random_effect_config,
+                        "re_mode": "sharded"}, f, sort_keys=False)
+    calls.clear()
+    main(["--config_path", cfg_path, "--mode", "in_memory"])
+    assert calls == ["user_id", "movie_id"]
+
+
 def test_multi_sweep_improves_or_holds(ml_data, tmp_path):
     one = run_gdmix_in_memory(_config(ml_data, str(tmp_path / "s1")),
                               num_sweeps=1)

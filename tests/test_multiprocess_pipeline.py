@@ -2,7 +2,13 @@
 8-device cluster): the 3-coordinate in-HBM pipeline under jax.distributed,
 AUC ladder asserted against the single-process run — the TPU equivalent of the
 reference's CI e2e (.github/workflows/movieLens-py37.yml:26-41) plus its
-5-worker driver simulation (test/drivers/test_driver.py:13-99)."""
+5-worker driver simulation (test/drivers/test_driver.py:13-99).
+
+The RE stage runs re_mode=sharded, composing the two parallelism levels the
+reference nests (partitions-across-workers x pool-within-worker,
+random_effect_lr_lbfgs_model.py:82-217): entity ownership round-robin across
+the 2 processes (model-file exchange) x ICI routing + on-device grouping over
+each process's LOCAL 4-device mesh."""
 import json
 import os
 import subprocess
@@ -43,7 +49,12 @@ def test_two_process_pipeline_matches_single(tmp_path):
     ladders = []
     for pid in range(2):
         with open(os.path.join(mp_out, f"metrics_{pid}.json")) as f:
-            ladders.append(json.load(f))
+            obj = json.load(f)
+        # the two parallelism levels COMPOSED: every RE coordinate in every
+        # sweep went through the sharded plane on the process-LOCAL 4-device
+        # mesh (2 coordinates x 2 sweeps), not the host-grouping fallback
+        assert obj["sharded_calls"] == ["user_id", "movie_id"] * 2, obj
+        ladders.append(obj["metrics"])
     # both processes computed identical ladders (SPMD determinism)
     assert ladders[0] == ladders[1]
     # and they match the single-process run (different device meshes/summation
