@@ -275,7 +275,8 @@ def _stage_model(d: int, tmp: str):
         partition_entity="user_id", l2_reg_weight=1.0,
         regularize_bias=False, dtype="float32", lbfgs_tolerance=1e-12,
         lbfgs_pgtol=1e-5, num_of_lbfgs_iterations=100,
-        sparsity_threshold=1e-4)
+        sparsity_threshold=1e-4,
+        re_mode=os.environ.get("BENCH_RE_MODE", "auto"))
     base_params = Params(
         action="train", stage="random_effect",
         model_type="logistic_regression", label_column_name="response",
@@ -400,15 +401,21 @@ def run_fe(reps: int = 4) -> float:
 
         batch = gen(jax.random.PRNGKey(0))
         float(jnp.sum(batch.values))
-        fun = jax.jit(model._objective_fun(batch))
+
+        # the batch rides as a jit ARGUMENT (closing over it would embed
+        # 640MB of constants in the compile payload — the relay rejects it)
+        @jax.jit
+        def fun(x, b):
+            return model._objective_fun(b)(x)
+
         x = jnp.zeros((model._dim,), jnp.float32)
-        v, g = fun(x)
+        v, g = fun(x, batch)
         float(v)  # compile + first call
         times = []
         for _ in range(reps):
             x = x - 1e-4 * g
             t0 = time.time()
-            v, g = fun(x)
+            v, g = fun(x, batch)
             float(v), float(jnp.sum(g))  # host fetch = sync
             times.append(time.time() - t0)
         sys.stderr.write(f"bench[fe]: funcall min={min(times):.4f}s "

@@ -278,22 +278,11 @@ def load_per_entity_grouped_flat(input_path, metadata: DatasetMetadata,
     return fg
 
 
-def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
-                            feature_bag: Optional[str], align: int
-                            ) -> Optional[PerRecordData]:
-    from gdmix_tpu import native
-    if not native.available():
-        return None
+def _native_parts_to_data(parts, metadata: DatasetMetadata, dense_names,
+                          feature_bag: Optional[str], align: int
+                          ) -> PerRecordData:
+    """Assemble native.parse_per_record outputs into one PerRecordData."""
     tensors = metadata.tensors()
-    int_names = [n for n in dense_names if tensors[n].dtype in ("int", "long")]
-    parts = []
-    for f in files:
-        out = native.parse_per_record(_read_file_bytes(f), dense_names,
-                                      feature_bag, align, int_names=int_names)
-        if out is None:
-            return None
-        parts.append(out)
-
     n = sum(len(next(iter(p[0].values()))) if p[0] else
             (len(p[4]) if p[4] is not None else 0) for p in parts)
     columns: Dict[str, np.ndarray] = {}
@@ -309,6 +298,106 @@ def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
         nnz = np.concatenate([p[4] for p in parts])
     return PerRecordData(columns=columns, indices=indices, values=values,
                          nnz=nnz, num_samples=n)
+
+
+def _read_per_record_native(files, metadata: DatasetMetadata, dense_names,
+                            feature_bag: Optional[str], align: int
+                            ) -> Optional[PerRecordData]:
+    from gdmix_tpu import native
+    if not native.available():
+        return None
+    tensors = metadata.tensors()
+    int_names = [n for n in dense_names if tensors[n].dtype in ("int", "long")]
+    parts = []
+    for f in files:
+        out = native.parse_per_record(_read_file_bytes(f), dense_names,
+                                      feature_bag, align, int_names=int_names)
+        if out is None:
+            return None
+        parts.append(out)
+    return _native_parts_to_data(parts, metadata, dense_names, feature_bag,
+                                 align)
+
+
+def iter_per_record_chunks(input_path, metadata: DatasetMetadata,
+                           feature_bag: Optional[str] = None,
+                           num_shards: int = 1, shard_index: int = 0,
+                           chunk_rows: int = 1 << 18, align: int = 8,
+                           use_native: bool = True):
+    """Stream a per-record TFRecord dataset as bounded-host-memory
+    PerRecordData chunks of EXACTLY chunk_rows records (only the last chunk
+    is short): the out-of-core ingestion mode. The reference streams epochs
+    from disk through tf.data on every L-BFGS funcall
+    (input_data_pipeline.py:129-220); here the stream moves disk → HBM ONCE
+    (FixedEffectLRModel._device_batch_streamed ships each chunk to the mesh
+    as it decodes), so a shard larger than host RAM trains, and funcalls
+    stay HBM-resident.
+
+    Frames are walked with bounded memory (tfrecord.read_tfrecord_frames,
+    gzip/zlib streamed), concatenated per chunk and decoded through the same
+    native/python codecs as load_per_record. Sharding matches
+    load_per_record: file-level when files ≥ workers, otherwise the
+    sample-level fallback keeps every num_shards-th record of the merged
+    stream."""
+    from gdmix_tpu import native
+    files, sample_level = shard_input_files(input_path, num_shards, shard_index)
+    tensors = metadata.tensors()
+    dense_names = [name for name, t in tensors.items()
+                   if not t.is_sparse and t.dtype not in ("bytes", "string")]
+    string_names = [name for name, t in tensors.items()
+                    if not t.is_sparse and t.dtype in ("bytes", "string")]
+    int_names = [n for n in dense_names if tensors[n].dtype in ("int", "long")]
+    native_ok = use_native and not string_names and native.available()
+
+    def decode_chunk(frames) -> PerRecordData:
+        if native_ok:
+            out = native.parse_per_record(b"".join(frames), dense_names,
+                                          feature_bag, align,
+                                          int_names=int_names)
+            if out is not None:
+                return _native_parts_to_data([out], metadata, dense_names,
+                                             feature_bag, align)
+        cols: Dict[str, list] = {n: [] for n in dense_names + string_names}
+        ragged_idx: List[np.ndarray] = []
+        ragged_val: List[np.ndarray] = []
+        idx_key = f"{feature_bag}{INDICES_SUFFIX}" if feature_bag else None
+        val_key = f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None
+        for frame in frames:
+            ex = proto.decode_example(frame[12:-4])
+            for name in dense_names:
+                v = ex.get(name, [])
+                cols[name].append(v[0] if v else 0)
+            for name in string_names:
+                v = ex.get(name, [])
+                cols[name].append(v[0] if v else b"")
+            if feature_bag:
+                ragged_idx.append(np.asarray(ex.get(idx_key, []), np.int64))
+                ragged_val.append(np.asarray(ex.get(val_key, []), np.float64))
+        columns = {n: np.asarray(cols[n], dtype=tensors[n].np_dtype)
+                   for n in dense_names}
+        columns.update({n: np.asarray(cols[n], dtype=object)
+                        for n in string_names})
+        indices = values = nnz = None
+        if feature_bag:
+            indices, values = _pad_ragged(ragged_idx, ragged_val, align)
+            nnz = np.asarray([len(r) for r in ragged_idx], dtype=np.int32)
+        return PerRecordData(columns=columns, indices=indices, values=values,
+                             nnz=nnz, num_samples=len(frames))
+
+    buf: List[bytes] = []
+    gidx = 0
+    for f in files:
+        for frame in tfrecord.read_tfrecord_frames(f):
+            keep = not sample_level or gidx % num_shards == shard_index
+            gidx += 1
+            if not keep:
+                continue
+            buf.append(frame)
+            if len(buf) == chunk_rows:
+                yield decode_chunk(buf)
+                buf = []
+    if buf:
+        yield decode_chunk(buf)
 
 
 @dataclass

@@ -137,6 +137,26 @@ def read_tfrecords(path: str, compression: Optional[str] = None,
             yield payload
 
 
+def read_tfrecord_frames(path: str, compression: Optional[str] = None
+                         ) -> Iterator[bytes]:
+    """Yield each record's RAW FRAME (length header + crcs + payload),
+    streamed with bounded memory — a chunker can concatenate frames into a
+    valid TFRecord buffer (for the native whole-buffer parser) without
+    re-computing crcs."""
+    with _open_read(path, compression) as f:
+        while True:
+            head = f.read(12)
+            if not head:
+                return
+            if len(head) < 12:
+                raise ValueError(f"Truncated TFRecord header in {path}")
+            (length,) = struct.unpack("<Q", head[:8])
+            rest = f.read(length + 4)
+            if len(rest) < length + 4:
+                raise ValueError(f"Truncated TFRecord payload in {path}")
+            yield head + rest
+
+
 def write_tfrecords(path: str, payloads: Iterable[bytes],
                     compression: Optional[str] = None) -> int:
     """Write raw payloads as a TFRecord file. Returns the record count."""

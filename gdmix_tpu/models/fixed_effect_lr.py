@@ -158,9 +158,10 @@ class FixedEffectLRModel(Model):
     def _dim(self) -> int:
         return self.num_features + 1 if self.has_intercept else self.num_features
 
-    def _device_batch(self, data: PerRecordData, schema_params,
-                      for_training: bool) -> Tuple[SparseBatch, np.ndarray, int]:
-        """Assemble a padded, device-sharded SparseBatch + uids from host columns."""
+    def _host_arrays(self, data: PerRecordData, schema_params):
+        """(indices, values, offsets, labels, weights, uid) host arrays for a
+        PerRecordData — the column-extraction half of _device_batch, shared
+        with the streamed assembler."""
         n = data.num_samples
         md = self.metadata
         uid = data.column(schema_params.uid_column_name).astype(np.int64)
@@ -184,6 +185,14 @@ class FixedEffectLRModel(Model):
             # intercept-only: one dummy zero-valued feature (reference :171-185)
             indices = np.zeros((n, 8), dtype=np.int32)
             values = np.zeros((n, 8), dtype=np.float64)
+        return indices, values, offsets, labels, weights, uid
+
+    def _device_batch(self, data: PerRecordData, schema_params,
+                      for_training: bool) -> Tuple[SparseBatch, np.ndarray, int]:
+        """Assemble a padded, device-sharded SparseBatch + uids from host columns."""
+        n = data.num_samples
+        indices, values, offsets, labels, weights, uid = \
+            self._host_arrays(data, schema_params)
 
         ndev = len(self.mesh.devices.flatten())
         if jax.process_count() > 1:
@@ -224,6 +233,77 @@ class FixedEffectLRModel(Model):
             weights=put(pad(weights).astype(dt), bsh),  # pads → weight 0
         )
         return batch, uid, n
+
+    def _device_batch_streamed(self, chunks, schema_params
+                               ) -> Tuple[SparseBatch, np.ndarray, int]:
+        """Assemble the device SparseBatch from a bounded-memory chunk stream
+        (io.input_pipeline.iter_per_record_chunks): each chunk moves host→HBM
+        as soon as it decodes, so host RAM holds ONE chunk at a time while
+        the full dataset lives sharded on the mesh — out-of-core FE
+        ingestion (≡ the reference's streaming per_record_input_fn,
+        input_data_pipeline.py:129-220, which re-reads the shard from disk
+        every funcall; here disk streams once and funcalls stay
+        HBM-resident).
+
+        Every chunk but the last must arrive row-aligned to the mesh multiple
+        (the chunker yields exact-size chunks), so padding rows — weight 0,
+        inert — sit only at the global end and uid↔row alignment holds for
+        scoring. Single-process only: multi-host shards agree on shapes in
+        _device_batch's allgather, which a stream can't know upfront."""
+        assert jax.process_count() == 1, \
+            "streamed FE ingestion is single-process (use file sharding + " \
+            "copy_to_local for multi-host out-of-core runs)"
+        ndev = len(self.mesh.devices.flatten())
+        mult = ndev * 8
+        dt = self.dtype
+        bsh = batch_sharding(self.mesh)
+        bsh2 = batch_sharding(self.mesh, rank=2)
+        dev_chunks, uids = [], []
+        n = 0
+        k_max = 8
+        saw_short = False
+        for chunk in chunks:
+            # padding must sit only at the GLOBAL end (uid↔row alignment for
+            # scoring), so only the final chunk may be row-unaligned
+            assert not saw_short, "short chunk before the last one"
+            saw_short = chunk.num_samples % mult != 0
+            indices, values, offsets, labels, weights, uid = \
+                self._host_arrays(chunk, schema_params)
+            rows = pad_to_multiple(max(chunk.num_samples, 1), mult)
+
+            def pad(a):
+                if len(a) == rows:
+                    return a
+                block = np.zeros((rows - len(a),) + a.shape[1:], a.dtype)
+                return np.concatenate([a, block], axis=0)
+
+            k_max = max(k_max, indices.shape[1])
+            dev_chunks.append(SparseBatch(
+                jax.device_put(pad(indices), bsh2),
+                jax.device_put(pad(values).astype(dt), bsh2),
+                jax.device_put(pad(offsets).astype(dt), bsh),
+                jax.device_put(pad(labels).astype(dt), bsh),
+                jax.device_put(pad(weights).astype(dt), bsh)))
+            uids.append(uid)
+            n += chunk.num_samples
+        if not dev_chunks:
+            raise ValueError("empty chunk stream")
+
+        def cat(parts, pad_k=False):
+            if pad_k:
+                parts = [p if p.shape[1] == k_max
+                         else jnp.pad(p, ((0, 0), (0, k_max - p.shape[1])))
+                         for p in parts]
+            return parts[0] if len(parts) == 1 \
+                else jnp.concatenate(parts, axis=0)
+
+        batch = SparseBatch(
+            cat([c.indices for c in dev_chunks], pad_k=True),
+            cat([c.values for c in dev_chunks], pad_k=True),
+            cat([c.offsets for c in dev_chunks]),
+            cat([c.labels for c in dev_chunks]),
+            cat([c.weights for c in dev_chunks]))
+        return batch, np.concatenate(uids), n
 
     # ------------------------------------------------------------- objective --
 
@@ -389,6 +469,11 @@ class FixedEffectLRModel(Model):
         The device batch is returned for reuse (scoring/variance)."""
         batch, train_uid, n_train = self._device_batch(train_data, schema_params,
                                                        for_training=True)
+        return self._fit_batch(batch, train_uid, n_train, warm_start)
+
+    def _fit_batch(self, batch: SparseBatch, train_uid: np.ndarray,
+                   n_train: int,
+                   warm_start: Optional[np.ndarray] = None) -> np.ndarray:
         if warm_start is not None and len(warm_start) == self._dim:
             x0 = jnp.asarray(warm_start, self.dtype)
         else:
@@ -431,18 +516,40 @@ class FixedEffectLRModel(Model):
             num_shards_eff, shard_index_eff = 1, 0
         else:
             num_shards_eff, shard_index_eff = num_workers, task_index
-        train_data = load_per_record(training_data_dir, self.metadata,
-                                     self.feature_bag_name,
-                                     num_shards=num_shards_eff,
-                                     shard_index=shard_index_eff,
-                                     data_format=self.model_params.data_format,
-                                     feature_file=self.feature_file,
-                                     custom_input_fn=self.model_params.custom_input_fn)
         # Warm start from a prior avro model if shapes match (reference :606-623).
         prev = self._load_model(catch_exception=True)
         if prev is not None and len(prev) == self._dim:
             logger.info("Found a previous model, loaded as the initial point")
-        self.fit_data(train_data, schema_params, warm_start=prev)
+        stream = self.model_params.stream_chunk_rows
+        if stream > 0 and jax.process_count() == 1 \
+                and self.model_params.data_format == constants.TFRECORD \
+                and not self.model_params.custom_input_fn:
+            # out-of-core ingestion: disk → HBM in bounded-host-memory chunks
+            from gdmix_tpu.io.input_pipeline import iter_per_record_chunks
+            mult = len(self.mesh.devices.flatten()) * 8
+            chunks = iter_per_record_chunks(
+                training_data_dir, self.metadata, self.feature_bag_name,
+                num_shards=num_shards_eff, shard_index=shard_index_eff,
+                chunk_rows=pad_to_multiple(stream, mult))
+            batch, train_uid, n_train = self._device_batch_streamed(
+                chunks, schema_params)
+            logger.info("streamed ingestion: %d records assembled on the mesh "
+                        "in chunks of %d rows", n_train,
+                        pad_to_multiple(stream, mult))
+            self._fit_batch(batch, train_uid, n_train, warm_start=prev)
+        else:
+            if stream > 0:
+                logger.warning(
+                    "stream_chunk_rows: streaming needs single-process "
+                    "tfrecord input without custom_input_fn — loading "
+                    "eagerly instead")
+            train_data = load_per_record(
+                training_data_dir, self.metadata, self.feature_bag_name,
+                num_shards=num_shards_eff, shard_index=shard_index_eff,
+                data_format=self.model_params.data_format,
+                feature_file=self.feature_file,
+                custom_input_fn=self.model_params.custom_input_fn)
+            self.fit_data(train_data, schema_params, warm_start=prev)
         batch, train_uid, n_train = self._train_batch_cache
 
         want_variance = self.variance_mode is not None

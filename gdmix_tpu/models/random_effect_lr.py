@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import time
 from functools import partial
 from typing import Dict, Mapping, Optional
 
@@ -582,6 +583,7 @@ class RandomEffectLRModel(Model):
         from gdmix_tpu.data.bucketing import _next_pow2, _sample_caps
         from gdmix_tpu.data.partitioner import factorize_entities
         from gdmix_tpu.parallel.entity_sharding import pack_tier, route_records
+        tt = [("start", time.time())]  # per-phase wall marks (reference-style)
         model_weights = model_weights if model_weights is not None else {}
         mesh = mesh if mesh is not None else get_mesh()
         num_shards = len(mesh.devices.flatten())
@@ -647,6 +649,7 @@ class RandomEffectLRModel(Model):
         tier_of_entity = np.searchsorted(caps, counts,
                                          side="left").astype(np.int32)
 
+        tt.append(("host_prep", time.time()))
         # pad the record axis so it shards evenly; padding rows carry weight 0
         # and the entity sentinel (they can never enter a block)
         n_pad = pad_to_multiple(max(n, 1), num_shards * 8)
@@ -685,6 +688,7 @@ class RandomEffectLRModel(Model):
             shard_rows(mesh, owner_pad), capacity=capacity)
         r_ent = routed.arrays["_ent"]
         r_tier = routed.arrays["_tier"]
+        tt.append(("route", time.time()))
 
         # host-predicted slot assignment per tier: build_entity_blocks packs
         # each shard's tier members in ascending entity order, so slot =
@@ -754,6 +758,7 @@ class RandomEffectLRModel(Model):
                 warm_coef = (np.concatenate(w_e), np.concatenate(w_l),
                              np.concatenate(w_v))
 
+        tt.append(("plan_warm", time.time()))
         # dispatch every tier's pack + solve before fetching anything
         pending = []
         for ti in tiers:
@@ -785,6 +790,7 @@ class RandomEffectLRModel(Model):
             pending.append((ti, solved, pack_dropped))
         if hasattr(routed.overflow, "copy_to_host_async"):
             routed.overflow.copy_to_host_async()
+        tt.append(("dispatch", time.time()))
 
         # columnar collection: gather each tier's support coefficients
         # straight into ModelTable columns (no per-entity python)
@@ -824,9 +830,12 @@ class RandomEffectLRModel(Model):
                   else dict(model_weights))
         if prior_table is None:
             merged.update(new)
+        tt.append(("fetch_collect", time.time()))
         logger.info("sharded fit: %d entities over %d shards in %d tiers "
-                    "(capacity=%d); %d models total", E, num_shards,
-                    len(tiers), capacity, len(merged))
+                    "(capacity=%d); %d models total | %s", E, num_shards,
+                    len(tiers), capacity, len(merged),
+                    " ".join(f"{nm}={tb - ta:.3f}s" for (_, ta), (nm, tb)
+                             in zip(tt, tt[1:])))
         return merged
 
     def _solve_two_phase(self, bucket: EntityBucket, arrays, u_cap: int):

@@ -158,6 +158,11 @@ class FixedLRParams(LRParams):
     fixed_effect_variance_mode: Optional[str] = None
     dtype: str = "float32"
     train_chunk_size: int = 0       # 0 = whole shard in one chunk
+    # out-of-core ingestion: decode the shard in bounded-host-memory chunks of
+    # this many records, shipping each to HBM as it decodes (host RAM holds
+    # ONE chunk; the dataset lives sharded on the mesh). 0 = load eagerly.
+    # Single-process tfrecord only (multi-host shards must agree on shapes).
+    stream_chunk_rows: int = 0
     # gradient strategy: "block" is the two-level one-hot decomposition (MXU
     # gather/scatter via hi/lo matmuls, any feature count), "onehot" densifies
     # chunks against the full D (fast only at small D), "scatter" is the
