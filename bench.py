@@ -120,44 +120,26 @@ def _solver(u_cap, maxiter, batch_elems=0, n_cap=0, batch_b=0):
 
 
 def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
-    """Production two-phase solve: everyone runs PHASE1 Newton iterations,
-    stragglers are compacted into a pow-2 batch and finished."""
+    """Production solve: single-phase Newton, or (PHASE1 > 0) the device-side
+    two-phase straggler compaction — one dispatch, no host round-trip
+    (random_effect_lr._newton_two_phase_solver)."""
     a = arrays_dev if arrays_dev is not None else {
         k: (jnp.asarray(v) if k == "indices" else jnp.asarray(v, dt))
         for k, v in arrays_np.items()}
+    if PHASE1 and SOLVER == "newton" and u_cap + 1 <= 128 \
+            and a["indices"].shape[0] > 64:
+        from gdmix_tpu.models.random_effect_lr import _newton_two_phase_solver
+        key = (u_cap, _KEY["has_intercept"], _KEY["regularize_bias"],
+               _KEY["lam"], maxiter, _KEY["ftol"], _KEY["pgtol"], _KEY["m"],
+               _KEY["variance_mode"], PHASE1)
+        th, _, c = _newton_two_phase_solver(*key)(a)
+        return th, c
     elems = a["indices"].shape[0] * a["indices"].shape[1] * (u_cap + 1)
-    th1, _, c1 = _solver(u_cap, PHASE1 if PHASE1 else maxiter, elems,
+    th1, _, c1 = _solver(u_cap, maxiter, elems,
                          n_cap=a["indices"].shape[1],
                          batch_b=a["indices"].shape[0])(a)
-    if not PHASE1:
-        # defer the sync to the caller (pipelined dispatch across buckets)
-        return th1, c1
-    thetas = np.array(jax.device_get(th1))
-    conv = np.array(jax.device_get(c1))
-    sel = np.flatnonzero(~conv)
-    if len(sel):
-        b2 = 64
-        while b2 < len(sel):
-            b2 *= 2
-        pad_sel = np.concatenate([sel, np.zeros(b2 - len(sel), np.int64)])
-        live = np.arange(b2) < len(sel)
-        a2 = dict(
-            indices=jnp.asarray(arrays_np["indices"][pad_sel]),
-            values=jnp.asarray(arrays_np["values"][pad_sel], dt),
-            offsets=jnp.asarray(arrays_np["offsets"][pad_sel], dt),
-            labels=jnp.asarray(arrays_np["labels"][pad_sel], dt),
-            weights=jnp.asarray(arrays_np["weights"][pad_sel]
-                                * live[:, None], dt),
-            sample_count=jnp.asarray(arrays_np["sample_count"][pad_sel] * live,
-                                     dt),
-            theta0=jnp.asarray(thetas[pad_sel], dt),
-        )
-        elems2 = b2 * a2["indices"].shape[1] * (u_cap + 1)
-        th2, _, c2 = _solver(u_cap, maxiter, elems2,
-                             n_cap=a2["indices"].shape[1], batch_b=b2)(a2)
-        thetas[sel] = np.asarray(jax.device_get(th2))[:len(sel)]
-        conv[sel] = np.asarray(jax.device_get(c2))[:len(sel)]
-    return thetas, conv
+    # defer the sync to the caller (pipelined dispatch across buckets)
+    return th1, c1
 
 
 def run_re(groups, tag: str, reps: int) -> float:
@@ -200,9 +182,8 @@ def run_re(groups, tag: str, reps: int) -> float:
             dev = dict(arrays_dev, theta0=arrays_dev["theta0"] + eps)
             results.append(solve_two_phase(b.u_cap, arrays_np, dt,
                                            arrays_dev=dev))
-        if not PHASE1:
-            for th, c in results:
-                float(jnp.sum(th) + jnp.sum(c))
+        for th, c in results:
+            float(jnp.sum(th) + jnp.sum(c))
         rep_times.append(time.time() - t0)
     # min over reps: the least-noise estimator under relay-latency jitter
     elapsed = min(rep_times)

@@ -110,6 +110,66 @@ def _newton_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
 
 
 @functools.lru_cache(maxsize=None)
+def _newton_two_phase_solver(u_cap, has_intercept, regularize_bias, lam,
+                             maxiter, ftol, pgtol, m, variance_mode,
+                             phase1_iters):
+    """Two-phase Newton with DEVICE-SIDE straggler compaction — no host
+    round-trip (the round-2 host version was relay-transfer-bound: fetching
+    phase-1 thetas cost 5.9× the solve on relay-attached chips).
+
+    Phase 1 runs `phase1_iters` lockstep iterations on the full bucket; the
+    lockstep while_loop then makes every lane pay for the slowest, so
+    unconverged lanes are compacted to the FRONT on device (stable argsort of
+    the converged flags) and finished inside the smallest power-of-two prefix
+    that holds them — a lax.switch over a static prefix ladder keeps shapes
+    compile-time while the prefix choice stays a runtime scalar. Long-tail
+    iterations then cost O(stragglers), not O(bucket)."""
+    dim = u_cap + (1 if has_intercept else 0)
+
+    @jax.jit
+    def solve(a):
+        X = densify_bucket(a["indices"], a["values"], u_cap, has_intercept)
+        l2_mask = jnp.ones((dim,), X.dtype)
+        if has_intercept and not regularize_bias:
+            l2_mask = l2_mask.at[0].set(0.0)
+        res1 = newton_lr_batch(
+            a["theta0"], X, a["labels"], a["weights"], a["offsets"],
+            a["sample_count"], l2_reg_weight=lam, l2_mask=l2_mask,
+            maxiter=phase1_iters, ftol=ftol, pgtol=pgtol)
+        B = X.shape[0]
+        # unconverged lanes first (False sorts before True; argsort is stable)
+        order = jnp.argsort(res1.converged)
+        n_un = jnp.sum(~res1.converged)
+        sizes = []
+        s = 64
+        while s < B:
+            sizes.append(s)
+            s *= 2
+        sizes.append(B)
+
+        def make_branch(P):
+            def branch(_):
+                pre = order[:P]
+                res2 = newton_lr_batch(
+                    res1.theta[pre], X[pre], a["labels"][pre],
+                    a["weights"][pre], a["offsets"][pre],
+                    a["sample_count"][pre], l2_reg_weight=lam,
+                    l2_mask=l2_mask, maxiter=maxiter, ftol=ftol, pgtol=pgtol)
+                theta = res1.theta.at[pre].set(res2.theta)
+                conv = res1.converged.at[pre].set(res2.converged)
+                return theta, conv
+            return branch
+
+        # smallest ladder size that holds every straggler
+        case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32),
+                                n_un.astype(jnp.int32))
+        theta, conv = jax.lax.switch(case, [make_branch(P) for P in sizes],
+                                     None)
+        return theta, jnp.zeros_like(theta), conv
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
 def _newton_dual_solver(u_cap, has_intercept, regularize_bias, lam, maxiter,
                         ftol, pgtol, m, variance_mode):
     """Sample-space (Woodbury) Newton: the wide-support fast path. Newton-rate
@@ -456,6 +516,13 @@ class RandomEffectLRModel(Model):
                 "to L-BFGS", B, n_cap, dim)
         use_dense = (not use_newton and not use_dual
                      and B * n_cap * dim <= p.dense_lbfgs_max_elems)
+        two_phase = (use_newton and p.newton_phase1_iters > 0
+                     and self.variance_mode is None
+                     and p.num_of_lbfgs_iterations > p.newton_phase1_iters
+                     and B > 64)
+        if two_phase:
+            return _newton_two_phase_solver(u_cap, *self._solver_key(),
+                                            p.newton_phase1_iters)
         return (_newton_solver(u_cap, *self._solver_key()) if use_newton
                 else _newton_dual_solver(u_cap, *self._solver_key())
                 if use_dual
@@ -466,19 +533,12 @@ class RandomEffectLRModel(Model):
     def _dispatch_bucket(self, bucket: EntityBucket):
         """Dispatch the bucket's batched solve; returns unsynced device arrays
         (thetas, variances, converged) so callers can pipeline buckets."""
-        p = self.model_params
         u_cap = bucket.u_cap
-        dim = u_cap + (1 if self.has_intercept else 0)
         arrays = self._bucket_device_arrays(bucket)
         B, n_cap = bucket.indices.shape[0], bucket.n_cap
-        use_newton = (p.batch_solver == "newton"
-                      or (p.batch_solver == "auto" and dim <= p.newton_max_dim))
-        two_phase = (use_newton and p.newton_phase1_iters > 0
-                     and self.variance_mode is None
-                     and p.num_of_lbfgs_iterations > p.newton_phase1_iters)
-        if two_phase:
-            # the inter-phase straggler compaction needs a host sync anyway
-            return self._solve_two_phase(bucket, arrays, u_cap)
+        # device-side straggler compaction (when configured) rides inside
+        # _select_solver: ONE dispatch, no host sync — the result stays
+        # pipelineable like every other bucket solve
         return self._select_solver(u_cap, B, n_cap)(arrays)
 
     def _collect_bucket(self, bucket: EntityBucket,
@@ -837,44 +897,6 @@ class RandomEffectLRModel(Model):
                     " ".join(f"{nm}={tb - ta:.3f}s" for (_, ta), (nm, tb)
                              in zip(tt, tt[1:])))
         return merged
-
-    def _solve_two_phase(self, bucket: EntityBucket, arrays, u_cap: int):
-        """Phase 1: everyone runs newton_phase1_iters. Phase 2: unconverged
-        stragglers are compacted into a small pow-2 batch and finished — the
-        lockstep while_loop otherwise makes every lane pay for the slowest."""
-        p = self.model_params
-        solve1 = _newton_solver(u_cap, *self._solver_key(
-            maxiter=p.newton_phase1_iters))
-        th1, _, c1 = solve1(arrays)
-        thetas = np.array(jax.device_get(th1), np.float64)
-        converged = np.array(jax.device_get(c1))
-        variances = np.zeros_like(thetas)
-        sel = np.flatnonzero(~converged)
-        if len(sel):
-            b2 = 64
-            while b2 < len(sel):
-                b2 *= 2
-            pad_sel = np.concatenate(
-                [sel, np.zeros(b2 - len(sel), np.int64)])
-            live = np.arange(b2) < len(sel)
-            dt = self.dtype
-            a2 = dict(
-                indices=jnp.asarray(bucket.indices[pad_sel]),
-                values=jnp.asarray(bucket.values[pad_sel], dt),
-                offsets=jnp.asarray(bucket.offsets[pad_sel], dt),
-                labels=jnp.asarray(bucket.labels[pad_sel], dt),
-                weights=jnp.asarray(
-                    bucket.weights[pad_sel] * live[:, None], dt),
-                sample_count=jnp.asarray(
-                    bucket.sample_count[pad_sel] * live, dt),
-                theta0=jnp.asarray(thetas[pad_sel], dt),
-            )
-            solve2 = _newton_solver(u_cap, *self._solver_key())
-            th2, _, c2 = solve2(a2)
-            thetas[sel] = np.asarray(jax.device_get(th2),
-                                     np.float64)[:len(sel)]
-            converged[sel] = np.asarray(jax.device_get(c2))[:len(sel)]
-        return thetas, variances, converged
 
     # ---------------------------------------------------------------- scoring --
 

@@ -564,3 +564,67 @@ def test_score_flat_matches_score_groups(tmp_path):
                                got["per_coordinate"][og],
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(want["labels"][ow], got["labels"][og])
+
+
+def test_two_phase_device_compaction_matches_single_phase(tmp_path):
+    """newton_phase1_iters > 0 takes the DEVICE-side straggler compaction
+    (one dispatch, lax.switch prefix ladder — no host round-trip) and must
+    reproduce the single-phase Newton solution and the scipy oracle."""
+    groups, dense = _make_groups(num_entities=90, seed=11)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+
+    results = {}
+    for phase1 in (0, 2):
+        sub = os.path.join(str(tmp_path), f"p{phase1}")
+        os.makedirs(sub, exist_ok=True)
+        model, base_params = _build_model(md_file, train_dir, feature_file,
+                                          sub, newton_phase1_iters=phase1,
+                                          batch_solver="newton")
+        model.train(os.path.join(train_dir, "active"), None, md_file,
+                    model.checkpoint_path, _ctx(sub), base_params)
+        results[phase1] = load_sparse_models_from_avro(
+            os.path.join(model.checkpoint_path, "part-00000.avro"),
+            feature_file)
+
+    assert set(results[2]) == set(results[0]) == set(dense)
+    for eid in dense:
+        np.testing.assert_allclose(results[2][eid].theta,
+                                   results[0][eid].theta, atol=1e-7,
+                                   err_msg=f"entity {eid}")
+    # spot-check a few entities against the reference math directly
+    for eid in list(dense)[:5]:
+        X, y, offsets, weights = dense[eid]
+        support = results[2][eid].unique_global_indices
+        oracle = _scipy_entity_oracle(X, y, offsets, weights, 0.6, support)
+        np.testing.assert_allclose(results[2][eid].theta, oracle, atol=2e-5)
+
+
+def test_two_phase_sharded_plane_matches_host(tmp_path):
+    """The sharded device plane selects the same two-phase solver through
+    _select_solver; sharded + two-phase must equal host + single-phase."""
+    groups, dense = _make_groups(num_entities=90, seed=12)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+
+    outs = {}
+    for tag, over in (("host", dict(re_mode="host")),
+                      ("sh2p", dict(re_mode="sharded",
+                                    newton_phase1_iters=2,
+                                    batch_solver="newton"))):
+        sub = os.path.join(str(tmp_path), tag)
+        os.makedirs(sub, exist_ok=True)
+        model, base_params = _build_model(md_file, train_dir, feature_file,
+                                          sub, **over)
+        model.train(os.path.join(train_dir, "active"), None, md_file,
+                    model.checkpoint_path, _ctx(sub), base_params)
+        outs[tag] = load_sparse_models_from_avro(
+            os.path.join(model.checkpoint_path, "part-00000.avro"),
+            feature_file)
+
+    assert set(outs["sh2p"]) == set(outs["host"])
+    for eid in outs["host"]:
+        np.testing.assert_array_equal(
+            outs["sh2p"][eid].unique_global_indices,
+            outs["host"][eid].unique_global_indices)
+        np.testing.assert_allclose(outs["sh2p"][eid].theta,
+                                   outs["host"][eid].theta, atol=1e-7,
+                                   err_msg=f"entity {eid}")
