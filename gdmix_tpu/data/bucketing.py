@@ -221,39 +221,53 @@ def iter_bucketize_flat(fg: FlatGroups,
     ent_of_rec = np.repeat(np.arange(E), counts)
 
     # ---- per-entity unique features + local nnz ids, globally vectorized ----
+    local2d = None   # [N, K] per-entry local ids (native fast path)
     if fg.indices is not None:
         K = fg.indices.shape[1]
         rec_nnz = (np.asarray(fg.rec_nnz, np.int64) if fg.rec_nnz is not None
                    else np.full(N, K, np.int64))
-        valid = np.arange(K)[None, :] < rec_nnz[:, None]          # [N, K]
-        # one flatnonzero + five M-sized gathers instead of five [N, K]
-        # boolean extractions (each extraction rescans the mask)
-        flat_pos = np.flatnonzero(valid.ravel())                  # [M]
-        flat_rec = flat_pos // K
-        flat_col = flat_pos - flat_rec * K
-        flat_ent = ent_of_rec[flat_rec]
-        flat_fid = fg.indices.ravel()[flat_pos].astype(np.int64)
-        flat_val = fg.values.ravel()[flat_pos]
-        # entries are entity-contiguous, so one combined-key argsort replaces
-        # the 2-key lexsort; ties (duplicate (entity, fid)) need no stability
-        fid_span = int(flat_fid.max()) + 1 if flat_fid.size else 1
-        if E * fid_span < (1 << 62):
-            order = np.argsort(flat_ent * fid_span + flat_fid)
-        else:  # combined key would overflow int64 → 2-key lexsort
-            order = np.lexsort((flat_fid, flat_ent))
-        s_ent = flat_ent[order]
-        s_fid = flat_fid[order]
-        first = np.ones(len(order), bool)
-        if len(order) > 1:
-            first[1:] = (s_fid[1:] != s_fid[:-1]) | (s_ent[1:] != s_ent[:-1])
-        uniq_slot = np.cumsum(first) - 1                          # [M]
-        uniq_ent = s_ent[first]
-        uniq_fid = s_fid[first]
-        u_counts = np.bincount(uniq_ent, minlength=E)             # [E]
-        u_off = np.concatenate([[0], np.cumsum(u_counts)[:-1]])
-        local_sorted = uniq_slot - u_off[s_ent]
-        local = np.empty(len(order), np.int64)
-        local[order] = local_sorted                               # entry-order
+        from gdmix_tpu import native as _native
+        nat = _native.entry_local(fg.indices, fg.values, fg.rec_nnz, counts,
+                                  starts)
+        if nat is not None:
+            # multicore C++: per-entity sort+dedup (records are entity-
+            # contiguous in FlatGroups, so no global argsort is needed)
+            local2d, uniq_fid, u_counts, u_offs_full = nat
+            u_off = u_offs_full[:-1]
+            uniq_ent = np.repeat(np.arange(E), u_counts)
+            flat_ent = flat_rec = flat_col = flat_val = local = None
+        else:
+            valid = np.arange(K)[None, :] < rec_nnz[:, None]      # [N, K]
+            # one flatnonzero + five M-sized gathers instead of five [N, K]
+            # boolean extractions (each extraction rescans the mask)
+            flat_pos = np.flatnonzero(valid.ravel())              # [M]
+            flat_rec = flat_pos // K
+            flat_col = flat_pos - flat_rec * K
+            flat_ent = ent_of_rec[flat_rec]
+            flat_fid = fg.indices.ravel()[flat_pos].astype(np.int64)
+            flat_val = fg.values.ravel()[flat_pos]
+            # entries are entity-contiguous, so one combined-key argsort
+            # replaces the 2-key lexsort; ties (duplicate (entity, fid)) need
+            # no stability
+            fid_span = int(flat_fid.max()) + 1 if flat_fid.size else 1
+            if E * fid_span < (1 << 62):
+                order = np.argsort(flat_ent * fid_span + flat_fid)
+            else:  # combined key would overflow int64 → 2-key lexsort
+                order = np.lexsort((flat_fid, flat_ent))
+            s_ent = flat_ent[order]
+            s_fid = flat_fid[order]
+            first = np.ones(len(order), bool)
+            if len(order) > 1:
+                first[1:] = (s_fid[1:] != s_fid[:-1]) \
+                    | (s_ent[1:] != s_ent[:-1])
+            uniq_slot = np.cumsum(first) - 1                      # [M]
+            uniq_ent = s_ent[first]
+            uniq_fid = s_fid[first]
+            u_counts = np.bincount(uniq_ent, minlength=E)         # [E]
+            u_off = np.concatenate([[0], np.cumsum(u_counts)[:-1]])
+            local_sorted = uniq_slot - u_off[s_ent]
+            local = np.empty(len(order), np.int64)
+            local[order] = local_sorted                           # entry-order
         ent_max_nnz = np.zeros(E, np.int64)
         np.maximum.at(ent_max_nnz, ent_of_rec, rec_nnz)
     else:
@@ -317,7 +331,8 @@ def iter_bucketize_flat(fg: FlatGroups,
             warm = (warm_ent, warm_local, warm_val, hasp, prow)
 
     rec_tier = tier[ent_of_rec]
-    entry_tier = tier[flat_ent] if len(flat_ent) else flat_ent
+    entry_tier = (tier[flat_ent] if flat_ent is not None and len(flat_ent)
+                  else flat_ent)
 
     def _build_tier(t: int) -> Optional[EntityBucket]:
         members = np.flatnonzero(tier == t)
@@ -373,7 +388,13 @@ def iter_bucketize_flat(fg: FlatGroups,
 
         indices = _zeros_touched((b, n_cap, k), np.int32)
         values = _zeros_touched((b, n_cap, k), np.float64)
-        if len(flat_ent):
+        if local2d is not None:
+            from gdmix_tpu import native as _native
+            _native.scatter_entries(fg.indices, fg.values, fg.rec_nnz,
+                                    local2d, ent_of_rec, starts,
+                                    tier.astype(np.int32), slot_of, t,
+                                    indices, values)
+        elif flat_ent is not None and len(flat_ent):
             esel = np.flatnonzero(entry_tier == t)
             if esel.size:
                 e_ent = flat_ent[esel]

@@ -391,27 +391,39 @@ class RandomEffectLRModel(Model):
         process pool that is always on, DataPartitioner.scala:235-276):
 
           sharded — route records to entity-owner shards over ICI and group/
-                    pack ON DEVICE (fit_records_sharded); the default
-                    whenever the feature bag is rectangular ("auto"). On a
-                    1-device mesh the all_to_all degenerates to identity and
-                    the plane is simply device-side grouping — still faster
-                    than the host marshal.
+                    pack ON DEVICE (fit_records_sharded); "auto" takes it
+                    whenever the feature bag is rectangular AND the mesh has
+                    more than one device — on a 1-device mesh there is no ICI
+                    to ride and the on-device grouping loses to the host
+                    marshal (measured on v5e: 5.4 s vs 2.5 s per 100k
+                    entities), so auto falls back to host there.
           host    — numpy grouping + bucketize (fit_groups).
 
         Under multi-process, each process solves its own partition on its
         LOCAL mesh; the cross-process level stays partition round-robin +
         model-file exchange (≡ random_effect_driver.py:60-68)."""
-        mode = self.model_params.re_mode
-        use_sharded = (mode == "sharded"
-                       or (mode == "auto" and fg.indices is not None))
-        if not use_sharded:
-            return self.fit_groups(fg, model_weights, schema_params)
+        from gdmix_tpu.data.partitioner import factorize_entities
         from gdmix_tpu.parallel.mesh import local_mesh
         mesh = get_mesh() if jax.process_count() == 1 else local_mesh()
+        mode = self.model_params.re_mode
+        use_sharded = (mode == "sharded"
+                       or (mode == "auto" and fg.indices is not None
+                           and len(mesh.devices.flatten()) > 1))
+        if not use_sharded:
+            return self.fit_groups(fg, model_weights, schema_params)
+        # FlatGroups is already grouped: factorize the E-scale group ids and
+        # expand — skips the N-scale object-column unique (≈0.6 s/100k
+        # entities of pure host time in fit_records_sharded otherwise)
+        counts = np.asarray(fg.counts, np.int64)
+        uniq, ginv = factorize_entities(np.asarray(fg.entity_ids, object))
+        inv = np.repeat(ginv, counts)
+        ecounts = np.bincount(ginv, weights=counts,
+                              minlength=len(uniq)).astype(np.int64)
         return self.fit_records_sharded(self._flat_records_view(fg),
                                         schema_params,
                                         model_weights=model_weights,
-                                        mesh=mesh)
+                                        mesh=mesh,
+                                        entity_groups=(uniq, inv, ecounts))
 
     def fit_groups(self, groups, model_weights: Mapping[str, SparseModel],
                    schema_params) -> Mapping[str, SparseModel]:
@@ -617,7 +629,8 @@ class RandomEffectLRModel(Model):
 
     def fit_records_sharded(self, data, schema_params,
                             model_weights: Optional[Dict[str, SparseModel]] = None,
-                            mesh=None) -> Dict[str, SparseModel]:
+                            mesh=None,
+                            entity_groups=None) -> Dict[str, SparseModel]:
         """Multi-chip training straight from per-record data: records are routed
         over ICI to the shard owning their entity (parallel/entity_sharding ≡
         the Spark shuffle-by-entity, DataPartitioner.scala:235-276), grouped
@@ -653,13 +666,18 @@ class RandomEffectLRModel(Model):
         D = self.num_features
         off = 1 if self.has_intercept else 0
 
-        uniq, inv = factorize_entities(data.columns[p.partition_entity])
-        E = len(uniq)
+        if entity_groups is not None:
+            # pre-grouped input (fit_flat): E-scale identity, no N-scale unique
+            uniq, inv, counts = entity_groups
+            E = len(uniq)
+        else:
+            uniq, inv = factorize_entities(data.columns[p.partition_entity])
+            E = len(uniq)
+            counts = np.bincount(inv, minlength=E)
         prior_table = ModelTable.from_models(model_weights, self.has_intercept)
         if E == 0:
             return (prior_table if prior_table is not None
                     else dict(model_weights))
-        counts = np.bincount(inv, minlength=E)
         # round-robin ownership over sorted entity ids (≡ hash partitioning:
         # any deterministic balanced assignment works)
         owner_of_entity = (np.arange(E) % num_shards).astype(np.int32)
@@ -683,26 +701,41 @@ class RandomEffectLRModel(Model):
 
         # per-entity sorted supports + per-entry LOCAL feature ids (the
         # entity-compact remap rides WITH each record through the exchange)
-        sup_keys, sup_feat, sup_offs = self._entity_supports(
-            inv, data.indices, data.values, data.nnz, E, D)
-        u_counts = np.diff(sup_offs)
+        nat = None
+        if entity_groups is not None and data.indices is not None:
+            # pre-grouped records are entity-CONTIGUOUS: the multicore C++
+            # per-entity dedup replaces the N-scale unique + searchsorted
+            from gdmix_tpu import native as _native
+            rec_starts = np.zeros(E + 1, np.int64)
+            np.cumsum(counts, out=rec_starts[1:])
+            nat = _native.entry_local(indices, values, data.nnz,
+                                      counts, rec_starts[:-1],
+                                      use_value_mask=data.nnz is None)
+        if nat is not None:
+            local_indices, sup_feat, u_counts, sup_offs = nat
+            sup_keys = (np.repeat(np.arange(E, dtype=np.int64), u_counts) * D
+                        + sup_feat)
+        else:
+            sup_keys, sup_feat, sup_offs = self._entity_supports(
+                inv, data.indices, data.values, data.nnz, E, D)
+            u_counts = np.diff(sup_offs)
+            local_indices = np.zeros(indices.shape, np.int32)
+            if data.indices is not None and sup_keys.size:
+                k = indices.shape[1]
+                if data.nnz is not None:
+                    entry_ok = np.arange(k)[None, :] \
+                        < np.asarray(data.nnz)[:, None]
+                else:
+                    entry_ok = values != 0
+                flat_pos = np.flatnonzero(entry_ok.ravel())
+                flat_rec = flat_pos // k
+                ent_e = inv[flat_rec].astype(np.int64)
+                fid_e = indices.ravel()[flat_pos].astype(np.int64)
+                pos = np.searchsorted(sup_keys, ent_e * D + fid_e)
+                li = local_indices.reshape(-1)
+                li[flat_pos] = (pos - sup_offs[ent_e]).astype(np.int32)
+                local_indices = li.reshape(indices.shape)
         u_eff = np.maximum(u_counts, 1)
-        local_indices = np.zeros(indices.shape, np.int32)
-        if data.indices is not None and sup_keys.size:
-            k = indices.shape[1]
-            if data.nnz is not None:
-                entry_ok = np.arange(k)[None, :] \
-                    < np.asarray(data.nnz)[:, None]
-            else:
-                entry_ok = values != 0
-            flat_pos = np.flatnonzero(entry_ok.ravel())
-            flat_rec = flat_pos // k
-            ent_e = inv[flat_rec].astype(np.int64)
-            fid_e = indices.ravel()[flat_pos].astype(np.int64)
-            pos = np.searchsorted(sup_keys, ent_e * D + fid_e)
-            li = local_indices.reshape(-1)
-            li[flat_pos] = (pos - sup_offs[ent_e]).astype(np.int32)
-            local_indices = li.reshape(indices.shape)
 
         # power-of-two sample-count tiers (the host bucketize ladder)
         caps = np.asarray(_sample_caps(counts, 8))

@@ -740,3 +740,142 @@ def read_avro_columns(path: str):
         return out
     finally:
         lib.gdx_avro_free(h)
+
+
+# ---------------------------------------------------------------------------
+# Bucketize marshal kernels (bucketize_ops.cc): per-entity support extraction
+# + local-index remap and per-tier solver-block scatter, multicore — the two
+# loops that dominate the random-effect host marshal.
+# ---------------------------------------------------------------------------
+
+_BKT_SO = os.path.join(_DIR, "libgdmix_bucketize.so")
+_BKT_SRC = os.path.join(_DIR, "bucketize_ops.cc")
+_bkt_lib = None
+_bkt_tried = False
+
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def _load_bkt():
+    global _bkt_lib, _bkt_tried
+    if _bkt_lib is not None or _bkt_tried:
+        return _bkt_lib
+    _bkt_tried = True
+    if not os.path.exists(_BKT_SO) or \
+            os.path.getmtime(_BKT_SO) < os.path.getmtime(_BKT_SRC):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 _BKT_SRC, "-o", _BKT_SO],
+                check=True, capture_output=True, timeout=120)
+        except Exception as e:  # pragma: no cover
+            logger.info("native bucketize build failed (%s)", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_BKT_SO)
+    except OSError as e:  # pragma: no cover
+        logger.info("native bucketize load failed (%s)", e)
+        return None
+    lib.gdx_entry_local.restype = ctypes.c_int64
+    lib.gdx_entry_local.argtypes = [
+        _i32p, _f64p, ctypes.c_void_p, _i64p, _i64p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        _i32p, _i64p, _i64p, _i64p, ctypes.c_int64]
+    lib.gdx_scatter_entries.restype = None
+    lib.gdx_scatter_entries.argtypes = [
+        _i32p, _f64p, ctypes.c_void_p, _i32p, _i64p, _i64p, _i32p, _i64p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, _i32p, _f64p]
+    lib.gdx_gather_column.restype = None
+    lib.gdx_gather_column.argtypes = [
+        ctypes.c_void_p, _i64p, _i64p, _i32p, _i64p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, _f64p]
+    _bkt_lib = lib
+    return lib
+
+
+def bucketize_available() -> bool:
+    return _load_bkt() is not None
+
+
+def _nnz_ptr(nnz):
+    if nnz is None:
+        return None, None
+    arr = np.ascontiguousarray(nnz, np.int32)
+    return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def entry_local(indices, values, nnz, counts, rec_starts,
+                use_value_mask=False):
+    """Fused per-entity support extraction + per-entry local feature ids.
+
+    Returns (local [N,K] int32, uniq_fid [U] int64 entity-major sorted,
+    u_counts [E] int64, u_offs [E+1] int64), or None when the native library
+    is unavailable. Liveness: nnz when given; else value != 0 when
+    use_value_mask, else all K entries."""
+    lib = _load_bkt()
+    if lib is None:
+        return None
+    indices = np.ascontiguousarray(indices, np.int32)
+    values = np.ascontiguousarray(values, np.float64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    n, k = indices.shape
+    e = len(counts)
+    nnz_arr, nnz_p = _nnz_ptr(nnz)
+    cap_u = max(int(nnz_arr.sum()) if nnz_arr is not None else n * k, 1)
+    local = np.zeros((n, k), np.int32)
+    uniq = np.empty(cap_u, np.int64)
+    u_counts = np.zeros(e, np.int64)
+    u_offs = np.zeros(e + 1, np.int64)
+    u = lib.gdx_entry_local(indices, values, nnz_p, counts, rec_starts,
+                            n, k, e, int(use_value_mask), local, uniq,
+                            u_counts, u_offs, cap_u)
+    if u < 0:  # pragma: no cover - cap_u is always sufficient
+        return None
+    return local, uniq[:u].copy(), u_counts, u_offs
+
+
+def scatter_entries(indices, values, nnz, local, ent_of_rec, rec_starts,
+                    tier_of_ent, slot_of_ent, t, out_idx, out_val,
+                    use_value_mask=False):
+    """Per-tier [b, n_cap, k] block scatter of live entries (out arrays are
+    caller-zeroed). Returns False when the native library is unavailable."""
+    lib = _load_bkt()
+    if lib is None:
+        return False
+    indices = np.ascontiguousarray(indices, np.int32)
+    values = np.ascontiguousarray(values, np.float64)
+    n, k_in = indices.shape
+    nnz_arr, nnz_p = _nnz_ptr(nnz)
+    lib.gdx_scatter_entries(
+        indices, values, nnz_p, np.ascontiguousarray(local, np.int32),
+        np.ascontiguousarray(ent_of_rec, np.int64),
+        np.ascontiguousarray(rec_starts, np.int64),
+        np.ascontiguousarray(tier_of_ent, np.int32),
+        np.ascontiguousarray(slot_of_ent, np.int64),
+        n, k_in, int(use_value_mask), int(t),
+        out_idx.shape[1], out_idx.shape[2], out_idx, out_val)
+    return True
+
+
+def gather_column(col, ent_of_rec, rec_starts, tier_of_ent, slot_of_ent, t,
+                  out):
+    """Per-tier [b, n_cap] scalar-column gather (col=None fills 1.0 at live
+    cells). Returns False when the native library is unavailable."""
+    lib = _load_bkt()
+    if lib is None:
+        return False
+    col_p = None
+    if col is not None:
+        col = np.ascontiguousarray(col, np.float64)
+        col_p = col.ctypes.data_as(ctypes.c_void_p)
+    lib.gdx_gather_column(
+        col_p, np.ascontiguousarray(ent_of_rec, np.int64),
+        np.ascontiguousarray(rec_starts, np.int64),
+        np.ascontiguousarray(tier_of_ent, np.int32),
+        np.ascontiguousarray(slot_of_ent, np.int64),
+        len(ent_of_rec), int(t), out.shape[1], out)
+    return True

@@ -220,17 +220,16 @@ class REParams(LRParams):
     # gather/scatter (which serializes on TPU) is the last resort
     dense_lbfgs_max_elems: int = 200_000_000
     # two-phase Newton: run everyone for this many iterations, then compact the
-    # unconverged stragglers into a small batch and finish them (0 = disabled).
-    # Default off: the phase-1 theta fetch is transfer-bound on relay-attached
-    # TPUs (measured 43k vs 109k models/s); enable on locally-attached chips.
+    # unconverged stragglers to the front ON DEVICE (argsort + lax.switch
+    # prefix ladder, no host round-trip) and finish them (0 = disabled).
     newton_phase1_iters: int = 0
     # random-effect training plane: "sharded" routes records over ICI to
     # entity-owner shards and groups/packs on device (fit_records_sharded —
-    # the multi-chip plane; on a 1-device mesh the all_to_all degenerates to
-    # identity and it is simply on-device grouping); "host" groups/buckets in
-    # numpy (fit_groups); "auto" takes the device plane whenever the feature
-    # bag is rectangular (padded [N, K]), host otherwise (intercept-only /
-    # ragged). Under multi-process, sharded solves each process's entities on
+    # the multi-chip plane); "host" groups/buckets in numpy (fit_groups);
+    # "auto" takes the device plane whenever the feature bag is rectangular
+    # (padded [N, K]) AND the mesh has >1 device — on a 1-device mesh there
+    # is no ICI to ride and on-device grouping loses to the host marshal.
+    # Under multi-process, sharded solves each process's entities on
     # its LOCAL mesh; the cross-process level stays partition round-robin +
     # model files (≡ random_effect_driver.py:60-68).
     re_mode: str = "auto"   # "auto"|"host"|"sharded"
