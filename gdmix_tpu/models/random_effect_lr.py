@@ -435,6 +435,7 @@ class RandomEffectLRModel(Model):
         needing a mutable dict should wrap it with dict(...)."""
         from gdmix_tpu.data.bucketing import FlatGroups, iter_bucketize_flat
         logger.info("Training %d entities", len(groups))
+        tt = [("start", time.time())]  # per-phase wall marks (reference-style)
         bucketize_fn = (iter_bucketize_flat if isinstance(groups, FlatGroups)
                         else bucketize)
         buckets = bucketize_fn(groups, schema_params,
@@ -446,12 +447,14 @@ class RandomEffectLRModel(Model):
         # device while the host is still building tier t+1's arrays (on remote
         # relays this also hides one round-trip per bucket)
         pending = [(bucket, self._dispatch_bucket(bucket)) for bucket in buckets]
+        tt.append(("marshal_dispatch", time.time()))
         # start every bucket's device→host copy before fetching any: the
         # np.asarray(device_get(...)) calls below then overlap instead of
         # serializing one round trip per array (significant on relay-attached
         # chips where each fetch carries tunnel latency)
+        fetch_n = 2 if self.variance_mode else 1   # thetas (+ variances)
         for _, solved in pending:
-            for t in solved:
+            for t in solved[:fetch_n]:
                 if hasattr(t, "copy_to_host_async"):
                     t.copy_to_host_async()
         new = ModelTable.concat(
@@ -459,6 +462,7 @@ class RandomEffectLRModel(Model):
              for bucket, solved in pending],
             has_intercept=self.has_intercept,
             with_variance=self.variance_mode is not None)
+        tt.append(("solve_fetch_collect", time.time()))
         # a capped entity's overflow groups (group_flat_pairs rows with a
         # repeated entity id) each solve a model; keep the last like the
         # pre-columnar dict path did (out[entity_id] = ... last-wins)
@@ -469,8 +473,11 @@ class RandomEffectLRModel(Model):
             merged.update(new)
         else:
             merged = prior.merged_with(new)
-        logger.info("%d models in total after training/refreshing.",
-                    len(merged))
+        tt.append(("merge", time.time()))
+        logger.info("%d models in total after training/refreshing. | %s",
+                    len(merged),
+                    " ".join(f"{nm}={tb - ta:.3f}s" for (_, ta), (nm, tb)
+                             in zip(tt, tt[1:])))
         return merged
 
     def _bucket_device_arrays(self, bucket: EntityBucket):
@@ -555,8 +562,9 @@ class RandomEffectLRModel(Model):
 
     def _collect_bucket(self, bucket: EntityBucket,
                         solved) -> Dict[str, SparseModel]:
-        thetas, variances, converged = (
-            np.asarray(jax.device_get(t), np.float64) for t in solved)
+        thetas = np.asarray(jax.device_get(solved[0]), np.float64)
+        variances = (np.asarray(jax.device_get(solved[1]), np.float64)
+                     if self.variance_mode else None)
         out: Dict[str, SparseModel] = {}
         off = 1 if self.has_intercept else 0
         # vectorized thresholding over the whole bucket (entity slices below
@@ -576,8 +584,12 @@ class RandomEffectLRModel(Model):
                               solved) -> ModelTable:
         """_collect_bucket without the per-entity python: one masked gather
         turns the bucket's [B, dim] solution into ModelTable columns."""
-        thetas, variances, _ = (
-            np.asarray(jax.device_get(t), np.float64) for t in solved)
+        # fetch only what the table needs: variance/converged stay on device
+        # when variance is off ([B, dim] of zeros per bucket otherwise rides
+        # the relay for nothing)
+        thetas = np.asarray(jax.device_get(solved[0]), np.float64)
+        variances = (np.asarray(jax.device_get(solved[1]), np.float64)
+                     if self.variance_mode else None)
         b_real = len(bucket.entity_ids)
         off = 1 if self.has_intercept else 0
         tau = self.model_params.sparsity_threshold
@@ -877,7 +889,9 @@ class RandomEffectLRModel(Model):
             solve = self._select_solver(
                 ti["u_cap"], num_shards * ti["b_cap"], ti["n_cap"])
             solved = solve(solver_arrays)
-            for a in (*solved, pack_dropped):
+            fetch = (solved[:2] if self.variance_mode else solved[:1]) \
+                + (pack_dropped,)
+            for a in fetch:
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
             pending.append((ti, solved, pack_dropped))
@@ -891,8 +905,9 @@ class RandomEffectLRModel(Model):
         dropped = int(np.sum(np.asarray(jax.device_get(routed.overflow))))
         tables = []
         for ti, solved, pack_dropped in pending:
-            thetas, variances, _ = (np.asarray(jax.device_get(x), np.float64)
-                                    for x in solved)
+            thetas = np.asarray(jax.device_get(solved[0]), np.float64)
+            variances = (np.asarray(jax.device_get(solved[1]), np.float64)
+                         if with_var else None)
             dropped += int(np.sum(np.asarray(jax.device_get(pack_dropped))))
             thetas = np.where(np.abs(thetas) <= p.sparsity_threshold, 0.0,
                               thetas)
