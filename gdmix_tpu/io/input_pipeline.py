@@ -400,6 +400,77 @@ def iter_per_record_chunks(input_path, metadata: DatasetMetadata,
         yield decode_chunk(buf)
 
 
+def iter_per_entity_grouped_flat_chunks(input_path, metadata: DatasetMetadata,
+                                        entity_name: str,
+                                        feature_bag: Optional[str] = None,
+                                        num_shards: int = 1,
+                                        shard_index: int = 0,
+                                        chunk_entities: int = 1 << 16):
+    """Stream a grouped (SequenceExample) dataset as bounded-host-memory
+    FlatGroups chunks of at most chunk_entities ENTITIES — the random-effect
+    out-of-core ingestion mode (one frame = one entity, so frame chunking is
+    entity-complete by construction and every entity's records stay whole).
+
+    Yields None (and stops) when the native grouped decoder can't take the
+    dataset (native lib missing, string context columns, ragged presence) —
+    callers fall back to the eager loaders. Sharding matches
+    load_per_entity_grouped_flat: file-level when files ≥ workers, else the
+    sample-level fallback keeps every num_shards-th ENTITY of the merged
+    stream (select_entities parity)."""
+    from gdmix_tpu import native
+    if not native.available():
+        yield None
+        return
+    tensors = metadata.tensors()
+    ctx_names = [n for n, t in tensors.items()
+                 if n != entity_name and n != feature_bag
+                 and not t.is_sparse and t.dtype != "string"]
+    if any(t.dtype == "string" for n, t in tensors.items()
+           if n != entity_name and not t.is_sparse):
+        yield None
+        return
+    int_names = [n for n in ctx_names if tensors[n].dtype in ("int", "long")]
+    files, sample_level = shard_input_files(input_path, num_shards,
+                                            shard_index)
+    from gdmix_tpu.data.bucketing import FlatGroups
+
+    def decode(frames) -> Optional[FlatGroups]:
+        out = native.parse_per_entity_grouped(
+            b"".join(frames), ctx_names, entity_name, feature_bag,
+            int_names=int_names)
+        if out is None:
+            return None
+        eids, counts, cols, present, idx, val, nnz = out
+        if any(not present[n].all() for n in ctx_names):
+            return None
+        columns = {n: cols[n].astype(tensors[n].np_dtype, copy=False)
+                   for n in ctx_names}
+        return FlatGroups(
+            entity_ids=np.asarray(list(eids), dtype=object),
+            counts=np.asarray(counts, np.int64), columns=columns,
+            indices=idx if feature_bag else None,
+            values=val if feature_bag else None,
+            rec_nnz=nnz if feature_bag else None)
+
+    buf: List[bytes] = []
+    gidx = 0
+    for f in files:
+        for frame in tfrecord.read_tfrecord_frames(f):
+            keep = not sample_level or gidx % num_shards == shard_index
+            gidx += 1
+            if not keep:
+                continue
+            buf.append(frame)
+            if len(buf) == chunk_entities:
+                fg = decode(buf)
+                yield fg
+                if fg is None:
+                    return
+                buf = []
+    if buf:
+        yield decode(buf)
+
+
 @dataclass
 class EntityGroup:
     """One entity's records from a grouped dataset.

@@ -85,6 +85,20 @@ def _variance_batch(thetas, a, u_cap, *, has_intercept, regularize_bias, lam,
                          a["labels"], a["weights"], a["sample_count"])
 
 
+@functools.lru_cache(maxsize=None)
+def _pad_batch_to(b_to: int):
+    """Cached jit: zero-pad every array's batch axis to b_to on device —
+    padding lanes carry weight/sample_count 0 and converge at init, exactly
+    like host-side pow-2 padding, but the padding bytes never cross the
+    host→device link."""
+    @jax.jit
+    def pad(arrays):
+        return {k: jnp.pad(v, ((0, b_to - v.shape[0]),)
+                           + ((0, 0),) * (v.ndim - 1))
+                for k, v in arrays.items()}
+    return pad
+
+
 # Module-level cached jitted solvers: one trace per (static config, shape).
 @functools.lru_cache(maxsize=None)
 def _newton_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
@@ -340,20 +354,32 @@ class RandomEffectLRModel(Model):
 
         model_weights = self._load_weights(model_file, catch_exception=True)
         from gdmix_tpu.io.input_pipeline import load_per_entity_grouped_flat
-        groups = load_per_entity_grouped_flat(
-            training_data_dir, self.metadata,
-            self.model_params.partition_entity, self.feature_bag_name,
-            data_format=self.model_params.data_format)
-        if groups is None:  # non-tfrecord / native-less / ragged presence
-            groups = load_per_entity_grouped(
+        stream = self.model_params.stream_chunk_entities
+        streamed = None
+        if stream > 0 and self.model_params.data_format == constants.TFRECORD:
+            streamed = self._fit_streamed(training_data_dir, model_weights,
+                                          schema_params, stream)
+        if streamed is not None:
+            model_weights = streamed
+        else:
+            if stream > 0:
+                logger.warning(
+                    "stream_chunk_entities: streaming needs the native "
+                    "tfrecord grouped decoder — loading eagerly instead")
+            groups = load_per_entity_grouped_flat(
                 training_data_dir, self.metadata,
                 self.model_params.partition_entity, self.feature_bag_name,
                 data_format=self.model_params.data_format)
-            model_weights = self.fit_groups(groups, model_weights,
-                                            schema_params)
-        else:
-            model_weights = self.fit_flat(groups, model_weights,
-                                          schema_params)
+            if groups is None:  # non-tfrecord / native-less / ragged presence
+                groups = load_per_entity_grouped(
+                    training_data_dir, self.metadata,
+                    self.model_params.partition_entity, self.feature_bag_name,
+                    data_format=self.model_params.data_format)
+                model_weights = self.fit_groups(groups, model_weights,
+                                                schema_params)
+            else:
+                model_weights = self.fit_flat(groups, model_weights,
+                                              schema_params)
         self._save_model(model_file, model_weights)
 
         # Scoring
@@ -368,6 +394,69 @@ class RandomEffectLRModel(Model):
             i = execution_context.get(constants.PASSIVE_TRAINING_DATA_DIR)
             o = execution_context.get(constants.PASSIVE_TRAINING_OUTPUT_FILE)
             i and o and predict(input_path=i, output_file=o)
+
+    def _fit_streamed(self, training_data_dir, model_weights, schema_params,
+                      chunk_entities: int):
+        """Out-of-core RE training: stream the partition as entity-complete
+        FlatGroups chunks (io.input_pipeline.iter_per_entity_grouped_flat_chunks)
+        and train each chunk through the configured plane (fit_flat), so a
+        partition larger than host RAM trains with bounded memory — host RAM
+        holds one chunk plus the output model table. The reference bounds the
+        same memory with its producer queue (job_consumers.py:161-296,
+        max_training_queue_size); here the bound is the chunk size.
+
+        Chunks hold DISJOINT entities except the partitioner's capped-entity
+        overflow groups (repeated group ids), which keep the eager path's
+        last-wins semantics via deduped_last. Returns the merged mapping, or
+        None when the native grouped decoder can't take the dataset (the
+        caller then loads eagerly)."""
+        from gdmix_tpu.io.input_pipeline import (
+            iter_per_entity_grouped_flat_chunks)
+        prior = ModelTable.from_models(model_weights, self.has_intercept)
+        if len(model_weights) and prior is None:
+            return None  # mixed-variance dict prior: eager path handles it
+        tables = []
+        n_chunks = 0
+        for fg in iter_per_entity_grouped_flat_chunks(
+                training_data_dir, self.metadata,
+                self.model_params.partition_entity, self.feature_bag_name,
+                chunk_entities=chunk_entities):
+            if fg is None:
+                return None
+            if len(fg) == 0:
+                continue
+            n_chunks += 1
+            # warm start against the prior rows matching this chunk only:
+            # the per-chunk fit then returns a table over exactly the
+            # chunk's entities
+            if prior is not None and len(prior):
+                id2row = prior.id2row
+                rows = np.fromiter((id2row.get(e, -1)
+                                    for e in fg.entity_ids), np.int64,
+                                   len(fg.entity_ids))
+                pchunk = prior.select_rows(rows[rows >= 0])
+            else:
+                pchunk = ModelTable.empty(
+                    self.has_intercept,
+                    with_variance=self.variance_mode is not None)
+            out = self.fit_flat(fg, pchunk, schema_params)
+            table = (out if isinstance(out, ModelTable)
+                     else ModelTable.from_models(out, self.has_intercept))
+            if table is None:  # incompatible prior/new layout: go eager
+                return None
+            tables.append(table)
+        if not tables:
+            return (prior if prior is not None and len(prior)
+                    else dict(model_weights))
+        with_var = tables[0].with_variance
+        new = ModelTable.concat(tables, has_intercept=self.has_intercept,
+                                with_variance=with_var).deduped_last()
+        merged = prior.merged_with(new) if prior is not None and len(prior) \
+            else new
+        logger.info("streamed RE fit: %d models over %d chunks "
+                    "(chunk_entities=%d)", len(merged), n_chunks,
+                    chunk_entities)
+        return merged
 
     # ---------------------------------------------------------- bucket solving --
 
@@ -453,6 +542,13 @@ class RandomEffectLRModel(Model):
         # serializing one round trip per array (significant on relay-attached
         # chips where each fetch carries tunnel latency)
         fetch_n = 2 if self.variance_mode else 1   # thetas (+ variances)
+        # fetch only the REAL rows: the batch axis pow-2 padding stays on
+        # device (device→host shares the same link the bucket upload uses)
+        pending = [
+            (bucket,
+             tuple(t[:pad_to_multiple(max(len(bucket.entity_ids), 1), 8)]
+                   for t in solved[:fetch_n]) + tuple(solved[fetch_n:]))
+            for bucket, solved in pending]
         for _, solved in pending:
             for t in solved[:fetch_n]:
                 if hasattr(t, "copy_to_host_async"):
@@ -483,8 +579,29 @@ class RandomEffectLRModel(Model):
     def _bucket_device_arrays(self, bucket: EntityBucket):
         """Bucket arrays on device, entity axis sharded over the mesh when it
         divides evenly (row-sharded coefficient table: each chip solves its own
-        entities — the in-process multi-chip RE path)."""
+        entities — the in-process multi-chip RE path).
+
+        Single-device meshes ship only the REAL rows and pad the batch axis
+        back to its power-of-two on device (a cached pad jit): the pow-2
+        host padding is up to 2× of the bucket's bytes, and host→device
+        bandwidth — not the solve — bounds the stage rate on relay-attached
+        chips. Solver shapes stay pow-2 (one compile per tier)."""
         dt = self.dtype
+        mesh = get_mesh()
+        ndev = len(mesh.devices.flatten())
+        b = bucket.indices.shape[0]
+        b_ship = pad_to_multiple(max(len(bucket.entity_ids), 1), 8)
+        if ndev == 1 and b_ship < b:
+            shipped = dict(
+                indices=jnp.asarray(bucket.indices[:b_ship]),
+                values=jnp.asarray(bucket.values[:b_ship], dt),
+                offsets=jnp.asarray(bucket.offsets[:b_ship], dt),
+                labels=jnp.asarray(bucket.labels[:b_ship], dt),
+                weights=jnp.asarray(bucket.weights[:b_ship], dt),
+                sample_count=jnp.asarray(bucket.sample_count[:b_ship], dt),
+                theta0=jnp.asarray(bucket.theta0[:b_ship], dt),
+            )
+            return _pad_batch_to(b)(shipped)
         arrays = dict(
             indices=jnp.asarray(bucket.indices),
             values=jnp.asarray(bucket.values, dt),
@@ -494,10 +611,7 @@ class RandomEffectLRModel(Model):
             sample_count=jnp.asarray(bucket.sample_count, dt),
             theta0=jnp.asarray(bucket.theta0, dt),
         )
-        mesh = get_mesh()
-        ndev = len(mesh.devices.flatten())
-        if ndev > 1 and bucket.indices.shape[0] % ndev == 0 \
-                and jax.process_count() == 1:
+        if ndev > 1 and b % ndev == 0 and jax.process_count() == 1:
             arrays = {k: jax.device_put(v, batch_sharding(mesh, rank=v.ndim))
                       for k, v in arrays.items()}
         return arrays

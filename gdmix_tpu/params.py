@@ -233,6 +233,12 @@ class REParams(LRParams):
     # its LOCAL mesh; the cross-process level stays partition round-robin +
     # model files (≡ random_effect_driver.py:60-68).
     re_mode: str = "auto"   # "auto"|"host"|"sharded"
+    # out-of-core RE ingestion: decode the partition in bounded-host-memory
+    # chunks of this many ENTITIES (one SequenceExample frame = one entity, so
+    # chunks are entity-complete and every entity's records stay whole); each
+    # chunk trains through the configured plane and the model tables merge.
+    # 0 = load the whole partition eagerly. Native tfrecord decoder only.
+    stream_chunk_entities: int = 0
 
     def __post_init__(self):
         super().__post_init__()

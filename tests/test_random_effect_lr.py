@@ -628,3 +628,71 @@ def test_two_phase_sharded_plane_matches_host(tmp_path):
         np.testing.assert_allclose(outs["sh2p"][eid].theta,
                                    outs["host"][eid].theta, atol=1e-7,
                                    err_msg=f"entity {eid}")
+
+
+def test_streamed_re_matches_eager(tmp_path, caplog):
+    """stream_chunk_entities > 0 trains the partition in entity-complete
+    chunks (out-of-core) and must reproduce the eager fit exactly."""
+    import logging as _logging
+    groups, dense = _make_groups(num_entities=23, seed=21)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+
+    outs = {}
+    for tag, over in (("eager", {}), ("stream", dict(stream_chunk_entities=4))):
+        sub = os.path.join(str(tmp_path), tag)
+        os.makedirs(sub, exist_ok=True)
+        model, base_params = _build_model(md_file, train_dir, feature_file,
+                                          sub, **over)
+        with caplog.at_level(_logging.INFO, logger="gdmix_tpu.models.random_effect_lr"):
+            caplog.clear()
+            model.train(os.path.join(train_dir, "active"), None, md_file,
+                        model.checkpoint_path, _ctx(sub), base_params)
+        streamed_lines = [r for r in caplog.records
+                          if "streamed RE fit" in r.getMessage()]
+        if tag == "stream":  # the streamed path must actually run (6 chunks)
+            assert streamed_lines and "6 chunks" in streamed_lines[0].getMessage()
+        else:
+            assert not streamed_lines
+        outs[tag] = load_sparse_models_from_avro(
+            os.path.join(model.checkpoint_path, "part-00000.avro"),
+            feature_file)
+    assert set(outs["stream"]) == set(outs["eager"]) == set(dense)
+    for eid in dense:
+        np.testing.assert_array_equal(
+            outs["stream"][eid].unique_global_indices,
+            outs["eager"][eid].unique_global_indices)
+        np.testing.assert_allclose(outs["stream"][eid].theta,
+                                   outs["eager"][eid].theta, atol=1e-9,
+                                   err_msg=f"entity {eid}")
+
+
+def test_streamed_re_warm_start_and_prior_carry(tmp_path):
+    """Streaming honors the prior: converged entities stay put, and prior
+    entities absent from the data carry forward (reference :155-163)."""
+    groups, dense = _make_groups(num_entities=9, seed=22)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base_params = _build_model(md_file, train_dir, feature_file,
+                                      tmp_path, stream_chunk_entities=2)
+    ctx = _ctx(tmp_path)
+    model.train(os.path.join(train_dir, "active"), None, md_file,
+                model.checkpoint_path, ctx, base_params)
+    model_file = os.path.join(model.checkpoint_path, "part-00000.avro")
+    first = load_sparse_models_from_avro(model_file, feature_file)
+
+    # inject an extra prior-only model, rerun streamed: it must carry forward
+    from gdmix_tpu.io.model_avro import SparseModel
+    ghost = SparseModel(model_id="ghost", theta=np.array([0.5, -1.0]),
+                        variance=None, unique_global_indices=np.array([2]))
+    weights = dict(first)
+    weights["ghost"] = ghost
+    model._save_model(model_file, weights)
+    model2, _ = _build_model(md_file, train_dir, feature_file, tmp_path,
+                             stream_chunk_entities=2)
+    model2.train(os.path.join(train_dir, "active"), None, md_file,
+                 model2.checkpoint_path, ctx, base_params)
+    second = load_sparse_models_from_avro(model_file, feature_file)
+    assert set(second) == set(first) | {"ghost"}
+    np.testing.assert_allclose(second["ghost"].theta, ghost.theta, atol=1e-12)
+    for eid in first:  # warm-started from the converged fit: stays put
+        np.testing.assert_allclose(second[eid].theta, first[eid].theta,
+                                   atol=1e-6)

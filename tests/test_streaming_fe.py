@@ -103,3 +103,22 @@ def test_train_streamed_scores_align(tmp_path):
     order = np.argsort(got["uid"])
     np.testing.assert_allclose(got["predictionScorePerCoordinate"][order],
                                ds["X"] @ w + b, atol=1e-5)
+
+
+def test_iter_chunks_gzip(tmp_path):
+    # suffix-sniffed gzip streams through the chunker like the eager loader
+    import gzip
+    ds = _make_dataset(tmp_path)
+    src = os.path.join(ds["train_dir"], "data.tfrecord")
+    with open(src, "rb") as f:
+        raw = f.read()
+    with gzip.open(src + ".gz", "wb") as f:
+        f.write(raw)
+    os.remove(src)
+    eager = load_per_record(ds["train_dir"], ds["metadata"], "global")
+    chunks = list(iter_per_record_chunks(ds["train_dir"], ds["metadata"],
+                                         "global", chunk_rows=48))
+    assert sum(c.num_samples for c in chunks) == N == eager.num_samples
+    np.testing.assert_array_equal(
+        np.concatenate([c.columns["uid"] for c in chunks]),
+        eager.columns["uid"])
