@@ -119,6 +119,19 @@ def _solver(u_cap, maxiter, batch_elems=0, n_cap=0, batch_b=0):
     return _lbfgs_solver(*key)
 
 
+def bucket_solver(u_cap, shape_b, shape_n, maxiter=100):
+    """The production jitted solver for a bucket of this shape: the device-
+    side two-phase compaction when PHASE1 > 0 applies, else the ladder."""
+    if PHASE1 and SOLVER == "newton" and u_cap + 1 <= 128 and shape_b > 64:
+        from gdmix_tpu.models.random_effect_lr import _newton_two_phase_solver
+        key = (u_cap, _KEY["has_intercept"], _KEY["regularize_bias"],
+               _KEY["lam"], maxiter, _KEY["ftol"], _KEY["pgtol"], _KEY["m"],
+               _KEY["variance_mode"], PHASE1)
+        return _newton_two_phase_solver(*key)
+    elems = shape_b * shape_n * (u_cap + 1)
+    return _solver(u_cap, maxiter, elems, n_cap=shape_n, batch_b=shape_b)
+
+
 def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
     """Production solve: single-phase Newton, or (PHASE1 > 0) the device-side
     two-phase straggler compaction — one dispatch, no host round-trip
@@ -126,27 +139,27 @@ def solve_two_phase(u_cap, arrays_np, dt, maxiter=100, arrays_dev=None):
     a = arrays_dev if arrays_dev is not None else {
         k: (jnp.asarray(v) if k == "indices" else jnp.asarray(v, dt))
         for k, v in arrays_np.items()}
-    if PHASE1 and SOLVER == "newton" and u_cap + 1 <= 128 \
-            and a["indices"].shape[0] > 64:
-        from gdmix_tpu.models.random_effect_lr import _newton_two_phase_solver
-        key = (u_cap, _KEY["has_intercept"], _KEY["regularize_bias"],
-               _KEY["lam"], maxiter, _KEY["ftol"], _KEY["pgtol"], _KEY["m"],
-               _KEY["variance_mode"], PHASE1)
-        th, _, c = _newton_two_phase_solver(*key)(a)
-        return th, c
-    elems = a["indices"].shape[0] * a["indices"].shape[1] * (u_cap + 1)
-    th1, _, c1 = _solver(u_cap, maxiter, elems,
-                         n_cap=a["indices"].shape[1],
-                         batch_b=a["indices"].shape[0])(a)
+    out = bucket_solver(u_cap, a["indices"].shape[0], a["indices"].shape[1],
+                        maxiter)(a)
     # defer the sync to the caller (pipelined dispatch across buckets)
-    return th1, c1
+    return out[0], out[2]
+
+
+# Fusing every bucket's solve into ONE jit (single dispatch per rep) was
+# measured a wash — 168.9k vs 170.4k models/s on 4 buckets, 56.4k vs 57.2k
+# on 9 heavy-tail buckets: async dispatch already pipelines the buckets, so
+# per-dispatch relay latency is hidden. Not kept (PARITY.md §6).
 
 
 def run_re(groups, tag: str, reps: int) -> float:
     """Time the production bucketed solve over `groups`; returns models/sec."""
     t_setup = time.time()
+    # batch_align=8 (the production fit_groups default): padding a tier's
+    # batch to a 256 floor costs up to 4× wasted rows on the sparse big-n
+    # tiers of a heavy tail (measured 60.0k → 70.0k models/s on the
+    # heavy-tail sub-metric; the pow-2 rounding alone bounds waste at 2×)
     buckets = bucketize(groups, _Schema, "offset", has_intercept=True,
-                        batch_align=256)
+                        batch_align=8)
     setup_s = time.time() - t_setup
 
     dt = jnp.float32

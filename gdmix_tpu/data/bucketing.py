@@ -330,7 +330,6 @@ def iter_bucketize_flat(fg: FlatGroups,
                 warm_val = np.concatenate([warm_val, p_val[z]])
             warm = (warm_ent, warm_local, warm_val, hasp, prow)
 
-    rec_tier = tier[ent_of_rec]
     entry_tier = (tier[flat_ent] if flat_ent is not None and len(flat_ent)
                   else flat_ent)
 
