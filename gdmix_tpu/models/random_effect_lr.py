@@ -85,18 +85,90 @@ def _variance_batch(thetas, a, u_cap, *, has_intercept, regularize_bias, lam,
                          a["labels"], a["weights"], a["sample_count"])
 
 
+def _compact_bucket_wire(bucket, b_ship: int, dt=jnp.float32):
+    """Host side of the wire-compact bucket upload: narrow every column to
+    the smallest lossless dtype and DROP all-zero columns entirely. On
+    relay-attached chips host→device bandwidth — not the solve — bounds the
+    RE stage rate, so wire bytes are the lever: local entry indices fit int8
+    (u_cap < 128 after per-entity compaction), 0/1 labels and weights ship
+    as uint8, cold-start theta0 and first-sweep offsets (all zeros) ship as
+    nothing but a flag. Returns (shipped_dict, static_spec) for
+    _expand_shipped; every narrowing is exactness-CHECKED on the host, so
+    the reconstruction is bit-identical to the eager f32 upload.
+    """
+    idx = bucket.indices[:b_ship]
+    if bucket.u_cap <= 127:
+        idx_t = "int8"
+    elif bucket.u_cap <= 32767:
+        idx_t = "int16"
+    else:
+        idx_t = "int32"
+    shipped = {"indices": jnp.asarray(idx.astype(idx_t, copy=False)),
+               "values": jnp.asarray(bucket.values[:b_ship], dt)}
+    spec = {"idx": idx_t, "dim": bucket.theta0.shape[1]}
+
+    lab = bucket.labels[:b_ship]
+    lab_u8 = lab.astype(np.uint8)
+    if np.array_equal(lab, lab_u8):
+        spec["labels"] = "u8"
+        shipped["labels"] = jnp.asarray(lab_u8)
+    else:
+        spec["labels"] = "f32"
+        shipped["labels"] = jnp.asarray(lab, dt)
+
+    wt = bucket.weights[:b_ship]
+    wt_u8 = wt.astype(np.uint8)
+    if np.array_equal(wt, wt_u8):
+        spec["weights"] = "u8"
+        shipped["weights"] = jnp.asarray(wt_u8)
+    else:
+        spec["weights"] = "f32"
+        shipped["weights"] = jnp.asarray(wt, dt)
+
+    off = bucket.offsets[:b_ship]
+    if not off.any():
+        spec["offsets"] = "zero"
+    else:
+        spec["offsets"] = "f32"
+        shipped["offsets"] = jnp.asarray(off, dt)
+
+    th0 = bucket.theta0[:b_ship]
+    if not th0.any():
+        spec["theta0"] = "zero"
+    else:
+        spec["theta0"] = "f32"
+        shipped["theta0"] = jnp.asarray(th0, dt)
+
+    shipped["sample_count"] = jnp.asarray(
+        bucket.sample_count[:b_ship].astype(np.int32, copy=False))
+    return shipped, tuple(sorted(spec.items()))
+
+
 @functools.lru_cache(maxsize=None)
-def _pad_batch_to(b_to: int):
-    """Cached jit: zero-pad every array's batch axis to b_to on device —
-    padding lanes carry weight/sample_count 0 and converge at init, exactly
-    like host-side pow-2 padding, but the padding bytes never cross the
-    host→device link."""
+def _expand_shipped(b_to: int, dt: jnp.dtype, spec: tuple):
+    """Cached jit: reconstruct the solver's dtype arrays from the
+    wire-compact forms of _compact_bucket_wire and zero-pad the batch axis
+    to b_to on device (one compile per (tier batch, spec))."""
+    sp = dict(spec)
+
     @jax.jit
-    def pad(arrays):
+    def expand(shipped):
+        bsh, n_cap = shipped["values"].shape[:2]
+        a = {"indices": shipped["indices"].astype(jnp.int32),
+             "values": shipped["values"].astype(dt),
+             "labels": shipped["labels"].astype(dt),
+             "sample_count": shipped["sample_count"].astype(dt)}
+        a["weights"] = shipped["weights"].astype(dt)
+        a["offsets"] = (jnp.zeros((bsh, n_cap), dt)
+                        if sp["offsets"] == "zero"
+                        else shipped["offsets"].astype(dt))
+        a["theta0"] = (jnp.zeros((bsh, sp["dim"]), dt)
+                       if sp["theta0"] == "zero"
+                       else shipped["theta0"].astype(dt))
         return {k: jnp.pad(v, ((0, b_to - v.shape[0]),)
                            + ((0, 0),) * (v.ndim - 1))
-                for k, v in arrays.items()}
-    return pad
+                for k, v in a.items()}
+    return expand
 
 
 # Module-level cached jitted solvers: one trace per (static config, shape).
@@ -114,7 +186,8 @@ def _newton_solver(u_cap, has_intercept, regularize_bias, lam, maxiter, ftol,
         res = newton_lr_batch(
             a["theta0"], X, a["labels"], a["weights"], a["offsets"],
             a["sample_count"], l2_reg_weight=lam, l2_mask=l2_mask,
-            maxiter=maxiter, ftol=ftol, pgtol=pgtol)
+            maxiter=maxiter, ftol=ftol, pgtol=pgtol,
+            static_unreg_bias=has_intercept and not regularize_bias)
         var = _variance_batch(res.theta, a, u_cap, has_intercept=has_intercept,
                               regularize_bias=regularize_bias, lam=lam,
                               variance_mode=variance_mode) \
@@ -149,7 +222,8 @@ def _newton_two_phase_solver(u_cap, has_intercept, regularize_bias, lam,
         res1 = newton_lr_batch(
             a["theta0"], X, a["labels"], a["weights"], a["offsets"],
             a["sample_count"], l2_reg_weight=lam, l2_mask=l2_mask,
-            maxiter=phase1_iters, ftol=ftol, pgtol=pgtol)
+            maxiter=phase1_iters, ftol=ftol, pgtol=pgtol,
+            static_unreg_bias=has_intercept and not regularize_bias)
         B = X.shape[0]
         # unconverged lanes first (False sorts before True; argsort is stable)
         order = jnp.argsort(res1.converged)
@@ -168,7 +242,8 @@ def _newton_two_phase_solver(u_cap, has_intercept, regularize_bias, lam,
                     res1.theta[pre], X[pre], a["labels"][pre],
                     a["weights"][pre], a["offsets"][pre],
                     a["sample_count"][pre], l2_reg_weight=lam,
-                    l2_mask=l2_mask, maxiter=maxiter, ftol=ftol, pgtol=pgtol)
+                    l2_mask=l2_mask, maxiter=maxiter, ftol=ftol, pgtol=pgtol,
+                    static_unreg_bias=has_intercept and not regularize_bias)
                 theta = res1.theta.at[pre].set(res2.theta)
                 conv = res1.converged.at[pre].set(res2.converged)
                 return theta, conv
@@ -581,27 +656,21 @@ class RandomEffectLRModel(Model):
         divides evenly (row-sharded coefficient table: each chip solves its own
         entities — the in-process multi-chip RE path).
 
-        Single-device meshes ship only the REAL rows and pad the batch axis
-        back to its power-of-two on device (a cached pad jit): the pow-2
-        host padding is up to 2× of the bucket's bytes, and host→device
+        Single-device meshes ship only the REAL rows, in the wire-compact
+        dtypes of _compact_bucket_wire (int8 entry indices, uint8 0/1
+        labels/weights, dropped all-zero theta0/offset columns — every
+        narrowing exactness-checked on the host), and reconstruct + pow-2
+        pad the batch axis on device (a cached expand jit): host→device
         bandwidth — not the solve — bounds the stage rate on relay-attached
-        chips. Solver shapes stay pow-2 (one compile per tier)."""
+        chips. Solver shapes stay pow-2 (one compile per tier/spec)."""
         dt = self.dtype
         mesh = get_mesh()
         ndev = len(mesh.devices.flatten())
         b = bucket.indices.shape[0]
         b_ship = pad_to_multiple(max(len(bucket.entity_ids), 1), 8)
-        if ndev == 1 and b_ship < b:
-            shipped = dict(
-                indices=jnp.asarray(bucket.indices[:b_ship]),
-                values=jnp.asarray(bucket.values[:b_ship], dt),
-                offsets=jnp.asarray(bucket.offsets[:b_ship], dt),
-                labels=jnp.asarray(bucket.labels[:b_ship], dt),
-                weights=jnp.asarray(bucket.weights[:b_ship], dt),
-                sample_count=jnp.asarray(bucket.sample_count[:b_ship], dt),
-                theta0=jnp.asarray(bucket.theta0[:b_ship], dt),
-            )
-            return _pad_batch_to(b)(shipped)
+        if ndev == 1:
+            shipped, spec = _compact_bucket_wire(bucket, b_ship, dt)
+            return _expand_shipped(b, dt, spec)(shipped)
         arrays = dict(
             indices=jnp.asarray(bucket.indices),
             values=jnp.asarray(bucket.values, dt),

@@ -47,7 +47,8 @@ def newton_lr_batch(theta0: jnp.ndarray,
                     maxiter: int = 50,
                     ftol: float = 1e-12,
                     pgtol: float = 1e-5,
-                    dual: bool = False) -> NewtonResult:
+                    dual: bool = False,
+                    static_unreg_bias: bool = None) -> NewtonResult:
     """Minimize the per-entity LR objective for a whole bucket at once.
 
     theta0  [B, dim]; X [B, n, dim] (dense, intercept column included by the
@@ -65,6 +66,23 @@ def newton_lr_batch(theta0: jnp.ndarray,
     """
     dtype = theta0.dtype
     B, n, dim = X.shape
+
+    # TPU fast path: the fully-fused lanes-last Pallas iteration (one X read
+    # per Newton step, Hessian + Gauss–Jordan solve resident in VMEM —
+    # ops/pallas/newton_lanes.py). Requires the static mask layout; callers
+    # that know it (the solver factories) pass static_unreg_bias.
+    if (not dual and static_unreg_bias is not None
+            and dtype == jnp.float32
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        from gdmix_tpu.ops.pallas.newton_lanes import (MAX_DIM,
+                                                       newton_lr_batch_lanes)
+        if dim <= MAX_DIM:
+            return newton_lr_batch_lanes(
+                theta0, X, labels, weights, offsets, counts,
+                l2_reg_weight=float(l2_reg_weight),
+                unreg_bias=static_unreg_bias, maxiter=maxiter,
+                ftol=ftol, pgtol=pgtol)
+
     lam = jnp.asarray(l2_reg_weight, dtype)
     mask = l2_mask.astype(dtype)
     inv_n = 1.0 / jnp.maximum(counts.astype(dtype), 1.0)       # [B]
@@ -254,13 +272,19 @@ def dual_variance(theta: jnp.ndarray, X: jnp.ndarray, labels: jnp.ndarray,
 def densify_bucket(indices: jnp.ndarray, values: jnp.ndarray, u_cap: int,
                    has_intercept: bool) -> jnp.ndarray:
     """Padded-COO bucket [B, n, K] → dense [B, n, dim] with the intercept column
-    FIRST (random-effect layout)."""
+    FIRST (random-effect layout).
+
+    Built as a sum of K comparison one-hots rather than a scatter-add: the
+    [B·n·K]-element scatter took XLA:TPU ~88 s to COMPILE at bucket scale
+    (65536×8×4, measured on v5e — it was the dominant cold-start cost of
+    every solver shape); the compare-select form compiles in seconds, costs
+    the same one [B, n, dim] materialization, and accumulates duplicate
+    entry indices identically."""
     B, n, K = indices.shape
-    X = jnp.zeros((B, n, u_cap), values.dtype)
-    b_ix = jnp.broadcast_to(jnp.arange(B)[:, None, None], indices.shape)
-    n_ix = jnp.broadcast_to(jnp.arange(n)[None, :, None], indices.shape)
-    X = X.at[b_ix.reshape(-1), n_ix.reshape(-1),
-             indices.reshape(-1)].add(values.reshape(-1))
+    iota = jax.lax.broadcasted_iota(indices.dtype, (1, 1, 1, u_cap), 3)
+    X = jnp.sum(
+        jnp.where(indices[..., None] == iota, values[..., None], 0),
+        axis=2)                                                 # [B, n, u_cap]
     if has_intercept:
         ones = jnp.ones((B, n, 1), values.dtype)
         X = jnp.concatenate([ones, X], axis=-1)
