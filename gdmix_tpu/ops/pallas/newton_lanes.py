@@ -57,6 +57,67 @@ def _pick_nb(n: int, d: int) -> int:
     return nb
 
 
+def _lam_vec_of(d: int, lam: float, unreg_bias: bool, dtype):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    mask = (row_ids > 0) if unreg_bias else (row_ids >= 0)      # [d, 1]
+    return jnp.where(mask, lam, 0.0).astype(dtype)
+
+
+def _data_terms(X, y, w, off, th):
+    """f/g/H data terms for a VMEM-resident block: X [NB, d, TB], th [d, TB].
+    H rows are one lane-parallel multiply-reduce per coordinate (d unrolled)."""
+    d = X.shape[1]
+    z = jnp.sum(X * th[None, :, :], axis=1) + off               # [NB, TB]
+    p = jax.nn.sigmoid(z)
+    bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    r = w * (p - y)                                             # [NB, TB]
+    dv = w * p * (1.0 - p)                                      # [NB, TB]
+    f_part = jnp.sum(w * bce, axis=0, keepdims=True)            # [1, TB]
+    g_part = jnp.sum(X * r[:, None, :], axis=0)                 # [d, TB]
+    Xw = X * dv[:, None, :]                                     # [NB, d, TB]
+    h_part = jnp.stack(
+        [jnp.sum(X[:, k, :][:, None, :] * Xw, axis=0) for k in range(d)],
+        axis=0)                                                 # [d, d, TB]
+    return f_part, g_part, h_part
+
+
+def _fval_terms(X, y, w, off, th, lam_vec, inv_n):
+    """Objective value alone (line-search trials): [1, TB]."""
+    z = jnp.sum(X * th[None, :, :], axis=1) + off
+    bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    reg = 0.5 * jnp.sum(lam_vec * th * th, axis=0, keepdims=True)
+    return (jnp.sum(w * bce, axis=0, keepdims=True) + reg) * inv_n
+
+
+def _damped_gj_solve(H_data, th, g_data, lam_vec, inv_n, d):
+    """δ = A⁻¹·g for the damped SPD system in the SAME 1/n scaling as the
+    batch-major path (ops/newton.py _delta_primal), so the Levenberg floor —
+    and thus the iterates — match it exactly:
+    A = (H + λM)/n + diag(eps·(1+|diag|)). In-VMEM Gauss–Jordan, no pivoting
+    (the same masked-row scheme as linsolve._gj_kernel).
+    Returns (g_scaled [d, TB], delta [d, TB])."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    g_scaled = (g_data + lam_vec * th) * inv_n
+    is_diag = row_ids[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, d, 1), 1)                                # [d, d, 1]
+    A = (H_data + jnp.where(is_diag, lam_vec[:, None, :], 0.0)) * inv_n[None]
+    diag0 = jnp.sum(jnp.where(is_diag, A, 0.0), axis=0)         # [d, TB]
+    damp = _DAMP_EPS * (1.0 + jnp.abs(diag0))                   # [d, TB]
+    A = A + jnp.where(is_diag, damp[:, None, :], 0.0)
+    b = g_scaled
+    for jj in range(d):
+        is_j = row_ids == jj                                    # [d, 1]
+        inv_p = 1.0 / A[jj, jj, :]                              # [TB]
+        row_j = A[jj, :, :] * inv_p[None, :]                    # [d, TB]
+        bj = b[jj, :] * inv_p                                   # [TB]
+        factor = jnp.where(is_j, 0.0, A[:, jj, :])              # [d, TB]
+        A = A - factor[:, None, :] * row_j[None, :, :]
+        b = b - factor * bj[None, :]
+        A = jnp.where(is_j[:, None, :], row_j[None, :, :], A)
+        b = jnp.where(is_j, bj[None, :], b)
+    return g_scaled, b
+
+
 def _fgd_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
                 f_ref, g_ref, delta_ref, h_scratch, gd_scratch,
                 *, d: int, n_blocks: int, lam: float, unreg_bias: bool):
@@ -66,21 +127,8 @@ def _fgd_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
 
     X = x_ref[:]                       # [NB, d, TB]
     th = th_ref[:]                     # [d, TB]
-    y = y_ref[:]                       # [NB, TB]
-    w = w_ref[:]
-    z = jnp.sum(X * th[None, :, :], axis=1) + off_ref[:]        # [NB, TB]
-    p = jax.nn.sigmoid(z)
-    bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    r = w * (p - y)                                             # [NB, TB]
-    dv = w * p * (1.0 - p)                                      # [NB, TB]
-
-    f_part = jnp.sum(w * bce, axis=0, keepdims=True)            # [1, TB]
-    g_part = jnp.sum(X * r[:, None, :], axis=0)                 # [d, TB]
-    Xw = X * dv[:, None, :]                                     # [NB, d, TB]
-    # H rows, one lane-parallel multiply-reduce per coordinate (d unrolled)
-    h_part = jnp.stack(
-        [jnp.sum(X[:, k, :][:, None, :] * Xw, axis=0) for k in range(d)],
-        axis=0)                                                 # [d, d, TB]
+    f_part, g_part, h_part = _data_terms(X, y_ref[:], w_ref[:], off_ref[:],
+                                         th)
 
     @pl.when(j == 0)
     def _():
@@ -96,43 +144,155 @@ def _fgd_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
 
     @pl.when(j == n_blocks - 1)
     def _():
-        # L2 (bias-exclusion mask is static) + per-lane scaling 1/n
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
-        mask = (row_ids > 0) if unreg_bias \
-            else (row_ids >= 0)                                 # [d, 1]
-        lam_vec = jnp.where(mask, lam, 0.0).astype(X.dtype)     # [d, 1]
+        lam_vec = _lam_vec_of(d, lam, unreg_bias, X.dtype)      # [d, 1]
         inv_n = 1.0 / jnp.maximum(cnt_ref[:], 1.0)              # [1, TB]
-
-        g_full = gd_scratch[1:, :] + lam_vec * th               # un-normalized
         reg = 0.5 * jnp.sum(lam_vec * th * th, axis=0, keepdims=True)
         f_ref[:] = (gd_scratch[0:1, :] + reg) * inv_n
-        g_scaled = g_full * inv_n
+        g_scaled, delta = _damped_gj_solve(h_scratch[:], th,
+                                           gd_scratch[1:, :], lam_vec,
+                                           inv_n, d)
         g_ref[:] = g_scaled
+        delta_ref[:] = delta
 
-        # Damped SPD system in the SAME 1/n scaling as the batch-major path
-        # (ops/newton.py _delta_primal), so the Levenberg floor — and thus
-        # the iterates — match it exactly: A = (H + λM)/n + diag(eps·(1+|diag|))
-        is_diag = row_ids[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (1, d, 1), 1)                            # [d, d, 1]
-        A = (h_scratch[:]
-             + jnp.where(is_diag, lam_vec[:, None, :], 0.0)) * inv_n[None]
-        diag0 = jnp.sum(jnp.where(is_diag, A, 0.0), axis=0)     # [d, TB]
-        damp = _DAMP_EPS * (1.0 + jnp.abs(diag0))               # [d, TB]
-        A = A + jnp.where(is_diag, damp[:, None, :], 0.0)
-        b = g_scaled
-        # in-VMEM Gauss–Jordan, no pivoting (A is damped SPD) — the same
-        # masked-row scheme as linsolve._gj_kernel
-        for jj in range(d):
-            is_j = row_ids == jj                                # [d, 1]
-            inv_p = 1.0 / A[jj, jj, :]                          # [TB]
-            row_j = A[jj, :, :] * inv_p[None, :]                # [d, TB]
-            bj = b[jj, :] * inv_p                               # [TB]
-            factor = jnp.where(is_j, 0.0, A[:, jj, :])          # [d, TB]
-            A = A - factor[:, None, :] * row_j[None, :, :]
-            b = b - factor * bj[None, :]
-            A = jnp.where(is_j[:, None, :], row_j[None, :, :], A)
-            b = jnp.where(is_j, bj[None, :], b)
-        delta_ref[:] = b
+
+def _newton_full_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
+                        out_th_ref, conv_ref, iters_ref,
+                        *, d: int, lam: float, unreg_bias: bool,
+                        maxiter: int, ftol: float, pgtol: float):
+    """The WHOLE Newton solve for LANES entities in one kernel: X stays
+    resident in VMEM across every iteration (HBM reads it exactly once per
+    solve), and the while_loop exits as soon as THIS 128-lane block
+    converges — blocks of early finishers stop paying for the bucket's
+    stragglers (the in-kernel form of straggler compaction, free, at
+    128-lane granularity). Same convergence semantics as the per-iteration
+    path / batch-major path: Armijo backtracking, per-lane freezing,
+    pgtol/ftol stops."""
+    X = x_ref[:]                                                # [n, d, TB]
+    y = y_ref[:]
+    w = w_ref[:]
+    off = off_ref[:]
+    lam_vec = _lam_vec_of(d, lam, unreg_bias, X.dtype)          # [d, 1]
+    inv_n = 1.0 / jnp.maximum(cnt_ref[:], 1.0)                  # [1, TB]
+
+    # Mosaic layout constraints shape this loop: (a) i1 masks cannot
+    # broadcast over the sublane dim, so booleans live as 0/1 floats and
+    # every select is an arithmetic blend m*a + (1−m)*b; (b) loop-carried
+    # values must not mix sublane-replicated [1, TB] reduction outputs with
+    # concrete layouts (ADDs across them fail "Sublane broadcast"), so ALL
+    # per-lane state is carried at [d, TB] — reductions are expanded back
+    # with a float [d, 1] multiply, which Mosaic lowers fine. The d×
+    # redundancy is noise next to the d³ Gauss–Jordan.
+    ones_col = jnp.ones((d, 1), X.dtype)
+    expand = lambda x1: x1 * ones_col                           # [1,TB]→[d,TB]
+    one = jnp.ones((), X.dtype)
+
+    def fgd(th):
+        f_part, g_part, h_part = _data_terms(X, y, w, off, th)
+        reg = 0.5 * jnp.sum(lam_vec * th * th, axis=0, keepdims=True)
+        f = expand((f_part + reg) * inv_n)                      # [d, TB]
+        g_scaled, delta = _damped_gj_solve(h_part, th, g_part, lam_vec,
+                                           inv_n, d)
+        return f, g_scaled, delta
+
+    th0 = th_ref[:]
+    f0, g0, delta0 = fgd(th0)
+    done0 = expand((jnp.max(jnp.abs(g0), axis=0, keepdims=True)
+                    <= pgtol).astype(X.dtype))                  # [d, TB]
+
+    def cond(c):
+        th, f, g, delta, done, iters, k = c
+        return jnp.logical_and(k < maxiter, jnp.min(done) < 0.5)
+
+    def body(c):
+        th, f, g, delta, done, iters, k = c
+        gdot = expand(jnp.sum(g * delta, axis=0, keepdims=True))
+
+        def bt_cond(bc):
+            step, accepted, f_new, i = bc
+            return jnp.logical_and(
+                i < _MAX_BACKTRACKS,
+                jnp.min(jnp.maximum(accepted, done)) < 0.5)
+
+        def bt_body(bc):
+            step, accepted, f_new, i = bc
+            trial = th - step * delta
+            f_trial = expand(_fval_terms(X, y, w, off, trial, lam_vec,
+                                         inv_n))
+            ok = (f_trial <= f - _ARMIJO_C1 * step * gdot).astype(X.dtype)
+            newly = ok * (one - accepted)                       # [d, TB]
+            f_new = newly * f_trial + (one - newly) * f_new
+            settled = jnp.maximum(accepted, newly)
+            step_keep = settled * step + (one - settled) * step * 0.5
+            return step_keep, settled, f_new, i + 1
+
+        step0 = jnp.ones_like(f)
+        step, accepted, f_new, _ = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (step0, jnp.zeros_like(f), f, jnp.asarray(0, jnp.int32)))
+
+        move = accepted * (one - done)                          # [d, TB]
+        th_new = th - (move * step) * delta
+        f_next = move * f_new + (one - move) * f
+
+        _, g_new, delta_new = fgd(th_new)
+        gmax = expand(jnp.max(jnp.abs(g_new), axis=0, keepdims=True))
+        f_drop = f - f_next
+        rel = jnp.maximum(jnp.maximum(jnp.abs(f), jnp.abs(f_next)), 1.0)
+        conv = jnp.maximum((gmax <= pgtol).astype(X.dtype),
+                           (f_drop <= ftol * rel).astype(X.dtype))
+        done_new = jnp.maximum(jnp.maximum(done, conv), one - accepted)
+        iters_new = iters + (one - done)
+        return th_new, f_next, g_new, delta_new, done_new, iters_new, k + 1
+
+    init = (th0, f0, g0, delta0, done0, jnp.zeros_like(f0),
+            jnp.asarray(0, jnp.int32))
+    th, f, g, delta, done, iters, k = jax.lax.while_loop(cond, body, init)
+    out_th_ref[:] = th
+    conv_ref[:] = done[0:1, :]
+    iters_ref[:] = iters[0:1, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _newton_full_call(n: int, d: int, B: int, lam: float, unreg_bias: bool,
+                      maxiter: int, ftol: float, pgtol: float,
+                      interpret: bool):
+    grid = (B // LANES,)
+    kernel = functools.partial(_newton_full_kernel, d=d, lam=lam,
+                               unreg_bias=unreg_bias, maxiter=maxiter,
+                               ftol=ftol, pgtol=pgtol)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, d, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),               # X
+            pl.BlockSpec((n, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # labels
+            pl.BlockSpec((n, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # weights
+            pl.BlockSpec((n, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # offsets
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # counts
+            pl.BlockSpec((d, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # theta0
+        ],
+        out_specs=[
+            pl.BlockSpec((d, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # theta
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # converged
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),               # iterations
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, B), f32),
+            jax.ShapeDtypeStruct((1, B), f32),
+            jax.ShapeDtypeStruct((1, B), f32),
+        ],
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -225,6 +385,19 @@ def newton_lr_batch_lanes(theta0, X, labels, weights, offsets, counts, *,
     cl = jnp.pad(jnp.maximum(counts.astype(dtype), 1.0),
                  ((0, b_pad),), constant_values=1.0)[None, :]
     th0 = jnp.pad(theta0.astype(dtype), ((0, b_pad), (0, d_pad))).T
+
+    if n * d <= 1024:
+        # X and the solve's temporaries fit Mosaic's 16 MB scoped-VMEM
+        # stack (n·d = 2048 measured 16.26 MB — just over) → the fully-
+        # fused kernel: the whole solve in ONE launch, X read from HBM
+        # exactly once, and each 128-lane block exits its while_loop as
+        # soon as it converges
+        full = _newton_full_call(n, d, Bp, lam, unreg_bias, maxiter,
+                                 float(ftol), float(pgtol), interpret)
+        th, conv, iters = full(Xl, yl, wl, ol, cl, th0)
+        theta = jnp.transpose(th)[:B, :dim].astype(theta0.dtype)
+        return NewtonResult(theta=theta, converged=conv[0, :B] > 0.5,
+                            num_iterations=iters[0, :B].astype(jnp.int32))
 
     fgd = _fgd_call(n, d, Bp, lam, unreg_bias, interpret)
 
