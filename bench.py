@@ -327,6 +327,10 @@ def run_re_sharded(fg, tag: str, reps: int) -> float:
     tmp = tempfile.mkdtemp(prefix="gdx_bench_shard_")
     try:
         model, base_params = _stage_model(d, tmp)
+        # force the sharded plane: re_mode=auto falls back to the host plane
+        # on a 1-device mesh (no ICI to ride), which would silently turn
+        # this sub-metric into a second host-plane measurement
+        model.model_params.re_mode = "sharded"
         rep_times = []
         for rep in range(max(reps, 2)):  # rep 0 = compile warm-up
             t0 = time.time()

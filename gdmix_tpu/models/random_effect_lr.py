@@ -103,9 +103,20 @@ def _compact_bucket_wire(bucket, b_ship: int, dt=jnp.float32):
         idx_t = "int16"
     else:
         idx_t = "int32"
-    shipped = {"indices": jnp.asarray(idx.astype(idx_t, copy=False)),
-               "values": jnp.asarray(bucket.values[:b_ship], dt)}
+    shipped = {"indices": jnp.asarray(idx.astype(idx_t, copy=False))}
     spec = {"idx": idx_t, "dim": bucket.theta0.shape[1]}
+
+    # binary-feature datasets (indicator bags — the common recommender
+    # case) carry values ∈ {0, 1} (0 = the inert sparse padding), which
+    # ship as uint8: 1/4 of the biggest wire column
+    val = bucket.values[:b_ship]
+    val_u8 = val.astype(np.uint8)
+    if np.array_equal(val, val_u8):
+        spec["values"] = "u8"
+        shipped["values"] = jnp.asarray(val_u8)
+    else:
+        spec["values"] = "f32"
+        shipped["values"] = jnp.asarray(val, dt)
 
     lab = bucket.labels[:b_ship]
     lab_u8 = lab.astype(np.uint8)

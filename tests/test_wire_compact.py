@@ -69,6 +69,7 @@ def test_spec_narrows_only_when_exact():
     cold = _bucket()
     sp = dict(_compact_bucket_wire(cold, 10)[1])
     assert sp["idx"] == "int8" and sp["labels"] == "u8"
+    assert sp["values"] == "f32"   # random values never narrow
     assert sp["weights"] == "u8" and sp["offsets"] == "zero"
     assert sp["theta0"] == "zero"
     warm = _bucket(labels01=False, weights01=False, zero_offsets=False,
@@ -76,6 +77,20 @@ def test_spec_narrows_only_when_exact():
     sp = dict(_compact_bucket_wire(warm, 10)[1])
     assert sp["labels"] == "f32" and sp["weights"] == "f32"
     assert sp["offsets"] == "f32" and sp["theta0"] == "f32"
+
+
+def test_binary_feature_values_ship_u8():
+    """Indicator bags (values all 0/1, 0 = inert sparse padding) narrow the
+    biggest wire column to uint8 and reconstruct bit-identically."""
+    import dataclasses
+    base = _bucket()
+    b = dataclasses.replace(
+        base, values=(np.abs(base.values) > 0.5).astype(np.float64))
+    shipped, spec = _compact_bucket_wire(b, 10)
+    assert dict(spec)["values"] == "u8"
+    got = _expand_shipped(16, jnp.float32, spec)(shipped)
+    np.testing.assert_array_equal(np.asarray(got["values"]),
+                                  _eager(b, 10, 16)["values"])
 
 
 def test_wide_support_uses_int16_indices():
