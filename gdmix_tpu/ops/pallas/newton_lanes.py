@@ -63,10 +63,14 @@ def _lam_vec_of(d: int, lam: float, unreg_bias: bool, dtype):
     return jnp.where(mask, lam, 0.0).astype(dtype)
 
 
-def _data_terms(X, y, w, off, th):
+def _data_terms(X, y, w, off, th, true_dim=None):
     """f/g/H data terms for a VMEM-resident block: X [NB, d, TB], th [d, TB].
-    H rows are one lane-parallel multiply-reduce per coordinate (d unrolled)."""
+    H rows are one lane-parallel multiply-reduce per coordinate (d unrolled).
+    Rows ≥ true_dim (the sublane padding of the real coefficient count) are
+    zeros by construction — X's padded columns are zero — so they are
+    emitted as literal zeros instead of computed."""
     d = X.shape[1]
+    td = d if true_dim is None else true_dim
     z = jnp.sum(X * th[None, :, :], axis=1) + off               # [NB, TB]
     p = jax.nn.sigmoid(z)
     bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
@@ -75,9 +79,10 @@ def _data_terms(X, y, w, off, th):
     f_part = jnp.sum(w * bce, axis=0, keepdims=True)            # [1, TB]
     g_part = jnp.sum(X * r[:, None, :], axis=0)                 # [d, TB]
     Xw = X * dv[:, None, :]                                     # [NB, d, TB]
+    zrow = jnp.zeros(Xw.shape[1:], X.dtype)                     # [d, TB]
     h_part = jnp.stack(
-        [jnp.sum(X[:, k, :][:, None, :] * Xw, axis=0) for k in range(d)],
-        axis=0)                                                 # [d, d, TB]
+        [jnp.sum(X[:, k, :][:, None, :] * Xw, axis=0) if k < td else zrow
+         for k in range(d)], axis=0)                            # [d, d, TB]
     return f_part, g_part, h_part
 
 
@@ -89,12 +94,19 @@ def _fval_terms(X, y, w, off, th, lam_vec, inv_n):
     return (jnp.sum(w * bce, axis=0, keepdims=True) + reg) * inv_n
 
 
-def _damped_gj_solve(H_data, th, g_data, lam_vec, inv_n, d):
+def _damped_gj_solve(H_data, th, g_data, lam_vec, inv_n, d, true_dim=None):
     """δ = A⁻¹·g for the damped SPD system in the SAME 1/n scaling as the
     batch-major path (ops/newton.py _delta_primal), so the Levenberg floor —
     and thus the iterates — match it exactly:
     A = (H + λM)/n + diag(eps·(1+|diag|)). In-VMEM Gauss–Jordan, no pivoting
     (the same masked-row scheme as linsolve._gj_kernel).
+    Elimination runs only the first true_dim steps: the sublane-padding
+    coordinates are decoupled by construction (zero Hessian rows/columns,
+    zero rhs — θ starts 0 there and g = λθ/n stays 0), so their pivots
+    never matter and δ is exactly 0 on them either way. Measured NEUTRAL at
+    25/32 on v5e (the VPU runs whole sublane tiles regardless) — kept
+    because it is provably identical and the skipped fraction grows for
+    smaller dims.
     Returns (g_scaled [d, TB], delta [d, TB])."""
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
     g_scaled = (g_data + lam_vec * th) * inv_n
@@ -105,7 +117,7 @@ def _damped_gj_solve(H_data, th, g_data, lam_vec, inv_n, d):
     damp = _DAMP_EPS * (1.0 + jnp.abs(diag0))                   # [d, TB]
     A = A + jnp.where(is_diag, damp[:, None, :], 0.0)
     b = g_scaled
-    for jj in range(d):
+    for jj in range(d if true_dim is None else true_dim):
         is_j = row_ids == jj                                    # [d, 1]
         inv_p = 1.0 / A[jj, jj, :]                              # [TB]
         row_j = A[jj, :, :] * inv_p[None, :]                    # [d, TB]
@@ -120,7 +132,8 @@ def _damped_gj_solve(H_data, th, g_data, lam_vec, inv_n, d):
 
 def _fgd_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
                 f_ref, g_ref, delta_ref, h_scratch, gd_scratch,
-                *, d: int, n_blocks: int, lam: float, unreg_bias: bool):
+                *, d: int, true_dim: int, n_blocks: int, lam: float,
+                unreg_bias: bool):
     """One Newton iteration for LANES entities: accumulate f/g/H over the
     n-blocks (grid dim 1), then damp + Gauss–Jordan solve in VMEM."""
     j = pl.program_id(1)
@@ -128,7 +141,7 @@ def _fgd_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
     X = x_ref[:]                       # [NB, d, TB]
     th = th_ref[:]                     # [d, TB]
     f_part, g_part, h_part = _data_terms(X, y_ref[:], w_ref[:], off_ref[:],
-                                         th)
+                                         th, true_dim)
 
     @pl.when(j == 0)
     def _():
@@ -150,15 +163,16 @@ def _fgd_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
         f_ref[:] = (gd_scratch[0:1, :] + reg) * inv_n
         g_scaled, delta = _damped_gj_solve(h_scratch[:], th,
                                            gd_scratch[1:, :], lam_vec,
-                                           inv_n, d)
+                                           inv_n, d, true_dim)
         g_ref[:] = g_scaled
         delta_ref[:] = delta
 
 
 def _newton_full_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
                         out_th_ref, conv_ref, iters_ref,
-                        *, d: int, lam: float, unreg_bias: bool,
-                        maxiter: int, ftol: float, pgtol: float):
+                        *, d: int, true_dim: int, lam: float,
+                        unreg_bias: bool, maxiter: int, ftol: float,
+                        pgtol: float):
     """The WHOLE Newton solve for LANES entities in one kernel: X stays
     resident in VMEM across every iteration (HBM reads it exactly once per
     solve), and the while_loop exits as soon as THIS 128-lane block
@@ -187,11 +201,11 @@ def _newton_full_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
     one = jnp.ones((), X.dtype)
 
     def fgd(th):
-        f_part, g_part, h_part = _data_terms(X, y, w, off, th)
+        f_part, g_part, h_part = _data_terms(X, y, w, off, th, true_dim)
         reg = 0.5 * jnp.sum(lam_vec * th * th, axis=0, keepdims=True)
         f = expand((f_part + reg) * inv_n)                      # [d, TB]
         g_scaled, delta = _damped_gj_solve(h_part, th, g_part, lam_vec,
-                                           inv_n, d)
+                                           inv_n, d, true_dim)
         return f, g_scaled, delta
 
     th0 = th_ref[:]
@@ -253,13 +267,13 @@ def _newton_full_kernel(x_ref, y_ref, w_ref, off_ref, cnt_ref, th_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _newton_full_call(n: int, d: int, B: int, lam: float, unreg_bias: bool,
-                      maxiter: int, ftol: float, pgtol: float,
-                      interpret: bool):
+def _newton_full_call(n: int, d: int, true_dim: int, B: int, lam: float,
+                      unreg_bias: bool, maxiter: int, ftol: float,
+                      pgtol: float, interpret: bool):
     grid = (B // LANES,)
-    kernel = functools.partial(_newton_full_kernel, d=d, lam=lam,
-                               unreg_bias=unreg_bias, maxiter=maxiter,
-                               ftol=ftol, pgtol=pgtol)
+    kernel = functools.partial(_newton_full_kernel, d=d, true_dim=true_dim,
+                               lam=lam, unreg_bias=unreg_bias,
+                               maxiter=maxiter, ftol=ftol, pgtol=pgtol)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
@@ -296,13 +310,14 @@ def _newton_full_call(n: int, d: int, B: int, lam: float, unreg_bias: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def _fgd_call(n: int, d: int, B: int, lam: float, unreg_bias: bool,
-              interpret: bool):
+def _fgd_call(n: int, d: int, true_dim: int, B: int, lam: float,
+              unreg_bias: bool, interpret: bool):
     nb = _pick_nb(n, d)
     n_blocks = n // nb
     grid = (B // LANES, n_blocks)
-    kernel = functools.partial(_fgd_kernel, d=d, n_blocks=n_blocks,
-                               lam=lam, unreg_bias=unreg_bias)
+    kernel = functools.partial(_fgd_kernel, d=d, true_dim=true_dim,
+                               n_blocks=n_blocks, lam=lam,
+                               unreg_bias=unreg_bias)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
@@ -392,14 +407,14 @@ def newton_lr_batch_lanes(theta0, X, labels, weights, offsets, counts, *,
         # fused kernel: the whole solve in ONE launch, X read from HBM
         # exactly once, and each 128-lane block exits its while_loop as
         # soon as it converges
-        full = _newton_full_call(n, d, Bp, lam, unreg_bias, maxiter,
+        full = _newton_full_call(n, d, dim, Bp, lam, unreg_bias, maxiter,
                                  float(ftol), float(pgtol), interpret)
         th, conv, iters = full(Xl, yl, wl, ol, cl, th0)
         theta = jnp.transpose(th)[:B, :dim].astype(theta0.dtype)
         return NewtonResult(theta=theta, converged=conv[0, :B] > 0.5,
                             num_iterations=iters[0, :B].astype(jnp.int32))
 
-    fgd = _fgd_call(n, d, Bp, lam, unreg_bias, interpret)
+    fgd = _fgd_call(n, d, dim, Bp, lam, unreg_bias, interpret)
 
     def run_fgd(th):
         f, g, delta = fgd(Xl, yl, wl, ol, cl, th)
