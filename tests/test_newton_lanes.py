@@ -51,7 +51,10 @@ def _scipy_solve(X, y, w, off, count, lam, unreg_bias):
 
 @pytest.mark.parametrize("B,n,dim,unreg", [(12, 8, 5, True),
                                            (130, 16, 25, True),
-                                           (64, 8, 25, False)])
+                                           (64, 8, 25, False),
+                                           # n·d > 1024 → per-iteration path
+                                           # at a mid dim (33..64 band)
+                                           (48, 32, 40, True)])
 def test_lanes_matches_batch_major(B, n, dim, unreg):
     X, y, w, off, counts = _problem(B, n, dim, seed=B, unreg_bias=unreg)
     mask = jnp.ones(dim).at[0].set(0.0) if unreg else jnp.ones(dim)
