@@ -7,29 +7,33 @@ XLA's handling of TINY per-entity matmuls: at B=65k, n=8, dim=25 the
 times per iteration and keep <4% of the MXU busy (each lane is a 25×8@8×25
 product on a 128×128 systolic array).
 
-This module instead lays the BATCH along the 128-wide VPU lane dimension and
-fuses one whole Newton iteration into ONE Pallas kernel:
+This module instead lays the BATCH along the 128-wide VPU lane dimension.
+Two forms, picked by whether X fits a VMEM block:
 
-    X [n, d, B] streamed once per iteration →
-        z, sigmoid, bce, residual, curvature      (VPU elementwise)
-        f  = Σ w·bce + ½λ‖θ‖²_mask                 (reduce over n)
-        g  = Xᵀr + λMθ                             (reduce over n)
-        H  = XᵀDX + λM  — accumulated in a VMEM scratch, NEVER written to HBM
-        δ  = (H + damp)⁻¹ g  — in-VMEM Gauss–Jordan (same scheme as
-             linsolve.py), Levenberg-damped
-    outputs: f [1, B], g [d, B], δ [d, B]
+1. FULL-FUSED (`_newton_full_kernel`, n·d ≤ 1024 — every headline tier):
+   the ENTIRE solve is one kernel per 128-lane block. X loads into VMEM
+   once and stays there across all iterations; f/grad/Hessian, the damped
+   Gauss–Jordan, the Armijo backtracking and per-lane convergence freezing
+   all run in VMEM, and the block's while_loop exits as soon as its own
+   128 lanes converge — straggler compaction for free at block granularity.
+   HBM traffic for a whole solve = one X read + [d, B] outputs.
 
-Per iteration the only HBM traffic is one read of X and the tiny [d, B]
-outputs — ~400× less than the batch-major path, and the 25×25 "matmuls"
-become full-width lane-parallel multiply-reduces. The outer while_loop
-(identical convergence semantics to newton_lr_batch: Armijo backtracking,
-per-lane freezing, pgtol/ftol stops) stays in XLA on lanes-last [d, B]
-state; line-search trial objectives are plain XLA reduces over the same
-lanes-last arrays — keeping Pallas out of the nested backtracking
-while_loop cuts whole-program compile time ~5× on the relay toolchain.
+2. PER-ITERATION (`_fgd_kernel`, larger n): one kernel per Newton step
+   computes f/g/δ with X streamed over n-blocks into a VMEM scratch
+   (H still never touches HBM); the outer while_loop and the Armijo line
+   search stay in XLA on lanes-last [d, B] state — keeping Pallas out of
+   the nested backtracking while_loop cuts whole-program compile ~5×.
+
+Either way the 25×25 per-entity "matmuls" become full-width lane-parallel
+multiply-reduces — the batch-major form kept <4% of the MXU busy and
+round-tripped HBM per op.
 
 Used automatically by ops/newton.py on TPU for dim ≤ MAX_DIM, f32; oracle
-parity with the batch-major path (and scipy) is tested in interpret mode.
+parity with the batch-major path (and scipy) is tested in interpret mode
+(tests/test_newton_lanes.py). Mosaic constraints encoded here: i1 masks
+cannot broadcast across sublanes (booleans are 0/1 floats, selects are
+arithmetic blends); while_loop carries need uniform [d, TB] layouts;
+the scoped-VMEM stack is 16 MB (the n·d gate).
 """
 from __future__ import annotations
 
