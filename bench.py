@@ -20,6 +20,10 @@ Named sub-metrics in the same JSON line:
       round-1 one-hot baseline: 1.03 s/funcall)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
+Once the primary is measured the line is GUARANTEED: a watchdog emits it with
+whichever submetrics completed if BENCH_BUDGET_S (default 1500 s) expires —
+a single relay compile can stall 25+ min on a cold cache, and a stalled
+submetric must not cost the whole measurement.
 """
 import json
 import os
@@ -447,11 +451,52 @@ def _require_devices(timeout_s: float):
     sys.exit(2)
 
 
+_EMITTED = False
+
+
+def _emit(primary, submetrics, partial=False):
+    """Print THE one JSON line. Idempotent: the watchdog and the normal path
+    may race; first wins."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    if partial:
+        sys.stderr.write("bench: BUDGET EXPIRED — emitting completed "
+                         f"submetrics only ({sorted(submetrics)})\n")
+    print(json.dumps({
+        "metric": "random_effect_models_per_sec_per_chip",
+        "value": round(primary, 1),
+        "unit": "models/sec",
+        "vs_baseline": round(primary / TARGET_MODELS_PER_SEC, 3),
+        "submetrics": submetrics,
+    }), flush=True)
+
+
 def main():
     _require_devices(float(os.environ.get("BENCH_DEVICE_TIMEOUT", 900)))
     reps = int(os.environ.get("BENCH_REPS", 5))
     primary = run_re(make_workload(NUM_ENTITIES), "movielens", reps)
     submetrics = {}
+
+    # Watchdog: a single relay compile can stall for tens of minutes (observed
+    # 25+ min cold-cache), and a stalled SUBMETRIC must not cost the whole
+    # measurement — once the primary exists, guarantee the JSON line. A timer
+    # thread is the only shape that works here: the main thread blocks inside
+    # the PJRT client during a remote compile, so signal handlers would be
+    # deferred until the very call we need to escape returns.
+    import threading
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    t_start = time.time()
+
+    def _watchdog():
+        _emit(primary, dict(submetrics), partial=True)
+        os._exit(0)
+
+    watchdog = threading.Timer(budget_s, _watchdog)
+    watchdog.daemon = True
+    if budget_s > 0:
+        watchdog.start()
     if HEAVY_ENTITIES:
         heavy = make_workload(HEAVY_ENTITIES, seed=1, count_hi=2048,
                               pareto_a=1.2)
@@ -477,13 +522,9 @@ def main():
         submetrics["fe_funcalls_per_sec"] = round(fe_rate, 2)
         submetrics["fe_speedup_vs_round1"] = round(
             fe_rate * FE_ROUND1_FUNCALL_S, 2)
-    print(json.dumps({
-        "metric": "random_effect_models_per_sec_per_chip",
-        "value": round(primary, 1),
-        "unit": "models/sec",
-        "vs_baseline": round(primary / TARGET_MODELS_PER_SEC, 3),
-        "submetrics": submetrics,
-    }))
+    watchdog.cancel()
+    sys.stderr.write(f"bench: total wall {time.time() - t_start:.0f}s\n")
+    _emit(primary, submetrics)
 
 
 if __name__ == "__main__":
