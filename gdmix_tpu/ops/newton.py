@@ -88,19 +88,21 @@ def newton_lr_batch(theta0: jnp.ndarray,
     inv_n = 1.0 / jnp.maximum(counts.astype(dtype), 1.0)       # [B]
     eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
 
-    def f_value(theta):
-        z = jnp.einsum("bnd,bd->bn", X, theta) + offsets
+    # Everything downstream works from z = Xθ + offset carried in the loop
+    # state: the margins are updated INCREMENTALLY (z − step·Xδ) instead of
+    # recomputed as X@θ, so the dense [B, n, dim] X — the HBM-dominant
+    # operand on wide-support buckets — is read once per line-search, not
+    # once per trial, and never for the loss/gradient at the accepted point.
+    def _f_from_z(z, theta):
         bce = jnp.maximum(z, 0) - z * labels + jnp.log1p(jnp.exp(-jnp.abs(z)))
         data = jnp.sum(weights * bce, axis=1)
         reg = 0.5 * lam * jnp.sum(mask * theta * theta, axis=1)
         return (data + reg) * inv_n                             # [B]
 
-    def grad(theta):
-        z = jnp.einsum("bnd,bd->bn", X, theta) + offsets
-        p = jax.nn.sigmoid(z)
-        r = weights * (p - labels)                              # [B, n]
+    def _grad_from_z(z, theta):
+        r = weights * (jax.nn.sigmoid(z) - labels)              # [B, n]
         return (jnp.einsum("bnd,bn->bd", X, r) + lam * mask * theta) \
-            * inv_n[:, None], p
+            * inv_n[:, None]
 
     def hess(p):
         d = weights * p * (1 - p)                               # [B, n]
@@ -108,13 +110,13 @@ def newton_lr_batch(theta0: jnp.ndarray,
             + lam * jnp.diag(mask)[None]
         return H * inv_n[:, None, None]
 
-    # State carries (g, p) forward so each iteration computes exactly one
+    # State carries (g, z) forward so each iteration computes exactly one
     # Hessian, one gradient and ~1 line-search value per lane.
     class _S(NamedTuple):
         theta: jnp.ndarray
         f: jnp.ndarray
         g: jnp.ndarray
-        p: jnp.ndarray           # sigmoid(z) at theta (Hessian input)
+        z: jnp.ndarray           # Xθ + offset at theta (margins)
         done: jnp.ndarray
         iters: jnp.ndarray
         k: jnp.ndarray
@@ -148,6 +150,7 @@ def newton_lr_batch(theta0: jnp.ndarray,
         # kernel build is elementwise.
         G = jnp.einsum("bnd,bmd->bnm", X, X)
         eye_n = jnp.eye(n, dtype=dtype)
+        X0 = X[:, :, 0]          # intercept column, iteration-invariant
 
     def _delta_dual(g, p):
         # Solve (λI + XᵀDX − c·e₀e₀ᵀ + μI)·δ = g_un in sample space.
@@ -161,19 +164,20 @@ def newton_lr_batch(theta0: jnp.ndarray,
         K = sd[:, :, None] * sd[:, None, :] * G \
             + alpha[:, None, None] * eye_n[None]
         t = sd * jnp.einsum("bnd,bd->bn", X, g_un)              # Ũ·g_un
-        rhs = jnp.stack([t, sd * X[:, :, 0]], axis=-1)          # [B, n, 2]
+        rhs = jnp.stack([t, sd * X0], axis=-1)                  # [B, n, 2]
         if use_pallas and n <= 128:
             from gdmix_tpu.ops.pallas.linsolve import spd_solve_batched_mrhs
             sol = spd_solve_batched_mrhs(K, rhs)
         else:
             sol = _cho_solve_batched(jnp.linalg.cholesky(K), rhs)
-        # A⁻¹v = (v − Ũᵀ K⁻¹ Ũ v)/α  for A = αI + ŨᵀŨ; Ũᵀw = Xᵀ(√d ⊙ w)
-        Ag = (g_un - jnp.einsum("bnd,bn->bd", X, sd * sol[..., 0])) \
-            / alpha[:, None]
+        # A⁻¹v = (v − Ũᵀ K⁻¹ Ũ v)/α  for A = αI + ŨᵀŨ; Ũᵀw = Xᵀ(√d ⊙ w).
+        # Both back-substitutions ride ONE batched dot (one X read) instead
+        # of two separate matvecs.
+        back = jnp.einsum("bnd,bnk->bkd", X, sd[:, :, None] * sol)
+        Ag = (g_un - back[:, 0]) / alpha[:, None]
         c = lam * (1.0 - mask[0])                               # intercept hole
         e0 = jnp.zeros((dim,), dtype).at[0].set(1.0)
-        Ae0 = (e0[None, :] - jnp.einsum("bnd,bn->bd", X, sd * sol[..., 1])) \
-            / alpha[:, None]
+        Ae0 = (e0[None, :] - back[:, 1]) / alpha[:, None]
         # Sherman–Morrison for −c·e₀e₀ᵀ; denom ≥ μ/α > 0 by construction.
         denom = 1.0 - c * Ae0[:, 0]
         return Ag + c * Ae0 * (Ag[:, 0] / denom)[:, None]
@@ -181,11 +185,13 @@ def newton_lr_batch(theta0: jnp.ndarray,
     _delta = _delta_dual if dual else _delta_primal
 
     def body(s: _S):
-        delta = _delta(s.g, s.p)                                # [B, dim]
+        delta = _delta(s.g, jax.nn.sigmoid(s.z))                # [B, dim]
         gdot = jnp.sum(s.g * delta, axis=1)                     # ≥ 0 for PD H
+        zdelta = jnp.einsum("bnd,bd->bn", X, delta)             # one X read
 
         # Backtracking Armijo: while_loop exits as soon as every live lane
-        # accepted (typical case: one evaluation at step 1).
+        # accepted (typical case: one evaluation at step 1). Trials are
+        # elementwise in the carried margins (z − step·Xδ): no X read here.
         def bt_cond(carry):
             step, accepted, f_new, i = carry
             return jnp.logical_and(i < _MAX_BACKTRACKS,
@@ -194,7 +200,7 @@ def newton_lr_batch(theta0: jnp.ndarray,
         def bt_body(carry):
             step, accepted, f_new, i = carry
             trial = s.theta - step[:, None] * delta
-            f_trial = f_value(trial)
+            f_trial = _f_from_z(s.z - step[:, None] * zdelta, trial)
             ok = f_trial <= s.f - _ARMIJO_C1 * step * gdot
             newly = jnp.logical_and(ok, ~accepted)
             f_new = jnp.where(newly, f_trial, f_new)
@@ -209,9 +215,10 @@ def newton_lr_batch(theta0: jnp.ndarray,
         move = jnp.logical_and(accepted, ~s.done)
         theta_new = jnp.where(move[:, None],
                               s.theta - step[:, None] * delta, s.theta)
+        z_new = jnp.where(move[:, None], s.z - step[:, None] * zdelta, s.z)
         f_next = jnp.where(move, f_new, s.f)
 
-        g_new, p_new = grad(theta_new)
+        g_new = _grad_from_z(z_new, theta_new)
         gmax = jnp.max(jnp.abs(g_new), axis=1)
         f_drop = s.f - f_next
         rel = jnp.maximum(jnp.maximum(jnp.abs(s.f), jnp.abs(f_next)), 1.0)
@@ -219,12 +226,13 @@ def newton_lr_batch(theta0: jnp.ndarray,
         # a lane that can't backtrack any decrease is finished too
         done = s.done | conv | ~accepted
         iters = jnp.where(s.done, s.iters, s.iters + 1)
-        return _S(theta=theta_new, f=f_next, g=g_new, p=p_new, done=done,
+        return _S(theta=theta_new, f=f_next, g=g_new, z=z_new, done=done,
                   iters=iters, k=s.k + 1)
 
-    f0 = f_value(theta0)
-    g0, p0 = grad(theta0)
-    init = _S(theta=theta0, f=f0, g=g0, p=p0,
+    z0 = jnp.einsum("bnd,bd->bn", X, theta0) + offsets
+    f0 = _f_from_z(z0, theta0)
+    g0 = _grad_from_z(z0, theta0)
+    init = _S(theta=theta0, f=f0, g=g0, z=z0,
               done=jnp.max(jnp.abs(g0), axis=1) <= pgtol,
               iters=jnp.zeros((B,), jnp.int32), k=jnp.asarray(0, jnp.int32))
     s = jax.lax.while_loop(cond, body, init)
