@@ -216,6 +216,14 @@ def newton_lr_batch(theta0: jnp.ndarray,
         theta_new = jnp.where(move[:, None],
                               s.theta - step[:, None] * delta, s.theta)
         z_new = jnp.where(move[:, None], s.z - step[:, None] * zdelta, s.z)
+        # the carried margins are updated incrementally (z − step·Xδ) —
+        # exact in real arithmetic, but rounding accumulates over many
+        # iterations into the f/g/convergence checks; refresh from theta
+        # every 16 iterations to bound the drift (one extra X read / 16)
+        z_new = jax.lax.cond(
+            (s.k + 1) % 16 == 0,
+            lambda: jnp.einsum("bnd,bd->bn", X, theta_new) + offsets,
+            lambda: z_new)
         f_next = jnp.where(move, f_new, s.f)
 
         g_new = _grad_from_z(z_new, theta_new)

@@ -101,9 +101,17 @@ class InMemoryPipeline:
 
     def _use_sharded_re(self, data: PerRecordData) -> bool:
         if self.re_mode == "auto":
-            # the device plane needs a rectangular padded bag; intercept-only
-            # coordinates (indices None) keep the host grouping
-            return data.indices is not None
+            # same auto semantics as RandomEffectLRModel.fit_flat and
+            # docs/CONFIG.md: the device plane needs a rectangular padded bag
+            # (intercept-only coordinates — indices None — keep the host
+            # grouping) AND a >1-device mesh: with a single device there is no
+            # ICI to ride and the on-device grouping loses to the host marshal
+            # (measured ~2.2x slower per 100k entities on one chip)
+            import jax
+            from gdmix_tpu.parallel.mesh import get_mesh, local_mesh
+            mesh = get_mesh() if jax.process_count() == 1 else local_mesh()
+            return (data.indices is not None
+                    and len(mesh.devices.flatten()) > 1)
         return self.re_mode == "sharded"
 
     @staticmethod

@@ -112,10 +112,71 @@ def test_wire_bytes_shrink():
     assert compact < 0.5 * eager, (compact, eager)
 
 
+def _eager_wire(bucket, b_ship, dt=jnp.float32):
+    """An eager-f32 stand-in for _compact_bucket_wire: same (shipped, spec)
+    contract, but NOTHING is narrowed or dropped — the control arm for the
+    bit-identity test below (same expand jit, same solver, same mesh)."""
+    shipped = {
+        "indices": jnp.asarray(bucket.indices[:b_ship].astype(np.int32)),
+        "values": jnp.asarray(bucket.values[:b_ship], dt),
+        "labels": jnp.asarray(bucket.labels[:b_ship], dt),
+        "weights": jnp.asarray(bucket.weights[:b_ship], dt),
+        "offsets": jnp.asarray(bucket.offsets[:b_ship], dt),
+        "theta0": jnp.asarray(bucket.theta0[:b_ship], dt),
+        "sample_count": jnp.asarray(
+            bucket.sample_count[:b_ship].astype(np.int32)),
+    }
+    spec = {"idx": "int32", "dim": bucket.theta0.shape[1], "values": "f32",
+            "labels": "f32", "weights": "f32", "offsets": "f32",
+            "theta0": "f32"}
+    return shipped, tuple(sorted(spec.items()))
+
+
+def test_fit_groups_compact_wire_bit_identical_same_mesh(tmp_path,
+                                                         monkeypatch):
+    """The wire-compact upload's bit-identity claim, tested like-for-like:
+    on the SAME 1-device mesh, the compact upload (every narrowing
+    exactness-checked on the host) must produce models BIT-IDENTICAL to an
+    eager f32 upload — cold start AND warm start (nonzero theta0). The
+    solver jit, mesh, and shapes are all held fixed; only the wire encoding
+    varies, so any difference is a real leak in _compact_bucket_wire /
+    _expand_shipped."""
+    import jax
+    import gdmix_tpu.models.random_effect_lr as RE
+    from gdmix_tpu.parallel.mesh import get_mesh
+    from tests.test_random_effect_lr import (_build_model, _make_groups,
+                                             _write_dataset)
+
+    groups, _ = _make_groups(num_entities=9, seed=13)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base = _build_model(md_file, train_dir, feature_file, tmp_path)
+
+    monkeypatch.setattr(RE, "get_mesh",
+                        lambda *a, **k: get_mesh(jax.devices()[:1]))
+    compact = model.fit_groups(groups, {}, base)          # compact spec
+    compact_warm = model.fit_groups(groups, dict(compact), base)
+
+    monkeypatch.setattr(RE, "_compact_bucket_wire", _eager_wire)
+    eager = model.fit_groups(groups, {}, base)            # eager f32 control
+    eager_warm = model.fit_groups(groups, dict(compact), base)
+
+    assert set(compact) == set(eager)
+    for eid in compact:
+        np.testing.assert_array_equal(
+            np.asarray(compact[eid].theta), np.asarray(eager[eid].theta),
+            err_msg=eid)
+        np.testing.assert_array_equal(
+            np.asarray(compact_warm[eid].theta),
+            np.asarray(eager_warm[eid].theta), err_msg=eid)
+
+
 def test_fit_groups_single_device_mesh_matches_multi(tmp_path, monkeypatch):
-    """fit_groups through a 1-device mesh takes the wire-compact upload
-    branch; the trained models must match the default multi-device mesh
-    (which ships eager f32) — cold start AND warm start (nonzero theta0)."""
+    """Cross-MESH consistency: fit_groups on a 1-device mesh (wire-compact
+    upload) vs the default multi-device mesh (eager f32, GSPMD-sharded).
+    GSPMD legitimately reorders reductions across different meshes, so this
+    is an allclose at a documented numerical tolerance (observed cross-mesh
+    reduction drift is ~1e-10 in f64; 100x headroom here), NOT bit
+    equality — that claim is tested like-for-like above."""
     import jax
     import gdmix_tpu.models.random_effect_lr as RE
     from gdmix_tpu.parallel.mesh import get_mesh
@@ -134,6 +195,6 @@ def test_fit_groups_single_device_mesh_matches_multi(tmp_path, monkeypatch):
     assert set(multi) == set(single) == set(warm)
     for eid in multi:
         np.testing.assert_allclose(single[eid].theta, multi[eid].theta,
-                                   rtol=1e-10, atol=1e-12, err_msg=eid)
+                                   rtol=1e-8, atol=1e-10, err_msg=eid)
         np.testing.assert_allclose(warm[eid].theta, multi[eid].theta,
                                    rtol=1e-6, atol=1e-8, err_msg=eid)
