@@ -339,17 +339,31 @@ class ModelTable(Mapping):
 
     # ------------------------------------------------------------- scoring --
 
-    def dense_table(self, num_features: int):
-        """Dense [E+1, D] coefficient table + [E+1] intercepts; row E stays
-        zero (entities without a model score as logits = offsets, reference
-        job_consumers.py:144-152). One whole-array scatter."""
+    def scoring_csr(self):
+        """Sparse scoring arrays — the O(nnz)-memory replacement for a dense
+        [E+1, D] coefficient table (which is O(E·D) and impossible at
+        production scale; the reference scores per-entity sparse,
+        job_consumers.py:138-152). Feature ids are rank-compacted against the
+        table's own support union (U distinct features), so the combined
+        (entity, feature-rank) key span is E·(U+1) — independent of the
+        global feature-space width D, no int64 overflow at any real scale.
+        Returns (keys, vals, icpt, uniq_fids):
+          keys [M] int64  — sorted row·(U+1) + rank(coef_id)
+          vals [M] f64    — coefficient per key
+          icpt [E+1] f64  — intercepts; row E stays 0 (entities without a
+                            model score as logits = offsets)
+          uniq_fids [U]   — sorted distinct global feature ids (for ranking
+                            record indices at score time)."""
         E = len(self)
-        table_w = np.zeros((E + 1, num_features))
-        table_b = np.zeros(E + 1)
-        lens = self.lens
-        rows = np.repeat(np.arange(E), lens)
-        ok = (self.coef_ids >= 0) & (self.coef_ids < num_features)
-        table_w[rows[ok], self.coef_ids[ok]] = self.coef_vals[ok]
+        uniq = np.unique(self.coef_ids)
+        U = len(uniq)
+        assert E * (U + 1) < (1 << 62), "scoring key span overflow"
+        rank = np.searchsorted(uniq, self.coef_ids)
+        rows = np.repeat(np.arange(E, dtype=np.int64), self.lens)
+        key = rows * np.int64(U + 1) + rank
+        order = np.argsort(key, kind="stable")  # rows ascend already; sorts
+        # within each entity's span (coef_ids are not guaranteed sorted)
+        icpt = np.zeros(E + 1)
         if self.icpt is not None:
-            table_b[:E] = self.icpt
-        return table_w, table_b
+            icpt[:E] = self.icpt
+        return key[order], self.coef_vals[order], icpt, uniq

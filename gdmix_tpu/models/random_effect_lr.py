@@ -395,11 +395,19 @@ def _group_scorer(has_intercept):
 
 
 @jax.jit
-def _record_scorer(table_w, table_b, ent_idx, indices, values, offsets):
-    """Dense-table per-record scoring: z_pc = Θ[e]·x + b[e] (one gather-matmul
-    over all records at once — no grouping or bucketing needed)."""
-    gathered = table_w[ent_idx[:, None], indices]       # [N, K]
-    z_pc = jnp.sum(gathered * values, axis=1) + table_b[ent_idx]
+def _record_scorer(mkey, mvals, icpt, ent_idx, qkey, values, offsets):
+    """Sparse per-record scoring: z_pc = θ[e]·x + b[e] against the CSR model
+    table (ModelTable.scoring_csr) — O(nnz) memory instead of the dense
+    [E+1, D] table's O(E·D) (the reference scores per-entity sparse,
+    job_consumers.py:138-152). One vectorized binary-search join: each
+    record entry's (entity, feature-rank) key is located in the table's
+    sorted combined keys; misses (feature not in the entity's support, or
+    entity without a model) contribute 0, so logits = offsets for unmodeled
+    entities exactly as before."""
+    pos = jnp.minimum(jnp.searchsorted(mkey, qkey), mkey.shape[0] - 1)
+    coef = jnp.where(mkey[pos] == qkey, mvals[pos],
+                     jnp.zeros((), mvals.dtype))
+    z_pc = jnp.sum(coef * values, axis=1) + icpt[ent_idx]
     return z_pc, z_pc + offsets
 
 
@@ -1191,39 +1199,64 @@ class RandomEffectLRModel(Model):
         return out
 
     def _model_table(self, model_weights: Dict[str, SparseModel]):
-        """Dense [E+1, D] coefficient table + id→row map (row E stays zero:
-        entities without a model score as logits = offsets, reference
+        """Sparse CSR scoring table (ModelTable.scoring_csr) + id→row map —
+        O(nnz) memory at any (E, D); row E is the implicit zero model
+        (entities without a model score as logits = offsets, reference
         job_consumers.py:144-152)."""
-        D = self.num_features
         if isinstance(model_weights, ModelTable):
-            table_w, table_b = model_weights.dense_table(D)
-            return table_w, table_b, model_weights.id2row
+            mkey, mvals, icpt, uniq = model_weights.scoring_csr()
+            return mkey, mvals, icpt, uniq, model_weights.id2row
         E = len(model_weights)
         off = 1 if self.has_intercept else 0
-        table_w = np.zeros((E + 1, D))
-        table_b = np.zeros(E + 1)
+        icpt = np.zeros(E + 1)
         id2row: Dict[str, int] = {}
+        rows_l, fids_l, vals_l = [], [], []
         for row, (mid, sm) in enumerate(model_weights.items()):
             id2row[mid] = row
             if off:
-                table_b[row] = sm.theta[0]
-            if len(sm.unique_global_indices):
-                table_w[row, sm.unique_global_indices] = sm.theta[off:]
-        return table_w, table_b, id2row
+                icpt[row] = sm.theta[0]
+            k = len(sm.unique_global_indices)
+            if k:
+                rows_l.append(np.full(k, row, np.int64))
+                fids_l.append(np.asarray(sm.unique_global_indices, np.int64))
+                vals_l.append(np.asarray(sm.theta[off:], np.float64))
+        if rows_l:
+            rows = np.concatenate(rows_l)
+            fids = np.concatenate(fids_l)
+            vals = np.concatenate(vals_l)
+        else:
+            rows = fids = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.float64)
+        uniq = np.unique(fids)
+        key = rows * np.int64(len(uniq) + 1) + np.searchsorted(uniq, fids)
+        order = np.argsort(key, kind="stable")
+        return key[order], vals[order], icpt, uniq, id2row
 
     def _score_columns(self, table, ent_idx, n, columns, indices, values,
                        schema_params):
         p = self.model_params
-        table_w, table_b, _ = table
+        mkey, mvals, icpt, uniq, _ = table
         offsets = (columns[p.offset_column_name].astype(np.float64)
                    if p.offset_column_name in columns else np.zeros(n))
         if indices is None:
             indices = np.zeros((n, 1), np.int32)
             values = np.zeros((n, 1))
+        # rank-compact the record feature ids against the table's support
+        # union; misses take rank U — the hole in each entity's key span, so
+        # they can never match a model key (coefficient 0)
+        U = len(uniq)
+        flat = np.asarray(indices, np.int64).ravel()
+        rank = np.searchsorted(uniq, flat)
+        hit = rank < U
+        hit &= uniq[np.minimum(rank, max(U - 1, 0))] == flat
+        qkey = (np.asarray(ent_idx, np.int64)[:, None] * np.int64(U + 1)
+                + np.where(hit, rank, U).reshape(np.shape(indices)))
+        if not len(mkey):  # no coefficients anywhere: sentinel never matches
+            mkey, mvals = np.full(1, -1, np.int64), np.zeros(1)
         dt = self.dtype
         z_pc, z = _record_scorer(
-            jnp.asarray(table_w, dt), jnp.asarray(table_b, dt),
-            jnp.asarray(ent_idx), jnp.asarray(indices),
+            jnp.asarray(mkey), jnp.asarray(mvals, dt), jnp.asarray(icpt, dt),
+            jnp.asarray(ent_idx), jnp.asarray(qkey),
             jnp.asarray(values, dt), jnp.asarray(offsets, dt))
         out = {"uid": columns[schema_params.uid_column_name].astype(np.int64),
                "total": np.asarray(z, np.float64),
@@ -1239,16 +1272,18 @@ class RandomEffectLRModel(Model):
 
     def score_records(self, data, model_weights: Dict[str, SparseModel],
                       schema_params) -> Dict[str, np.ndarray]:
-        """Per-record scoring via a dense [E, D] coefficient table — one
-        gather-matmul over all records, no grouping/bucketing (the in-HBM
-        pipeline's fast path). Entities without a model hit the zero row →
-        logits = offsets, matching reference job_consumers.py:144-152."""
+        """Per-record scoring against the sparse CSR model table — one
+        vectorized binary-search join over all records, no grouping/bucketing
+        (the in-HBM pipeline's fast path), O(nnz) memory at any (E, D).
+        Entities without a model hit the implicit zero row → logits =
+        offsets, matching reference job_consumers.py:144-152."""
         from gdmix_tpu.data.partitioner import factorize_entities
         p = self.model_params
         uniq_str, inv = factorize_entities(data.columns[p.partition_entity])
         table = self._model_table(model_weights)
         E = len(model_weights)
-        rows = np.fromiter((table[2].get(e, E) for e in uniq_str),
+        id2row = table[4]
+        rows = np.fromiter((id2row.get(e, E) for e in uniq_str),
                            dtype=np.int32, count=len(uniq_str))
         ent_idx = rows[inv]
         return self._score_columns(table, ent_idx, data.num_samples,
@@ -1261,7 +1296,8 @@ class RandomEffectLRModel(Model):
         ENTITY (not per record), then the same single gather-matmul."""
         table = self._model_table(model_weights)
         E = len(model_weights)
-        rows = np.fromiter((table[2].get(str(e), E) for e in fg.entity_ids),
+        id2row = table[4]
+        rows = np.fromiter((id2row.get(str(e), E) for e in fg.entity_ids),
                            dtype=np.int32, count=len(fg))
         ent_idx = np.repeat(rows, fg.counts)
         n = int(np.asarray(fg.counts).sum())

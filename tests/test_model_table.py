@@ -138,18 +138,97 @@ def test_table_load_matches_dict_load(tmp_path):
         _assert_same_model(as_table[mid], as_dict[mid])
 
 
-def test_dense_table_matches_dict_path():
+def test_scoring_csr_matches_dense_oracle():
+    """scoring_csr must represent exactly the coefficients a dense [E+1, D]
+    table would hold (the O(E·D) table it replaced): reconstruct dense from
+    the CSR keys and compare against the per-model scatter."""
     models = _mk_models(11, seed=7)
     D = 12
     table = ModelTable.from_models(models, True)
-    tw, tb = table.dense_table(D)
-    ew = np.zeros((len(models) + 1, D))
-    eb = np.zeros(len(models) + 1)
+    keys, vals, icpt, uniq = table.scoring_csr()
+    assert np.all(np.diff(keys) > 0)          # strictly sorted, unique
+    E, U = len(models), len(uniq)
+    dense = np.zeros((E + 1, D))
+    rows, ranks = keys // (U + 1), keys % (U + 1)
+    dense[rows, uniq[ranks]] = vals
+    want = np.zeros((E + 1, D))
+    eb = np.zeros(E + 1)
     for r, sm in enumerate(models.values()):
         eb[r] = sm.theta[0]
-        ew[r, sm.unique_global_indices] = sm.theta[1:]
-    np.testing.assert_allclose(tw, ew)
-    np.testing.assert_allclose(tb, eb)
+        want[r, sm.unique_global_indices] = sm.theta[1:]
+    np.testing.assert_allclose(dense, want)
+    np.testing.assert_allclose(icpt, eb)
+
+
+def test_score_records_sparse_at_dense_oom_scale():
+    """score_records at an (E, D) where the dense [E+1, D] f64 table would be
+    ~1.6 TB (200k entities x 1M features): the sparse CSR path must run in
+    O(nnz) and agree with a numpy per-record oracle (reference scores
+    per-entity sparse, job_consumers.py:138-152)."""
+    from gdmix_tpu.io.input_pipeline import PerRecordData
+    from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+    from gdmix_tpu.params import Params, REParams, from_dict
+
+    rng = np.random.default_rng(11)
+    E, D, N, K = 200_000, 1_000_000, 4_096, 4
+    supp = 2
+    fids = rng.choice(D, size=(E, supp))      # per-entity support (may dup)
+    coefs = rng.normal(size=(E, supp))
+    icpts = rng.normal(size=E)
+    table = ModelTable(
+        ids=np.array([f"e{i}" for i in range(E)], object),
+        offs=np.arange(E + 1, dtype=np.int64) * supp,
+        coef_ids=fids.ravel(), coef_vals=coefs.ravel(), icpt=icpts)
+
+    ent = rng.integers(0, E + 50, N)          # some entities have no model
+    idx = rng.integers(0, D, (N, K)).astype(np.int64)
+    # make some record features actually hit the entity's support
+    hit_rows = rng.random(N) < 0.7
+    idx[hit_rows, 0] = fids[np.minimum(ent[hit_rows], E - 1), 0]
+    val = rng.normal(size=(N, K))
+    offsets = rng.normal(size=N)
+    data = PerRecordData(
+        columns={"entity": np.array([f"e{i}" for i in ent], object),
+                 "uid": np.arange(N, dtype=np.int64),
+                 "offset": offsets},
+        indices=idx, values=val, nnz=np.full(N, K, np.int64),
+        num_samples=N)
+
+    model = RandomEffectLRModel.__new__(RandomEffectLRModel)
+    model.model_params = from_dict(REParams, {
+        "partition_entity": "entity", "feature_bag": "bag",
+        "metadata_file": "unused", "training_data_dir": "unused",
+        "output_model_dir": "unused"})
+    model.has_intercept = True
+    model.dtype = np.float64
+
+    class _Schema:
+        label_column_name = None
+        weight_column_name = None
+        uid_column_name = "uid"
+
+    got = model.score_records(data, table, _Schema())
+
+    # per-record numpy oracle on a sample of rows
+    sample = rng.choice(N, 500, replace=False)
+    for r in sample:
+        e = ent[r]
+        z = 0.0
+        if e < E:
+            z = icpts[e]
+            # last-wins on duplicate support ids is irrelevant here: sum of
+            # matching coefficients via a dict (first occurrence wins in the
+            # CSR join; build the dict the same way)
+            coef_of = {}
+            for j in range(supp):
+                coef_of.setdefault(fids[e, j], coefs[e, j])
+            for k in range(K):
+                z += val[r, k] * coef_of.get(idx[r, k], 0.0)
+        pos = int(np.flatnonzero(got["uid"] == r)[0])
+        np.testing.assert_allclose(got["per_coordinate"][pos], z,
+                                   rtol=1e-9, atol=1e-11, err_msg=str(r))
+        np.testing.assert_allclose(got["total"][pos], z + offsets[r],
+                                   rtol=1e-9, atol=1e-11)
 
 
 def test_intercept_only_with_variance_falls_back(tmp_path):
