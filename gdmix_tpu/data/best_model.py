@@ -14,6 +14,7 @@ import shutil
 from typing import Optional, Sequence
 
 from gdmix_tpu.data.evaluator import EVAL_SUMMARY_JSON
+from gdmix_tpu.io import fs
 
 
 def decode_hparams(hparams_b64: str) -> dict:
@@ -38,16 +39,16 @@ def select_best_model(input_metrics_paths: Sequence[str],
     hparam_map = decode_hparams(hyperparameters) if hyperparameters else {}
     best_metric, best_id = None, -1
     for model_id, path in enumerate(input_metrics_paths):
-        with open(os.path.join(path, EVAL_SUMMARY_JSON)) as f:
+        with fs.open(os.path.join(path, EVAL_SUMMARY_JSON)) as f:
             summary = json.load(f)
         metric = summary[eval_metric]
         if best_metric is None or metric * direction > best_metric * direction:
             best_metric, best_id = metric, model_id
 
-    os.makedirs(output_best_model_path, exist_ok=True)
+    fs.makedirs(output_best_model_path, exist_ok=True)
     configs = {"best model index": best_id,
                "model params": json.dumps(hparam_map.get(str(best_id), {}))}
-    with open(os.path.join(output_best_model_path, "evals.json"), "w") as f:
+    with fs.open(os.path.join(output_best_model_path, "evals.json"), "w") as f:
         json.dump(configs, f)
 
     if copy_best_output:

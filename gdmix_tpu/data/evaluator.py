@@ -14,6 +14,7 @@ import numpy as np
 
 from gdmix_tpu.io.scores import read_scores
 from gdmix_tpu.ops import metrics
+from gdmix_tpu.io import fs
 
 EVAL_SUMMARY_JSON = "evalSummary.json"
 
@@ -42,7 +43,7 @@ def run_evaluator(metrics_input_dir: str, output_metric_dir: str,
     metric = calculate_metric(data[prediction_column_name],
                               data[label_column_name], metric_name)
     result = {metric_name: metric}
-    os.makedirs(output_metric_dir, exist_ok=True)
-    with open(os.path.join(output_metric_dir, EVAL_SUMMARY_JSON), "w") as f:
+    fs.makedirs(output_metric_dir, exist_ok=True)
+    with fs.open(os.path.join(output_metric_dir, EVAL_SUMMARY_JSON), "w") as f:
         json.dump(result, f)
     return result

@@ -18,6 +18,7 @@ from typing import Dict, Optional, Tuple
 
 from gdmix_tpu import constants
 from gdmix_tpu.io.metadata import DatasetMetadata, TensorInfo
+from gdmix_tpu.io import fs
 
 logger = logging.getLogger(__name__)
 
@@ -113,7 +114,7 @@ def add_columns_to_metadata(columns: Dict[str, Tuple[str, bool]],
         metadata.features.append(
             TensorInfo(name=name, dtype=dtype, shape=[], is_sparse=False))
         logger.info("metadata: appended column %s (%s)", name, dtype)
-    os.makedirs(os.path.dirname(output_metadata_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_metadata_file) or ".", exist_ok=True)
     metadata.save(output_metadata_file)
     return metadata
 

@@ -14,6 +14,7 @@ from typing import Dict, List
 from gdmix_tpu.constants import LOGISTIC_MODEL_CLASS
 from gdmix_tpu.io import avro
 from gdmix_tpu.io.model_avro import BAYESIAN_LINEAR_MODEL_SCHEMA
+from gdmix_tpu.io import fs
 
 CROSS = "_gdmixcross_"
 
@@ -32,8 +33,8 @@ def split_model_file(model_input_path: str, model_output_dir: str,
     """Split every model record found under model_input_path. Returns the number
     of per-entity models written."""
     files = ([os.path.join(model_input_path, f)
-              for f in sorted(os.listdir(model_input_path)) if f.endswith(".avro")]
-             if os.path.isdir(model_input_path) else [model_input_path])
+              for f in sorted(fs.listdir(model_input_path)) if f.endswith(".avro")]
+             if fs.isdir(model_input_path) else [model_input_path])
     means: "OrderedDict[str, List[dict]]" = OrderedDict()
     variances: "OrderedDict[str, List[dict]]" = OrderedDict()
     has_variances = False
@@ -56,7 +57,7 @@ def split_model_file(model_input_path: str, model_output_dir: str,
             "lossFunction": "",
         })
 
-    os.makedirs(model_output_dir, exist_ok=True)
+    fs.makedirs(model_output_dir, exist_ok=True)
     per_file = max(1, (len(records) + num_output_files - 1) // num_output_files)
     written = 0
     for i in range(0, max(len(records), 1), per_file):

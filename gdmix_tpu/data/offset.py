@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+from gdmix_tpu.io import fs
 
 logger = logging.getLogger(__name__)
 
@@ -120,7 +121,7 @@ def run_offset_updater(data_dir: str,
                     for i in range(data.num_samples)]
         ragged_v = [data.values[i, :data.nnz[i]]
                     for i in range(data.num_samples)]
-    os.makedirs(output_data_dir, exist_ok=True)
+    fs.makedirs(output_data_dir, exist_ok=True)
     if data_format == "avro":
         from gdmix_tpu.io.avro_dataset import write_per_record_avro
         n = write_per_record_avro(

@@ -30,6 +30,7 @@ from gdmix_tpu.io.input_pipeline import (EntityGroup, PerRecordData,
                                          write_per_entity_grouped)
 from gdmix_tpu.io.metadata import DatasetMetadata, TensorInfo
 from gdmix_tpu.io.scores import read_scores
+from gdmix_tpu.io import fs
 
 
 def java_string_hash(s: str) -> int:
@@ -354,7 +355,7 @@ def run_partitioner(training_data_dir: Optional[str],
                     d = os.path.join(out_dir, kind, f"partitionId={pid}")
                 else:
                     d = os.path.join(out_dir, f"partitionId={pid}")
-                os.makedirs(d, exist_ok=True)
+                fs.makedirs(d, exist_ok=True)
                 write_grouped_flat(
                     os.path.join(d, "part-00000.tfrecord"), groups[kind],
                     config.partition_entity, entity_dtype, feature_bag)
@@ -367,7 +368,7 @@ def run_partitioner(training_data_dir: Optional[str],
                                 training_score_per_coordinate_dir,
                                 partitioned_training_data_dir, split=True)
         if output_partition_list_file:
-            with open(output_partition_list_file, "w") as f:
+            with fs.open(output_partition_list_file, "w") as f:
                 f.write(",".join(str(p) for p in partition_ids))
     if validation_data_dir:
         process(validation_data_dir, validation_score_dir,
@@ -375,5 +376,5 @@ def run_partitioner(training_data_dir: Optional[str],
                 partitioned_validation_data_dir, split=False)
 
     out_md = _grouped_metadata(metadata, config, has_offset=joined_offset)
-    os.makedirs(os.path.dirname(output_metadata_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_metadata_file) or ".", exist_ok=True)
     out_md.save(output_metadata_file)

@@ -17,14 +17,15 @@ import jax
 
 from gdmix_tpu import constants
 from gdmix_tpu.params import Params
+from gdmix_tpu.io import fs
 
 logger = logging.getLogger(__name__)
 
 
 def _is_empty_directory(path: str) -> bool:
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         raise ValueError(f"Directory expected, but {path} is not a directory")
-    return len(os.listdir(path)) == 0
+    return len(fs.listdir(path)) == 0
 
 
 class Driver(abc.ABC):
@@ -117,7 +118,7 @@ class Driver(abc.ABC):
             if self.base_params.validation_score_dir else None)
         passive_dir = self._anchor_directory(self.model.passive_training_data_dir,
                                              partition_index)
-        if os.path.isdir(passive_dir) and os.listdir(passive_dir):
+        if fs.isdir(passive_dir) and fs.listdir(passive_dir):
             ctx[constants.PASSIVE_TRAINING_DATA_DIR] = passive_dir
         return ctx
 
@@ -160,7 +161,7 @@ class RandomEffectDriver(Driver):
     def _get_partition_list(self) -> List[int]:
         partition_file = self.base_params.partition_list_file
         assert partition_file, "partition_list_file is required for random effect"
-        with open(partition_file) as f:
+        with fs.open(partition_file) as f:
             all_partitions = [int(x) for x in f.read().strip().split(",") if x != ""]
         task_index = self.execution_context[constants.TASK_INDEX]
         num_workers = self.execution_context[constants.NUM_WORKERS]

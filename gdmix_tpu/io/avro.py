@@ -18,6 +18,8 @@ import json
 import os
 import struct
 import zlib
+
+from gdmix_tpu.io import fs
 from typing import Any, Dict, Iterable, Iterator, List, Tuple, Union
 
 MAGIC = b"Obj\x01"
@@ -308,7 +310,7 @@ def write_records(path_or_file, schema: Union[str, SchemaType], records: Iterabl
     """Write records to an Avro OCF. Returns the number of records written."""
     parsed, names = parse_schema(schema)
     own = isinstance(path_or_file, (str, os.PathLike))
-    f = open(path_or_file, "wb") if own else path_or_file
+    f = fs.open(path_or_file, "wb") if own else path_or_file
     try:
         header = bytearray()
         header += MAGIC
@@ -371,7 +373,7 @@ def write_encoded_blocks(path_or_file, schema: Union[str, SchemaType],
     """
     parsed, _ = parse_schema(schema)
     own = isinstance(path_or_file, (str, os.PathLike))
-    f = open(path_or_file, "wb") if own else path_or_file
+    f = fs.open(path_or_file, "wb") if own else path_or_file
     try:
         header = bytearray()
         header += MAGIC
@@ -410,7 +412,7 @@ def write_encoded_blocks(path_or_file, schema: Union[str, SchemaType],
 
 def append_records(path: str, records: Iterable[dict]) -> int:
     """Append records to an existing OCF (schema/codec read from its header)."""
-    with open(path, "rb") as f:
+    with fs.open(path, "rb") as f:
         data = f.read()
     schema, codec, _, _ = _read_header(memoryview(data))
     parsed, names = parse_schema(schema)
@@ -427,7 +429,7 @@ def append_records(path: str, records: Iterable[dict]) -> int:
     head = bytearray()
     _encode_long(count, head)
     _encode_long(len(payload), head)
-    with open(path, "ab") as f:
+    with fs.open(path, "ab") as f:
         f.write(bytes(head))
         f.write(payload)
         f.write(DEFAULT_SYNC)
@@ -467,7 +469,7 @@ def _read_header(buf: memoryview) -> Tuple[dict, str, bytes, int]:
 def read_records(path_or_file) -> Iterator[dict]:
     """Iterate the records of an Avro OCF."""
     own = isinstance(path_or_file, (str, os.PathLike))
-    f = open(path_or_file, "rb") if own else path_or_file
+    f = fs.open(path_or_file, "rb") if own else path_or_file
     try:
         data = f.read()
     finally:
@@ -503,7 +505,7 @@ def read_records(path_or_file) -> Iterator[dict]:
 
 def read_schema(path: str) -> dict:
     """Return the writer schema of an OCF without decoding records."""
-    with open(path, "rb") as f:
+    with fs.open(path, "rb") as f:
         head = f.read(1 << 16)
     schema, _, _, _ = _read_header(memoryview(head))
     return schema

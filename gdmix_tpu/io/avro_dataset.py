@@ -25,6 +25,7 @@ from gdmix_tpu.io.input_pipeline import (EntityGroup, PerRecordData,
                                          _pad_ragged)
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.io.shard import shard_input_files
+from gdmix_tpu.io import fs
 
 INDICES_SUFFIX = "_indices"
 VALUES_SUFFIX = "_values"
@@ -165,5 +166,5 @@ def write_per_record_avro(output_file: str, metadata: DatasetMetadata,
                     [float(x) for x in ragged_values[i]]
             yield rec
 
-    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     return avro.write_records(output_file, schema, gen())

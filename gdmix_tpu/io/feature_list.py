@@ -6,6 +6,8 @@ of a feature is its zero-based position in the file; the intercept is never list
 from __future__ import annotations
 
 import csv
+
+from gdmix_tpu.io import fs
 from typing import Dict, List, Tuple
 
 Feature = Tuple[str, str]
@@ -13,7 +15,7 @@ Feature = Tuple[str, str]
 
 def read_feature_list(feature_file: str) -> List[Feature]:
     result: List[Feature] = []
-    with open(feature_file, newline="") as f:
+    with fs.open(feature_file, newline="") as f:
         for row in csv.reader(f):
             assert len(row) == 2, (
                 f"Each feature name should have exactly name and term only, but got {row}.")
@@ -29,7 +31,7 @@ def write_feature_list(features: List, feature_file: str) -> None:
     """Write features as name,term rows. Accepts (name, term) tuples or bare names
     (bare names get an empty term, matching the reference movieLens prep which writes
     'name,' rows)."""
-    with open(feature_file, "w", newline="") as f:
+    with fs.open(feature_file, "w", newline="") as f:
         w = csv.writer(f)
         for feat in features:
             if isinstance(feat, (tuple, list)):

@@ -94,7 +94,8 @@ def _read_file_bytes(path: str) -> bytes:
     import zlib
     from gdmix_tpu.io.tfrecord import compression_of
     comp = compression_of(path)
-    with open(path, "rb") as f:
+    from gdmix_tpu.io import fs
+    with fs.open(path, "rb") as f:
         raw = f.read()
     if comp == "GZIP":
         return gzip.decompress(raw)
@@ -788,7 +789,8 @@ def write_per_record(output_file: str, metadata: DatasetMetadata,
                 f"{feature_bag}{VALUES_SUFFIX}" if feature_bag else None,
                 sp_idx, sp_val, nnz, n)
         if buf is not None:
-            os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+            from gdmix_tpu.io import fs
+            fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
             with tfrecord._open_write(output_file, None) as f:  # .gz/.deflate
                 f.write(buf)
             return n

@@ -107,7 +107,8 @@ class DatasetMetadata:
 
     @classmethod
     def from_file(cls, path: str) -> "DatasetMetadata":
-        with open(path) as f:
+        from gdmix_tpu.io import fs
+        with fs.open(path) as f:
             return cls.from_json(json.load(f))
 
     def to_json(self) -> dict:
@@ -118,7 +119,8 @@ class DatasetMetadata:
         return out
 
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
+        from gdmix_tpu.io import fs
+        with fs.open(path, "w") as f:
             json.dump(self.to_json(), f)
 
     # -- lookups --------------------------------------------------------------

@@ -20,6 +20,7 @@ import numpy as np
 
 from gdmix_tpu.constants import INTERCEPT, LOGISTIC_MODEL_CLASS
 from gdmix_tpu.io import avro
+from gdmix_tpu.io import fs
 from gdmix_tpu.io.feature_list import Feature, get_feature_map, read_feature_list
 
 BAYESIAN_LINEAR_MODEL_SCHEMA = {
@@ -164,7 +165,7 @@ def export_linear_model_to_avro(model_ids: Sequence,
     feature_list = read_feature_list(feature_file) if feature_file else None
     num_models = len(list_of_weight_indices) if biases is None else len(biases)
 
-    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     # Columnar fast path: pre-encoded (name, term) table + native per-block
     # encoder (the per-record datum writer below is ~100x slower at scale).
     try:
@@ -194,7 +195,7 @@ def export_linear_model_to_avro(model_ids: Sequence,
                                          list_of_weight_indices[i], list_of_weight_values[i],
                                          current_bias, feature_list, sparsity_threshold)
 
-    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     return avro.write_records(output_file, BAYESIAN_LINEAR_MODEL_SCHEMA, gen_records())
 
 
@@ -208,7 +209,7 @@ def export_model_table_to_avro(table, feature_file: Optional[str],
     the per-record writer (same threshold/ordering rules,
     reference io_utils.py:102-212)."""
     feature_list = read_feature_list(feature_file) if feature_file else None
-    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     blocks = None
     try:
         from gdmix_tpu import native
@@ -312,7 +313,10 @@ def _parse_native(model_file: str, feature_list):
     """Native columnar parse of a model OCF, or None → per-record fallback."""
     try:
         from gdmix_tpu import native
-        return native.parse_model_file(model_file, feature_list)
+        # the native parser mmaps a real path: copy-through-local for remote
+        # schemes (reference io_utils.py:299-334)
+        with fs.local_input(model_file) as local:
+            return native.parse_model_file(local, feature_list)
     except Exception:
         return None
 

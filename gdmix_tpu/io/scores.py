@@ -13,6 +13,7 @@ from typing import Dict, Iterator, List
 import numpy as np
 
 from gdmix_tpu.io import avro
+from gdmix_tpu.io import fs
 
 
 def inference_output_schema(schema_params, has_label: bool, has_weight: bool,
@@ -44,7 +45,7 @@ def write_scores(output_file: str, schema_params, uids, scores,
     uids = np.asarray(uids)
     scores = np.asarray(scores)
 
-    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     # Columnar fast path: the inference schema is flat primitives, so the
     # native encoder emits block payloads ~40x faster than the per-record
     # Python datum writer (the reference pays the same per-record cost in
@@ -87,12 +88,8 @@ def write_scores(output_file: str, schema_params, uids, scores,
 def _score_files(path: str) -> List[str]:
     """All .avro files under path, recursively (score dirs may contain
     partitionId=N subdirectories, which Spark reads recursively too)."""
-    if os.path.isdir(path):
-        out = []
-        for root, _, files in os.walk(path):
-            out.extend(os.path.join(root, f) for f in files
-                       if f.endswith(".avro") and not f.startswith("."))
-        return sorted(out)
+    if fs.isdir(path):
+        return fs.find_files(path, ".avro")
     return [path]
 
 

@@ -9,15 +9,16 @@ from __future__ import annotations
 import fnmatch
 import os
 from typing import List, Tuple
+from gdmix_tpu.io import fs
 
 
 def _expand(input_path: str) -> List[str]:
     if isinstance(input_path, (list, tuple)):
         return sorted(input_path)
     directory, pattern = os.path.split(input_path)
-    if os.path.isdir(input_path):
+    if fs.isdir(input_path):
         directory, pattern = input_path, "*"
-    files = [os.path.join(directory, f) for f in os.listdir(directory)
+    files = [os.path.join(directory, f) for f in fs.listdir(directory)
              if fnmatch.fnmatch(f, pattern) and not f.startswith(".")]
     return sorted(files)
 

@@ -21,6 +21,8 @@ import gzip
 import os
 import struct
 import zlib
+
+from gdmix_tpu.io import fs
 from typing import Iterable, Iterator, List, Optional
 
 _MASK_DELTA = 0xA282EAD8
@@ -73,17 +75,17 @@ def compression_of(filename: str) -> str:
 def _open_read(path: str, compression: Optional[str]):
     comp = compression_of(path) if compression is None else compression
     if comp == "GZIP":
-        return gzip.open(path, "rb")
+        return gzip.GzipFile(fileobj=fs.open(path, "rb"), mode="rb")
     if comp == "ZLIB":
-        raw = open(path, "rb").read()
+        raw = fs.open(path, "rb").read()
         import io as _io
         return _io.BytesIO(zlib.decompress(raw))
-    return open(path, "rb")
+    return fs.open(path, "rb")
 
 
 class _ZlibWriter:
     def __init__(self, path: str):
-        self._f = open(path, "wb")
+        self._f = fs.open(path, "wb")
         self._c = zlib.compressobj()
 
     def write(self, data: bytes) -> None:
@@ -103,10 +105,10 @@ class _ZlibWriter:
 def _open_write(path: str, compression: Optional[str]):
     comp = compression_of(path) if compression is None else compression
     if comp == "GZIP":
-        return gzip.open(path, "wb")
+        return gzip.GzipFile(fileobj=fs.open(path, "wb"), mode="wb")
     if comp == "ZLIB":
         return _ZlibWriter(path)
-    return open(path, "wb")
+    return fs.open(path, "wb")
 
 
 # --- record iteration / writing ----------------------------------------------
@@ -177,9 +179,10 @@ def list_tfrecord_files(path_or_files, glob_pattern: str = "*.tfrecord*") -> Lis
     import fnmatch
     if isinstance(path_or_files, (list, tuple)):
         return list(path_or_files)
-    if os.path.isdir(path_or_files):
+    if fs.isdir(path_or_files):
         files = sorted(
-            os.path.join(path_or_files, f) for f in os.listdir(path_or_files)
+            os.path.join(path_or_files, f)
+            for f in fs.listdir(path_or_files)
             if fnmatch.fnmatch(f, glob_pattern) and not f.startswith(".")
         )
         return files

@@ -44,6 +44,7 @@ from gdmix_tpu.params import FixedLRParams, Params, from_argv
 from gdmix_tpu.parallel.mesh import (batch_sharding, get_mesh, pad_to_multiple,
                                      replicated)
 from gdmix_tpu.util.model_utils import threshold_coefficients
+from gdmix_tpu.io import fs
 
 logger = logging.getLogger(__name__)
 
@@ -576,15 +577,14 @@ class FixedEffectLRModel(Model):
                              task_index: int) -> str:
         """Copy this worker's file shard to a local cache dir (reference
         copy_to_local, fixed_effect_lr_lbfgs_model.py:519-531)."""
-        import shutil
         from gdmix_tpu.io.shard import shard_input_files
         files, sample_level = shard_input_files(data_dir, num_workers, task_index)
         assert not sample_level, ("copy_to_local needs at least one file per "
                                   "worker")
         local_dir = f"local_training_input_dir_{task_index}"
         os.makedirs(local_dir, exist_ok=True)
-        for f in files:
-            shutil.copy(f, os.path.join(local_dir, os.path.basename(f)))
+        for f in files:   # fs.copy = the remote download half of the contract
+            fs.copy(f, os.path.join(local_dir, os.path.basename(f)))
         logger.info("Copied %d files to %s", len(files), local_dir)
         return local_dir
 
@@ -688,11 +688,11 @@ class FixedEffectLRModel(Model):
 
     def _load_model(self, catch_exception: bool = False) -> Optional[np.ndarray]:
         path = self.checkpoint_path
-        if not path or not os.path.isdir(path):
+        if not path or not fs.isdir(path):
             if catch_exception:
                 return None
             raise FileNotFoundError(f"checkpoint path {path} doesn't exist")
-        files = [os.path.join(path, f) for f in os.listdir(path)
+        files = [os.path.join(path, f) for f in fs.listdir(path)
                  if f.endswith(".avro")]
         if len(files) != 1:
             if catch_exception:

@@ -48,6 +48,7 @@ from gdmix_tpu.ops.segment import ENTITY_SENTINEL
 from gdmix_tpu.parallel.entity_sharding import shard_rows
 from gdmix_tpu.parallel.mesh import batch_sharding, get_mesh, pad_to_multiple
 from gdmix_tpu.params import Params, REParams, from_argv
+from gdmix_tpu.io import fs
 
 logger = logging.getLogger(__name__)
 
@@ -1369,7 +1370,7 @@ class RandomEffectLRModel(Model):
                 else:
                     list_of_weight_values.append(sm.theta[idx:])
                 list_of_weight_indices.append(sm.unique_global_indices)
-        os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+        fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
         model_avro.export_linear_model_to_avro(
             model_ids, list_of_weight_indices, list_of_weight_values, biases,
             self.feature_file, output_file,
@@ -1379,7 +1380,7 @@ class RandomEffectLRModel(Model):
 
     def _load_weights(self, model_file: str, catch_exception: bool = False
                       ) -> Dict[str, SparseModel]:
-        if not os.path.exists(model_file):
+        if not fs.exists(model_file):
             if catch_exception:
                 return {}
             raise FileNotFoundError(f"Model file {model_file} does not exist")

@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 from typing import Dict
 
 import yaml
+from gdmix_tpu.io import fs
 
 MODELS = "models"
 METRIC = "metric"
@@ -30,7 +31,7 @@ class WorkflowConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "WorkflowConfig":
-        with open(path) as f:
+        with fs.open(path) as f:
             return cls.from_dict(yaml.safe_load(f))
 
     @classmethod

@@ -21,6 +21,8 @@ from __future__ import annotations
 import json
 import logging
 import os
+
+from gdmix_tpu.io import fs
 import subprocess
 from typing import Dict, List, Optional
 
@@ -227,8 +229,8 @@ def execute_job_dag(jobs: List[dict], max_parallel: int = 1,
 def compile_dag(config_path: str, output_file: str) -> List[dict]:
     config = WorkflowConfig.from_file(config_path)
     dag = generate_job_dag(config)
-    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
-    with open(output_file, "w") as f:
+    fs.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    with fs.open(output_file, "w") as f:
         json.dump({"name": "gdmix-tpu-workflow", "jobs": dag}, f, indent=2)
     logger.info("Wrote %d-job DAG to %s", len(dag), output_file)
     return dag

@@ -34,6 +34,7 @@ from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
 from gdmix_tpu.ops.metrics import auc as auc_metric
 from gdmix_tpu.params import FixedLRParams, Params, REParams, from_dict
 from gdmix_tpu.workflow.config import METRIC, MODELS, WorkflowConfig
+from gdmix_tpu.io import fs
 
 logger = logging.getLogger(__name__)
 
@@ -127,12 +128,12 @@ class InMemoryPipeline:
             return partial
         from jax.experimental import multihost_utils
         ex_dir = os.path.join(model_dir, f".exchange-sweep{sweep}")
-        os.makedirs(ex_dir, exist_ok=True)
+        fs.makedirs(ex_dir, exist_ok=True)
         mine = os.path.join(ex_dir, f"part-{jax.process_index():05d}.avro")
         model._save_model(mine, partial)
         multihost_utils.sync_global_devices(f"re-models-{name}-{sweep}")
         merged: Dict = {}
-        for f in sorted(os.listdir(ex_dir)):
+        for f in sorted(fs.listdir(ex_dir)):
             if f.endswith(".avro"):
                 merged.update(model._load_weights(os.path.join(ex_dir, f)))
         return merged
@@ -305,13 +306,13 @@ class InMemoryPipeline:
 
         # ---- persist final artifacts (chief only under multi-host) ----
         if rank == 0:
-            os.makedirs(os.path.join(cfg.output_dir, fe_name, MODELS),
+            fs.makedirs(os.path.join(cfg.output_dir, fe_name, MODELS),
                         exist_ok=True)
             fe_model._save_model()
             self._write_metric(fe_name)
             for item in re_items:
                 model_dir = os.path.join(cfg.output_dir, item["name"], MODELS)
-                os.makedirs(model_dir, exist_ok=True)
+                fs.makedirs(model_dir, exist_ok=True)
                 item["model"]._save_model(
                     os.path.join(model_dir, "part-00000.avro"), item["weights"])
                 self._write_metric(item["name"])
@@ -375,8 +376,8 @@ class InMemoryPipeline:
         if name not in self.metrics:
             return
         d = os.path.join(self.config.output_dir, name, METRIC)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, EVAL_SUMMARY_JSON), "w") as f:
+        fs.makedirs(d, exist_ok=True)
+        with fs.open(os.path.join(d, EVAL_SUMMARY_JSON), "w") as f:
             json.dump({"auc": self.metrics[name]}, f)
 
 

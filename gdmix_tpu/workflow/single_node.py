@@ -20,6 +20,7 @@ import shutil
 from typing import Dict
 
 from gdmix_tpu import constants
+from gdmix_tpu.io import fs
 from gdmix_tpu.data.evaluator import run_evaluator
 from gdmix_tpu.data.partitioner import PartitionerConfig, run_partitioner
 from gdmix_tpu.drivers.driver import FixedEffectDriver, RandomEffectDriver
@@ -55,7 +56,7 @@ def _completed_metric(output_dir: str, metric: str):
     import json
     path = os.path.join(output_dir, METRIC, "evalSummary.json")
     try:
-        with open(path) as f:
+        with fs.open(path) as f:
             return json.load(f)[metric]
     except Exception:
         return None
@@ -141,7 +142,7 @@ def run_random_effects(config: WorkflowConfig,
         _create_subdirs(output_dir)
         for score_name in (TRAINING_SCORES, VALIDATION_SCORES):
             for idx in range(num_partitions):
-                os.makedirs(os.path.join(output_dir, score_name,
+                fs.makedirs(os.path.join(output_dir, score_name,
                                          f"partitionId={idx}"), exist_ok=True)
 
         # ---- partition job (DataPartitioner equivalent) ----
