@@ -248,23 +248,47 @@ class FixedEffectLRModel(Model):
 
         Every chunk but the last must arrive row-aligned to the mesh multiple
         (the chunker yields exact-size chunks), so padding rows — weight 0,
-        inert — sit only at the global end and uid↔row alignment holds for
-        scoring. Single-process only: multi-host shards agree on shapes in
-        _device_batch's allgather, which a stream can't know upfront."""
-        assert jax.process_count() == 1, \
-            "streamed FE ingestion is single-process (use file sharding + " \
-            "copy_to_local for multi-host out-of-core runs)"
-        ndev = len(self.mesh.devices.flatten())
-        mult = ndev * 8
+        inert — sit only at the stream's end and uid↔row alignment holds for
+        scoring.
+
+        Multi-host: each process streams its OWN file shard (different
+        lengths, different chunk counts — a stream can't pre-agree shapes the
+        way _device_batch's one-shot allgather does). So chunks stage onto
+        this process's LOCAL devices as they decode; at stream end one host
+        allgather agrees the common padded local row count and max bag width,
+        each process zero-fills up to them ON DEVICE, and the global sharded
+        batch is assembled from the per-device shards with no host round-trip
+        (every process's segment stays contiguous, padding at its local end —
+        the same layout contract _device_batch produces). ≡ the reference's
+        streaming per_record_input_fn under distribution
+        (input_data_pipeline.py:129-220 + distribution_utils.py:11-47)."""
+        nproc = jax.process_count()
+        mesh_devs = list(self.mesh.devices.flatten())
+        if nproc > 1:
+            pid = jax.process_index()
+            local_devs = [d for d in mesh_devs if d.process_index == pid]
+            # process segments must be contiguous, ascending in the mesh
+            # order for the shard-wise global assembly below
+            first = mesh_devs.index(local_devs[0])
+            assert mesh_devs[first:first + len(local_devs)] == local_devs, \
+                "mesh device order must group devices by process"
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            stage_mesh = Mesh(np.array(local_devs), ("data",))
+            bsh = NamedSharding(stage_mesh, PartitionSpec("data"))
+            bsh2 = NamedSharding(stage_mesh, PartitionSpec("data", None))
+        else:
+            local_devs = mesh_devs
+            bsh = batch_sharding(self.mesh)
+            bsh2 = batch_sharding(self.mesh, rank=2)
+        ndev_local = len(local_devs)
+        mult = ndev_local * 8
         dt = self.dtype
-        bsh = batch_sharding(self.mesh)
-        bsh2 = batch_sharding(self.mesh, rank=2)
         dev_chunks, uids = [], []
         n = 0
         k_max = 8
         saw_short = False
         for chunk in chunks:
-            # padding must sit only at the GLOBAL end (uid↔row alignment for
+            # padding must sit only at the stream END (uid↔row alignment for
             # scoring), so only the final chunk may be row-unaligned
             assert not saw_short, "short chunk before the last one"
             saw_short = chunk.num_samples % mult != 0
@@ -288,23 +312,65 @@ class FixedEffectLRModel(Model):
             uids.append(uid)
             n += chunk.num_samples
         if not dev_chunks:
-            raise ValueError("empty chunk stream")
+            if nproc == 1:
+                raise ValueError("empty chunk stream")
+            # a process with an empty shard still participates: one
+            # all-padding (weight-0, inert) staging chunk
+            dev_chunks.append(SparseBatch(
+                jax.device_put(np.zeros((mult, k_max), np.int32), bsh2),
+                jax.device_put(np.zeros((mult, k_max), dt), bsh2),
+                jax.device_put(np.zeros((mult,), dt), bsh),
+                jax.device_put(np.zeros((mult,), dt), bsh),
+                jax.device_put(np.zeros((mult,), dt), bsh)))
 
-        def cat(parts, pad_k=False):
+        n_local_pad = sum(c.labels.shape[0] for c in dev_chunks)
+        if nproc > 1:
+            # agree on (padded local rows, bag width) across processes
+            from jax.experimental import multihost_utils
+            agreed = multihost_utils.process_allgather(
+                np.asarray([n_local_pad, k_max], np.int64))
+            n_common = int(agreed[:, 0].max())
+            k_max = int(agreed[:, 1].max())
+            n_common = pad_to_multiple(max(n_common, mult), mult)
+        else:
+            n_common = n_local_pad
+
+        def cat(parts, sharding, fill_rows, pad_k=False):
             if pad_k:
                 parts = [p if p.shape[1] == k_max
                          else jnp.pad(p, ((0, 0), (0, k_max - p.shape[1])))
                          for p in parts]
-            return parts[0] if len(parts) == 1 \
-                else jnp.concatenate(parts, axis=0)
+            if fill_rows:
+                shape = (fill_rows,) + parts[0].shape[1:]
+                parts = parts + [jnp.zeros(shape, parts[0].dtype)]
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                   axis=0)
+            # staging shards must divide evenly per local device for the
+            # global assembly — make the layout explicit
+            return jax.device_put(out, sharding)
 
-        batch = SparseBatch(
-            cat([c.indices for c in dev_chunks], pad_k=True),
-            cat([c.values for c in dev_chunks], pad_k=True),
-            cat([c.offsets for c in dev_chunks]),
-            cat([c.labels for c in dev_chunks]),
-            cat([c.weights for c in dev_chunks]))
-        return batch, np.concatenate(uids), n
+        fill = n_common - n_local_pad
+        local = SparseBatch(
+            cat([c.indices for c in dev_chunks], bsh2, fill, pad_k=True),
+            cat([c.values for c in dev_chunks], bsh2, fill, pad_k=True),
+            cat([c.offsets for c in dev_chunks], bsh, fill),
+            cat([c.labels for c in dev_chunks], bsh, fill),
+            cat([c.weights for c in dev_chunks], bsh, fill))
+        if nproc == 1:
+            return local, np.concatenate(uids), n
+
+        def to_global(arr):
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            gshape = (arr.shape[0] * nproc,) + arr.shape[1:]
+            sh = batch_sharding(self.mesh, rank=arr.ndim)
+            return jax.make_array_from_single_device_arrays(
+                gshape, sh, [s.data for s in shards])
+
+        batch = SparseBatch(*[to_global(a) for a in local])
+        uid = (np.concatenate(uids) if uids
+               else np.zeros(0, np.int64))
+        return batch, uid, n
 
     # ------------------------------------------------------------- objective --
 
@@ -404,6 +470,33 @@ class FixedEffectLRModel(Model):
                 lv, lg = l2_value_and_grad(
                     x, self.l2_reg_weight, has_intercept=self.has_intercept,
                     regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+                return v + lv, g + lg
+            return fun
+
+        if mode == "segment":
+            # Feature-sorted COO + segment_sum: Xᵀr as a sorted segment
+            # reduction instead of a random scatter-add or an O(D) one-hot
+            # block sweep — the D-independent wide-feature-space strategy
+            # (the reference's sparse graph is D-independent the same way,
+            # fixed_effect_lr_lbfgs_model.py:214-392). The argsort runs ONCE
+            # per solve trace (the batch is fixed across L-BFGS iterations),
+            # amortized over every funcall in the lax.while loop.
+            from gdmix_tpu.ops.logistic import SortedCoo
+            n_, k_ = batch.indices.shape
+            flat_idx = batch.indices.reshape(-1).astype(jnp.int32)
+            order = jnp.argsort(flat_idx, stable=True)
+            coo = SortedCoo(
+                idx=flat_idx[order],
+                row=(jnp.arange(n_ * k_, dtype=jnp.int32) // k_)[order],
+                val=batch.values.reshape(-1)[order])
+
+            def fun(x):
+                v, g = fixed_effect_value_and_grad(
+                    x, batch, num_features, sorted_coo=coo, **kw)
+                lv, lg = l2_value_and_grad(
+                    x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                    regularize_bias=self.is_regularize_bias,
+                    intercept_at_end=True)
                 return v + lv, g + lg
             return fun
 
@@ -522,10 +615,12 @@ class FixedEffectLRModel(Model):
         if prev is not None and len(prev) == self._dim:
             logger.info("Found a previous model, loaded as the initial point")
         stream = self.model_params.stream_chunk_rows
-        if stream > 0 and jax.process_count() == 1 \
+        if stream > 0 \
                 and self.model_params.data_format == constants.TFRECORD \
                 and not self.model_params.custom_input_fn:
             # out-of-core ingestion: disk → HBM in bounded-host-memory chunks
+            # (multi-host composes: each process streams its own file shard,
+            # shapes agreed at stream end — _device_batch_streamed)
             from gdmix_tpu.io.input_pipeline import iter_per_record_chunks
             mult = len(self.mesh.devices.flatten()) * 8
             chunks = iter_per_record_chunks(

@@ -1,9 +1,11 @@
 """Subprocess runner for the real two-process jax.distributed FE test.
 
 Usage: python tests/multiproc_runner.py <process_id> <num_processes> <data_root>
-           [variance_mode] [coordinator_port]
+           [variance_mode] [coordinator_port] [stream_chunk_rows]
 Each process shards the input files, trains the fixed effect SPMD, and the chief
 saves the model — the genuine multi-host path (TF_CONFIG replacement).
+stream_chunk_rows > 0 exercises multi-host OUT-OF-CORE ingestion: each process
+streams its file shard in bounded-memory chunks (_device_batch_streamed).
 """
 import os
 import sys
@@ -12,6 +14,7 @@ pid, nproc, root = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 variance_mode = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "none" \
     else None
 port = sys.argv[5] if len(sys.argv) > 5 else "9923"
+stream_rows = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
@@ -38,7 +41,8 @@ model_params = FixedLRParams(
     feature_file=os.path.join(root, "features.csv"),
     l2_reg_weight=0.7, regularize_bias=False, dtype="float64",
     lbfgs_tolerance=1e-14, lbfgs_pgtol=1e-10, num_of_lbfgs_iterations=500,
-    sparsity_threshold=0.0, fixed_effect_variance_mode=variance_mode)
+    sparsity_threshold=0.0, fixed_effect_variance_mode=variance_mode,
+    stream_chunk_rows=stream_rows)
 base_params = Params(
     action="train", stage="fixed_effect", model_type="logistic_regression",
     label_column_name="response", uid_column_name="uid",

@@ -304,6 +304,26 @@ def test_block_bf16x2_matches_reference_path():
                                atol=3e-5 * scale)
 
 
+def test_segment_grad_model_fit_matches_oracle(tmp_path):
+    """End-to-end FE fit with grad_mode=segment (in-graph sorted-COO +
+    segment_sum — the D-independent wide-feature-space strategy) equals the
+    scipy oracle."""
+    from tests.test_fixed_effect_lr import (_make_dataset, _params,
+                                            _scipy_fe_oracle)
+    from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+    from gdmix_tpu import constants
+    ds = _make_dataset(tmp_path, seed=23)
+    model_params, base_params = _params(ds, tmp_path, grad_mode="segment")
+    model = FixedEffectLRModel(model_params, base_params)
+    model.train(ds["train_dir"], None, ds["md_file"], model.checkpoint_path,
+                {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+                 constants.IS_CHIEF: True}, base_params)
+    oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
+                              lam=model_params.l2_reg_weight,
+                              regularize_bias=model_params.regularize_bias)
+    np.testing.assert_allclose(model.model_coefficients, oracle, atol=1e-6)
+
+
 def test_block_grad_model_fit_matches_oracle(tmp_path):
     """End-to-end FE fit with grad_mode=block equals the scipy oracle."""
     from tests.test_fixed_effect_lr import (_make_dataset, _params,

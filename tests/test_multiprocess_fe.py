@@ -59,14 +59,15 @@ def _write_dataset(root, file_sizes, seed=5):
             np.concatenate(w_all).astype(np.float64))
 
 
-def _run_two_procs(root, port, variance_mode="none"):
+def _run_two_procs(root, port, variance_mode="none", stream_rows=0):
     os.makedirs(os.path.join(root, "models_mp"), exist_ok=True)
     os.makedirs(os.path.join(root, "scores_mp"), exist_ok=True)
     runner = os.path.join(os.path.dirname(__file__), "multiproc_runner.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
-        [sys.executable, runner, str(pid), "2", root, variance_mode, str(port)],
+        [sys.executable, runner, str(pid), "2", root, variance_mode, str(port),
+         str(stream_rows)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)]
     outs = [p.communicate(timeout=540)[0].decode() for p in procs]
@@ -123,6 +124,21 @@ def test_two_process_single_file_sample_sharding(tmp_path):
     root = str(tmp_path)
     X, y, w = _write_dataset(root, [96], seed=7)
     coeffs = _run_two_procs(root, port=9927)
+    oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
+                              regularize_bias=False)
+    np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
+    _check_scores(root, X, coeffs)
+
+
+def test_two_process_streamed_ingestion_matches_eager(tmp_path):
+    """Multi-host OUT-OF-CORE FE (VERDICT r3 task 5): each process streams
+    its file shard in 32-row chunks (uneven shards → different chunk counts
+    and a short tail on one process); coefficients must match the scipy
+    oracle (hence the eager 2-process run, which matches it too) and the
+    score files must stay uid↔row aligned."""
+    root = str(tmp_path)
+    X, y, w = _write_dataset(root, [64, 40], seed=9)
+    coeffs = _run_two_procs(root, port=9931, stream_rows=32)
     oracle = _scipy_fe_oracle(X, y, np.zeros(len(y)), w, lam=0.7,
                               regularize_bias=False)
     np.testing.assert_allclose(coeffs, oracle, atol=1e-6)
