@@ -18,6 +18,9 @@ Named sub-metrics in the same JSON line:
       FixedEffectLRModel._objective_fun (the production class's own dispatch;
       grad_mode=auto resolves to the two-level one-hot "block" path here;
       round-1 one-hot baseline: 1.03 s/funcall)
+  fe_wide_d_funcalls_per_sec — the same funcall at D=1M, past block's ~700k
+      win-region ceiling: auto must resolve to the D-independent scatter
+      path (scripts/fe_wide_d.py measurements; VERDICT r3 task 4)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
 Once the primary is measured the line is GUARANTEED: a watchdog emits it with
@@ -351,7 +354,7 @@ def run_re_sharded(fg, tag: str, reps: int) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_fe(reps: int = 4) -> float:
+def run_fe(reps: int = 4, d: int = 10_000, tag: str = "fe") -> float:
     """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 THROUGH THE
     PRODUCTION CLASS: the timed objective is FixedEffectLRModel's own
     _objective_fun — the exact (value, grad) every fit_data L-BFGS funcall
@@ -366,7 +369,7 @@ def run_fe(reps: int = 4) -> float:
     from gdmix_tpu.ops.logistic import SparseBatch
     from gdmix_tpu.params import FixedLRParams, Params
     n = int(os.environ.get("BENCH_FE_N", 4_997_120))  # CPU smoke: set small
-    d, k = 10_000, 16
+    k = 16
 
     tmp = tempfile.mkdtemp(prefix="gdx_bench_fe_")
     try:
@@ -420,7 +423,7 @@ def run_fe(reps: int = 4) -> float:
             v, g = fun(x, batch)
             float(v), float(jnp.sum(g))  # host fetch = sync
             times.append(time.time() - t0)
-        sys.stderr.write(f"bench[fe]: funcall min={min(times):.4f}s "
+        sys.stderr.write(f"bench[{tag}]: funcall min={min(times):.4f}s "
                          f"(round-1 one-hot {FE_ROUND1_FUNCALL_S}s)\n")
         return 1.0 / min(times)
     finally:
@@ -522,6 +525,13 @@ def main():
         submetrics["fe_funcalls_per_sec"] = round(fe_rate, 2)
         submetrics["fe_speedup_vs_round1"] = round(
             fe_rate * FE_ROUND1_FUNCALL_S, 2)
+    if RUN_FE and os.environ.get("BENCH_FE_WIDE", "1") != "0":
+        # wide-D regime (VERDICT r3 task 4): D=1M is past block's measured
+        # ~700k win-region ceiling, so grad_mode=auto resolves to the
+        # D-independent scatter path here — this sub-metric pins the
+        # crossover routing on real hardware every round
+        submetrics["fe_wide_d_funcalls_per_sec"] = round(
+            run_fe(max(reps - 2, 2), d=1_000_000, tag="fe-wide-d"), 2)
     watchdog.cancel()
     sys.stderr.write(f"bench: total wall {time.time() - t_start:.0f}s\n")
     _emit(primary, submetrics)

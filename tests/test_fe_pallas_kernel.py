@@ -301,6 +301,22 @@ def test_effective_grad_mode_auto_resolution():
     # degenerate config: past both ceilings -> scatter
     assert effective_grad_mode("auto", True, 18_000, 20_000, 16384) \
         == "scatter"
+    # wide-D regime (VERDICT r3 task 4): block's O(D) cost crosses the
+    # D-independent scatter at the measured ~700k (scripts/fe_wide_d.py:
+    # block 0.27s@100k / 1.83s@1M vs scatter ~1.31s flat) — auto must never
+    # take block past its win region
+    assert effective_grad_mode("auto", True, 100_000, 1024, 16384) == "block"
+    assert effective_grad_mode("auto", True, 700_000, 1024, 16384) == "block"
+    assert effective_grad_mode("auto", True, 700_001, 1024, 16384) \
+        == "scatter"
+    assert effective_grad_mode("auto", True, 10_000_000, 1024, 16384) \
+        == "scatter"
+    # the ceiling is a tunable (pin the parameter wiring)
+    assert effective_grad_mode("auto", True, 2_000_000, 1024, 16384,
+                               block_max_features=5_000_000) == "block"
+    # segment is explicit-only (it never beats scatter on TPU: 2.15s flat)
+    assert effective_grad_mode("segment", True, 10_000_000, 1024, 16384) \
+        == "segment"
     # explicit modes are never overridden...
     for m in ("block", "onehot", "scatter", "pallas_flat"):
         assert effective_grad_mode(m, True, 10_000, 1024, 16384) == m
