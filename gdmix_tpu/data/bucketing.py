@@ -182,6 +182,32 @@ def _sample_caps(counts: np.ndarray, min_bucket_rows: int) -> List[int]:
 LANE_BLOCK = 128   # fused lanes kernel block width (newton_lanes.LANES)
 
 
+def _lane_pack_order(counts: np.ndarray, caps, lanes: int):
+    """The PACK half of plan_lane_buckets: entities sorted by sample count
+    DESC, cut into `lanes`-entity blocks, each block tiered by its largest
+    member. Returns (order, block_tier, block_of_position)."""
+    E = len(counts)
+    order = np.argsort(-counts, kind="stable")
+    blk = np.arange(E) // lanes
+    bmax = np.zeros(blk[-1] + 1 if E else 1, np.int64)
+    np.maximum.at(bmax, blk, counts[order])
+    btier = np.searchsorted(np.asarray(caps, np.int64), bmax, side="left")
+    return order, btier, blk
+
+
+def lane_packed_tier_of(counts: np.ndarray, caps,
+                        lanes: int = LANE_BLOCK) -> np.ndarray:
+    """Per-entity PROMOTED tier indices (the packing rule alone, for planes
+    with their own slot machinery — the sharded RE plane): every entity in a
+    sorted 128-entity block takes the block max's tier, collapsing partial
+    blocks across the ladder."""
+    order, btier, blk = _lane_pack_order(np.asarray(counts, np.int64),
+                                         caps, lanes)
+    tier_of = np.empty(len(counts), np.int64)
+    tier_of[order] = btier[blk]
+    return tier_of
+
+
 def plan_lane_buckets(counts: np.ndarray, caps,
                       lanes: int = LANE_BLOCK,
                       batch_align: int = 8) -> List:
@@ -211,15 +237,8 @@ def plan_lane_buckets(counts: np.ndarray, caps,
     DataPartitioner's max_samples bound tames the same tail in the
     reference (DataPartitioner.scala:332-379)."""
     counts = np.asarray(counts, np.int64)
-    E = len(counts)
     caps = np.asarray(caps, np.int64)
-    order = np.argsort(-counts, kind="stable")
-    blk = np.arange(E) // lanes
-    bmax = np.zeros(blk[-1] + 1 if E else 1, np.int64)
-    np.maximum.at(bmax, blk, counts[order])
-    btier = np.searchsorted(caps, bmax, side="left")
-    tier_of = np.empty(E, np.int64)
-    tier_of[order] = btier[blk]
+    order, btier, blk = _lane_pack_order(counts, caps, lanes)
     plan = []
     for t in range(len(caps)):
         members = order[btier[blk] == t]   # packed (desc-count) order
