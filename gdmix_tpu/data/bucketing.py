@@ -182,83 +182,45 @@ def _sample_caps(counts: np.ndarray, min_bucket_rows: int) -> List[int]:
 LANE_BLOCK = 128   # fused lanes kernel block width (newton_lanes.LANES)
 
 
-def _lane_pack_order(counts: np.ndarray, caps, lanes: int):
-    """The PACK half of plan_lane_buckets: entities sorted by sample count
-    DESC, cut into `lanes`-entity blocks, each block tiered by its largest
-    member. Returns (order, block_tier, block_of_position)."""
-    E = len(counts)
-    order = np.argsort(-counts, kind="stable")
-    blk = np.arange(E) // lanes
-    bmax = np.zeros(blk[-1] + 1 if E else 1, np.int64)
-    np.maximum.at(bmax, blk, counts[order])
-    btier = np.searchsorted(np.asarray(caps, np.int64), bmax, side="left")
-    return order, btier, blk
-
-
-def lane_packed_tier_of(counts: np.ndarray, caps,
-                        lanes: int = LANE_BLOCK) -> np.ndarray:
-    """Per-entity PROMOTED tier indices (the packing rule alone, for planes
-    with their own slot machinery — the sharded RE plane): every entity in a
-    sorted 128-entity block takes the block max's tier, collapsing partial
-    blocks across the ladder."""
-    order, btier, blk = _lane_pack_order(np.asarray(counts, np.int64),
-                                         caps, lanes)
-    tier_of = np.empty(len(counts), np.int64)
-    tier_of[order] = btier[blk]
-    return tier_of
-
-
 def plan_lane_buckets(counts: np.ndarray, caps,
                       lanes: int = LANE_BLOCK,
                       batch_align: int = 8) -> List:
-    """The bucket PLAN shared by both bucketizers: cross-tier lane packing +
-    pow-2 batch decomposition (VERDICT r3 task 7).
+    """The bucket PLAN shared by both bucketizers: one bucket per pow-2
+    sample-count tier, per-entity tier assignment.
 
-    The fused lanes solver's cost for a 128-lane block is n_cap·lanes
-    REGARDLESS of how many lanes hold real entities, so heavy-tail padding
-    has two separate sources: partial lane blocks per tier, and the pow-2
-    batch rounding adding whole empty blocks past 128. This plan removes
-    both (measured 2.27× → 1.67× padded rows on the bench's pareto mix):
+    Cross-tier lane packing was implemented here, measured on the chip, and
+    REJECTED (VERDICT r3 task 7 — the measurement showing padded compute is
+    NOT the binding term). The padded-FLOP model was compelling: a 128-lane
+    block's compute is n_cap·lanes regardless of real lanes, so (a) packing
+    sorted 128-entity blocks and promoting each block to its max member's
+    tier, and (b) decomposing pow-2 batch padding into ceil-128 pieces,
+    cut modeled padded rows 2.27× → 1.67× on the heavy-tail pareto mix.
+    The chip said otherwise, with non-overlapping reps (v5e, 20k-entity
+    heavy tail / 100k movieLens primary):
 
-    1. PACK: sort entities by sample count DESC (stable) and cut into
-       `lanes`-entity blocks; every entity in a block takes the tier of the
-       block's LARGEST member. Promote-only — filling a partial block of a
-       bigger tier with smaller entities costs nothing, while giving them
-       their own partial block costs a full block of that tier.
-    2. DECOMPOSE: within each tier (members kept in that packed order),
-       split into buckets of power-of-two size — descending pieces, so the
-       batch pow-2 rounding never adds more than the kernel's own lane
-       granularity — while compiled batch shapes stay in the small pow-2
-       family (each novel shape is a jit compile; expensive on remote TPU).
+      per-entity tiers (this code): heavy 0.264 s @ 9 buckets, primary
+        0.193 s @ 4 buckets
+      + packing (promotion only, −1 bucket, −10% padded rows):
+        heavy 0.339 s @ 8 buckets   (+28%)
+      + packing + pow-2 decomposition (−26% padded rows):
+        heavy 0.468 s @ 17 buckets, primary 0.379 s @ 12  (+77% / +96%)
 
-    Returns [(n_cap, member_indices ndarray)] in (ascending n_cap,
-    descending piece) order — deterministic, so the object and columnar
-    paths produce identical buckets.
+    Diagnosis: every extra bucket costs a ~25 ms dispatch round trip on the
+    relay, and merging tiers couples the merged bucket's ITERATION count to
+    its slowest members (the big-n tiers run the per-iteration kernel whose
+    cost is iters × n_cap × lanes — promoted small entities ride along for
+    every extra iteration). Padded rows are cheap; dispatches and coupled
+    iterations are not. So: per-entity tiers, one bucket per tier.
+
+    Returns [(n_cap, member_indices ndarray)] in ascending n_cap order —
+    deterministic and identical for the object and columnar paths.
     DataPartitioner's max_samples bound tames the same tail in the
     reference (DataPartitioner.scala:332-379)."""
     counts = np.asarray(counts, np.int64)
     caps = np.asarray(caps, np.int64)
-    order, btier, blk = _lane_pack_order(counts, caps, lanes)
-    plan = []
-    for t in range(len(caps)):
-        members = order[btier[blk] == t]   # packed (desc-count) order
-        m = len(members)
-        pos = 0
-        # at most 3 pieces per tier: two largest pow-2 pieces + one
-        # pow-2-padded tail — within 1% of the unbounded decomposition's
-        # compute on the heavy-tail mix, at ~half the dispatches/compiles
-        pieces_done = 0
-        while pos < m:
-            rem = m - pos
-            piece = rem                      # tail: pow-2-padded by builder
-            if pieces_done < 2 and rem >= 2 * lanes:
-                piece = lanes                # largest pow-2 piece
-                while piece * 2 <= rem:
-                    piece *= 2
-            plan.append((int(caps[t]), members[pos:pos + piece]))
-            pos += piece
-            pieces_done += 1
-    return plan
+    tier = np.searchsorted(caps, counts, side="left")
+    return [(int(caps[t]), np.flatnonzero(tier == t))
+            for t in range(len(caps)) if (tier == t).any()]
 
 
 def bucketize_flat(fg: FlatGroups,

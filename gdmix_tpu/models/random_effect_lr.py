@@ -989,14 +989,12 @@ class RandomEffectLRModel(Model):
                 local_indices = li.reshape(indices.shape)
         u_eff = np.maximum(u_counts, 1)
 
-        # power-of-two sample-count tiers (the host bucketize ladder) with
-        # cross-tier lane packing: entities in a sorted 128-block take the
-        # block max's tier, collapsing partial lane blocks across the ladder
-        # (a block's solve cost is n_cap·128 regardless of real lanes —
-        # same rule as plan_lane_buckets on the host plane)
-        from gdmix_tpu.data.bucketing import lane_packed_tier_of
+        # power-of-two sample-count tiers (the host bucketize ladder;
+        # per-entity assignment — cross-tier lane packing was measured
+        # SLOWER on-chip and rejected, see plan_lane_buckets' docstring)
         caps = np.asarray(_sample_caps(counts, 8))
-        tier_of_entity = lane_packed_tier_of(counts, caps).astype(np.int32)
+        tier_of_entity = np.searchsorted(caps, counts,
+                                         side="left").astype(np.int32)
 
         tt.append(("host_prep", time.time()))
         # pad the record axis so it shards evenly; padding rows carry weight 0
