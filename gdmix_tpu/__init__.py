@@ -25,6 +25,24 @@ if "JAX_PLATFORMS" in _os.environ or "JAX_ENABLE_X64" in _os.environ:
             _os.environ["JAX_ENABLE_X64"].lower() in ("1", "true", "yes"))
 
 
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature set (platform.machine +
+    /proc/cpuinfo flags) — partitions the default compile-cache dir per
+    machine type."""
+    import hashlib
+    import platform
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    sig += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(sig.encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache() -> None:
     """Persistent XLA compilation cache, on by default.
 
@@ -33,8 +51,10 @@ def _enable_persistent_compile_cache() -> None:
     highly repeatable across runs (power-of-two bucket tiers, fixed FE padding
     policy) — so a disk cache converts every rerun/sweep/retry into a cache
     hit (measured 18.8 s → 7.8 s on the 100k-rating pipeline).
-    GDMIX_TPU_COMPILE_CACHE: unset → ~/.cache/gdmix_tpu/xla when the platform
-    list names a TPU backend (tpu/axon); anything else — including an unset
+    GDMIX_TPU_COMPILE_CACHE: unset → ~/.cache/gdmix_tpu/xla-<host-cpu-hash>
+    when the platform list names a TPU backend (tpu/axon) — the hash keeps
+    machine-feature-specific XLA:CPU AOT entries from crossing hosts (a
+    legacy un-suffixed dir is adopted once by rename); anything else — including an unset
     platform that may resolve to CPU — stays opt-in because XLA:CPU AOT
     entries are machine-feature-specific and can SIGILL when moved between
     hosts. A path value → that directory on any backend; "0"/"off" →
@@ -51,8 +71,25 @@ def _enable_persistent_compile_cache() -> None:
     platforms = str(_jax.config.jax_platforms or "").lower()
     if not raw and not any(p in platforms for p in ("tpu", "axon")):
         return  # default-on only where compiles are expensive (TPU relay)
-    path = raw or _os.path.join(
-        _os.path.expanduser("~"), ".cache", "gdmix_tpu", "xla")
+    # Suffix the default dir with a host-CPU fingerprint: XLA:CPU AOT cache
+    # entries are machine-feature-specific, and a process that enables the
+    # cache under a TPU platform can still compile CPU executables later
+    # (e.g. dryrun_multichip falls back to virtual host devices in-process).
+    # Loading another machine's entries prints cpu_aot_loader feature-
+    # mismatch errors and can SIGILL/SIGSEGV — a fresh host gets a fresh
+    # dir instead (explicit GDMIX_TPU_COMPILE_CACHE paths are used as-is).
+    if raw:
+        path = raw
+    else:
+        path = _os.path.join(_os.path.expanduser("~"), ".cache",
+                             "gdmix_tpu", f"xla-{_host_fingerprint()}")
+        legacy = _os.path.join(_os.path.expanduser("~"), ".cache",
+                               "gdmix_tpu", "xla")
+        if _os.path.isdir(legacy) and not _os.path.exists(path):
+            try:  # adopt the un-fingerprinted dir once (same-host entries)
+                _os.rename(legacy, path)
+            except OSError:
+                pass
     try:
         _os.makedirs(path, exist_ok=True)
     except OSError:
