@@ -24,3 +24,23 @@ jax.config.update("jax_enable_x64", True)
 assert len(jax.devices()) == 8, (
     "expected 8 virtual CPU devices; jax backend initialized too early: "
     f"{jax.devices()}")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process XLA executable accumulation.
+
+    The full suite compiles ~1000 programs into one process; past some
+    accumulation the NEXT large XLA:CPU compile segfaults inside
+    backend_compile_and_load (observed repeatedly at the same test near the
+    end of the alphabet, while every file window and the file alone pass —
+    3 crashes / 4 full serial runs on 2026-08-20). Clearing jax's caches at
+    module boundaries keeps the live-executable count bounded; modules
+    recompile what they share (a few seconds each) and the crash window
+    never builds up."""
+    yield
+    import jax
+    jax.clear_caches()
