@@ -14,6 +14,8 @@ Named sub-metrics in the same JSON line:
   re_stage_models_per_sec — fit_flat + avro export + reload through the
       production class (the per-partition stage the reference's trainer runs)
   re_wide_support_models_per_sec — u_cap ≥ 256 per-entity feature support
+  re_score_records_per_sec — per-record scoring through the sparse-CSR
+      scorer (host join + device binary-search join; O(nnz) at any (E, D))
   fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 through
       FixedEffectLRModel._objective_fun (the production class's own dispatch;
       grad_mode=auto resolves to the two-level one-hot "block" path here;
@@ -323,6 +325,52 @@ def run_re_stage(fg, reps: int) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_re_score(fg, num_records: int, reps: int) -> float:
+    """Records scored per second through the production sparse-CSR scorer
+    (score_records: host entity join + rank-compaction + device binary-search
+    join + fetch) — the in-HBM pipeline's per-coordinate scoring path, now
+    O(nnz) in memory at any (E, D) (round 4 replaced the dense [E+1, D]
+    table). Entities are the fitted models of a stage-shaped workload; ~3%
+    of records reference unmodeled entities (logits = offsets parity,
+    reference job_consumers.py:144-152)."""
+    import shutil
+    import tempfile
+    from gdmix_tpu.io.input_pipeline import PerRecordData
+
+    d = int(fg.indices.max()) + 1
+    tmp = tempfile.mkdtemp(prefix="gdx_bench_score_")
+    try:
+        model, base_params = _stage_model(d, tmp)
+        weights = model.fit_flat(fg, {}, base_params)
+
+        rng = np.random.RandomState(7)
+        E = len(fg)
+        k = fg.indices.shape[1]
+        ent = rng.randint(0, int(E * 1.03), num_records)
+        data = PerRecordData(
+            columns={"user_id": np.array([str(e) for e in ent], object),
+                     "uid": np.arange(num_records, dtype=np.int64),
+                     "offset": 0.1 * rng.randn(num_records)},
+            indices=rng.randint(0, d, (num_records, k)).astype(np.int32),
+            values=rng.randn(num_records, k),
+            nnz=np.full(num_records, k, np.int64),
+            num_samples=num_records)
+
+        times = []
+        for _ in range(max(reps, 2)):   # rep 0 = compile warm-up
+            t0 = time.time()
+            out = model.score_records(data, weights, base_params)
+            assert len(out["total"]) == num_records
+            times.append(time.time() - t0)
+        elapsed = min(times[1:])
+        sys.stderr.write(
+            f"bench[re-score]: {num_records} records x {E} models in "
+            f"{elapsed:.3f}s (reps {[round(t, 3) for t in times]})\n")
+        return num_records / elapsed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_re_sharded(fg, tag: str, reps: int) -> float:
     """models/sec through the sharded device plane alone (fit_flat →
     fit_records_sharded): the multi-chip production path, timed fit-only —
@@ -514,6 +562,11 @@ def main():
         submetrics["re_stage_models_per_sec"] = round(
             run_re_stage(make_workload_flat(STAGE_ENTITIES, seed=3),
                          max(reps - 2, 2)), 1)
+    score_records = int(os.environ.get("BENCH_SCORE_RECORDS", 1_000_000))
+    if STAGE_ENTITIES and score_records:
+        submetrics["re_score_records_per_sec"] = round(
+            run_re_score(make_workload_flat(STAGE_ENTITIES, seed=3),
+                         score_records, max(reps - 2, 2)), 1)
     if HEAVY_ENTITIES:
         heavy_fg = make_workload_flat(HEAVY_ENTITIES, seed=1, count_hi=2048,
                                       pareto_a=1.2)
