@@ -1293,6 +1293,12 @@ class RandomEffectLRModel(Model):
                 + np.where(hit, rank, U).reshape(np.shape(indices)))
         if not len(mkey):  # no coefficients anywhere: sentinel never matches
             mkey, mvals = np.full(1, -1, np.int64), np.zeros(1)
+        # the combined keys usually fit int32 (span = (E+1)·(U+1)): halve the
+        # biggest wire column — scoring is host→device-link-bound on
+        # relay-attached chips, like the fit path
+        if len(icpt) * (U + 1) < (1 << 31):
+            qkey = qkey.astype(np.int32)
+            mkey = np.asarray(mkey, np.int64).astype(np.int32)
         dt = self.dtype
         z_pc, z = _record_scorer(
             jnp.asarray(mkey), jnp.asarray(mvals, dt), jnp.asarray(icpt, dt),
