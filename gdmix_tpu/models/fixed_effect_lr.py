@@ -815,6 +815,37 @@ class FixedEffectLRModel(Model):
         task_index = execution_context.get(constants.TASK_INDEX, 0)
         num_workers = execution_context.get(constants.NUM_WORKERS, 1)
         self.model_coefficients = np.asarray(self._load_model(), dtype=np.float64)
+        stream = self.model_params.stream_chunk_rows
+        if stream > 0 and jax.process_count() == 1 \
+                and self.model_params.data_format == constants.TFRECORD \
+                and not self.model_params.custom_input_fn:
+            # out-of-core inference: score the shard chunk by chunk — host
+            # RAM holds one chunk of DATA plus the O(N) score scalars
+            # (≡ the reference streaming scoring through tf.data batches,
+            # fixed_effect_lr_lbfgs_model.py:752-807)
+            from gdmix_tpu.io.input_pipeline import iter_per_record_chunks
+            mult = len(self.mesh.devices.flatten()) * 8
+            outs = []
+            for chunk in iter_per_record_chunks(
+                    input_data_path, self.metadata, self.feature_bag_name,
+                    num_shards=num_workers, shard_index=task_index,
+                    chunk_rows=pad_to_multiple(stream, mult)):
+                b, uid, n = self._device_batch(chunk, schema_params,
+                                               for_training=False)
+                outs.append(self._score_arrays(b, uid, n, schema_params))
+            if not outs:
+                logger.info("No records in %s, skipping.", input_data_path)
+                return
+            arrays = {k: np.concatenate([o[k] for o in outs])
+                      for k in outs[0]}
+            out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
+            scores_io.write_scores(
+                out, schema_params, arrays["uid"], arrays["total"],
+                scores_per_coordinate=arrays["per_coordinate"],
+                labels=arrays.get("labels"), weights=arrays.get("weights"))
+            logger.info("Wrote %d streamed scores to %s",
+                        len(arrays["uid"]), out)
+            return
         data = load_per_record(input_data_path, self.metadata, self.feature_bag_name,
                                num_shards=num_workers, shard_index=task_index,
                                data_format=self.model_params.data_format,

@@ -105,6 +105,40 @@ def test_train_streamed_scores_align(tmp_path):
                                ds["X"] @ w + b, atol=1e-5)
 
 
+def test_predict_streamed_matches_eager(tmp_path):
+    """Out-of-core inference (stream_chunk_rows > 0 in predict): chunked
+    scoring must write the same scores the eager path writes — host RAM
+    holds one data chunk plus O(N) score scalars (≡ the reference streaming
+    scoring through tf.data batches)."""
+    from gdmix_tpu.io.scores import read_scores
+    ds = _make_dataset(tmp_path)
+    _split_into_two_files(ds)
+    model = _train(ds, tmp_path)
+    ctx = {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1}
+
+    model_params, base_params = _params(ds, tmp_path)
+    eager_dir = os.path.join(ds["root"], "inf_eager")
+    FixedEffectLRModel(model_params, base_params).predict(
+        eager_dir, ds["train_dir"], ds["md_file"],
+        model_params.output_model_dir, ctx, base_params)
+
+    model_params, base_params = _params(ds, tmp_path, stream_chunk_rows=16)
+    stream_dir = os.path.join(ds["root"], "inf_stream")
+    FixedEffectLRModel(model_params, base_params).predict(
+        stream_dir, ds["train_dir"], ds["md_file"],
+        model_params.output_model_dir, ctx, base_params)
+
+    want = read_scores(eager_dir, base_params)
+    got = read_scores(stream_dir, base_params)
+    ow, og = np.argsort(want["uid"]), np.argsort(got["uid"])
+    np.testing.assert_array_equal(want["uid"][ow], got["uid"][og])
+    np.testing.assert_allclose(got["predictionScore"][og],
+                               want["predictionScore"][ow], atol=1e-6)
+    np.testing.assert_allclose(got["predictionScorePerCoordinate"][og],
+                               want["predictionScorePerCoordinate"][ow],
+                               atol=1e-6)
+
+
 def test_iter_chunks_gzip(tmp_path):
     # suffix-sniffed gzip streams through the chunker like the eager loader
     import gzip
