@@ -1354,6 +1354,41 @@ class RandomEffectLRModel(Model):
                       model_weights: Dict[str, SparseModel]) -> None:
         logger.info("Start inference for %s.", input_path)
         from gdmix_tpu.io.input_pipeline import load_per_entity_grouped_flat
+        stream = self.model_params.stream_chunk_entities
+        if stream > 0 and self.model_params.data_format == constants.TFRECORD:
+            # out-of-core inference: score entity-complete chunks — host RAM
+            # holds one chunk of data plus the O(N) score scalars (the
+            # scoring twin of the streamed fit, ≡ the reference's streaming
+            # InferenceJobConsumer pool, job_consumers.py:105-152)
+            from gdmix_tpu.io.input_pipeline import \
+                iter_per_entity_grouped_flat_chunks
+            outs = []
+            ok = True
+            for chunk in iter_per_entity_grouped_flat_chunks(
+                    input_path, self.metadata,
+                    self.model_params.partition_entity,
+                    self.feature_bag_name, chunk_entities=stream):
+                if chunk is None:  # native decoder can't take this dataset
+                    ok = False
+                    break
+                if len(chunk):
+                    outs.append(self.score_flat(chunk, model_weights,
+                                                schema_params))
+            if ok:
+                if not outs:
+                    logger.info("No entities found in %s, skipping.",
+                                input_path)
+                    return
+                arrays = {k: np.concatenate([o[k] for o in outs])
+                          for k in outs[0]}
+                scores_io.write_scores(
+                    output_file, schema_params, arrays["uid"],
+                    arrays["total"],
+                    scores_per_coordinate=arrays["per_coordinate"],
+                    labels=arrays.get("labels"),
+                    weights=arrays.get("weights"))
+                logger.info("Inference complete (streamed): %s.", input_path)
+                return
         fg = load_per_entity_grouped_flat(
             input_path, self.metadata, self.model_params.partition_entity,
             self.feature_bag_name, data_format=self.model_params.data_format)

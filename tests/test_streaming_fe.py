@@ -139,6 +139,39 @@ def test_predict_streamed_matches_eager(tmp_path):
                                atol=1e-6)
 
 
+def test_re_predict_streamed_matches_eager(tmp_path):
+    """RE out-of-core inference (stream_chunk_entities > 0 in
+    _predict_file): entity-chunked scoring writes the same scores as the
+    eager path (model-less entities included — logits = offsets)."""
+    from gdmix_tpu.io.scores import read_scores
+    from tests.test_random_effect_lr import (_build_model, _make_groups,
+                                             _write_dataset)
+    groups, _ = _make_groups(num_entities=9, seed=21)
+    md_file, train_dir, feature_file = _write_dataset(tmp_path, groups)
+    model, base = _build_model(md_file, train_dir, feature_file, tmp_path)
+    weights = model.fit_groups(groups, {}, base)
+    # drop a model to exercise the zero-row path through both scorers
+    weights = {k: v for i, (k, v) in enumerate(weights.items()) if i != 2}
+
+    eager_out = str(tmp_path / "eager.avro")
+    model._predict_file(os.path.join(train_dir, "active"), eager_out,
+                        base, weights)
+    s_model, s_base = _build_model(md_file, train_dir, feature_file,
+                                   tmp_path, stream_chunk_entities=3)
+    stream_out = str(tmp_path / "stream.avro")
+    s_model._predict_file(os.path.join(train_dir, "active"), stream_out,
+                          s_base, weights)
+    want = read_scores(eager_out, base)
+    got = read_scores(stream_out, base)
+    ow, og = np.argsort(want["uid"]), np.argsort(got["uid"])
+    np.testing.assert_array_equal(want["uid"][ow], got["uid"][og])
+    np.testing.assert_allclose(got["predictionScore"][og],
+                               want["predictionScore"][ow], atol=1e-9)
+    np.testing.assert_allclose(
+        got["predictionScorePerCoordinate"][og],
+        want["predictionScorePerCoordinate"][ow], atol=1e-9)
+
+
 def test_iter_chunks_gzip(tmp_path):
     # suffix-sniffed gzip streams through the chunker like the eager loader
     import gzip
