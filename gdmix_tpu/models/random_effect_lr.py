@@ -1288,7 +1288,8 @@ class RandomEffectLRModel(Model):
         flat = np.asarray(indices, np.int64).ravel()
         rank = np.searchsorted(uniq, flat)
         hit = rank < U
-        hit &= uniq[np.minimum(rank, max(U - 1, 0))] == flat
+        if U:  # U == 0 (all-intercept-only table): nothing can match
+            hit &= uniq[np.minimum(rank, U - 1)] == flat
         qkey = (np.asarray(ent_idx, np.int64)[:, None] * np.int64(U + 1)
                 + np.where(hit, rank, U).reshape(np.shape(indices)))
         if not len(mkey):  # no coefficients anywhere: sentinel never matches

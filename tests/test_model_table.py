@@ -160,6 +160,49 @@ def test_scoring_csr_matches_dense_oracle():
     np.testing.assert_allclose(icpt, eb)
 
 
+def test_score_records_intercept_only_table():
+    """Scoring against a table whose models carry NO coefficients (an
+    intercept-only coordinate): every record scores b[e] + offset — the
+    empty support union must not trip the feature-rank join (round-4
+    regression guard: U == 0 indexed an empty uniq array)."""
+    from gdmix_tpu.io.input_pipeline import PerRecordData
+    from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel
+    from gdmix_tpu.params import Params, REParams, from_dict
+
+    E, N = 5, 40
+    rng = np.random.default_rng(4)
+    icpts = rng.normal(size=E)
+    table = ModelTable(
+        ids=np.array([f"e{i}" for i in range(E)], object),
+        offs=np.zeros(E + 1, np.int64),
+        coef_ids=np.zeros(0, np.int64), coef_vals=np.zeros(0), icpt=icpts)
+    ent = rng.integers(0, E + 2, N)
+    offsets = rng.normal(size=N)
+    data = PerRecordData(
+        columns={"entity": np.array([f"e{i}" for i in ent], object),
+                 "uid": np.arange(N, dtype=np.int64), "offset": offsets},
+        indices=rng.integers(0, 100, (N, 3)).astype(np.int64),
+        values=rng.normal(size=(N, 3)), nnz=np.full(N, 3, np.int64),
+        num_samples=N)
+    model = RandomEffectLRModel.__new__(RandomEffectLRModel)
+    model.model_params = from_dict(REParams, {
+        "partition_entity": "entity", "feature_bag": "bag",
+        "metadata_file": "unused", "training_data_dir": "unused",
+        "output_model_dir": "unused"})
+    model.has_intercept = True
+    model.dtype = np.float64
+
+    class _Schema:
+        label_column_name = None
+        weight_column_name = None
+        uid_column_name = "uid"
+
+    got = model.score_records(data, table, _Schema())
+    want = np.where(ent < E, icpts[np.minimum(ent, E - 1)], 0.0)
+    np.testing.assert_allclose(got["per_coordinate"], want, atol=1e-12)
+    np.testing.assert_allclose(got["total"], want + offsets, atol=1e-12)
+
+
 def test_score_records_sparse_at_dense_oom_scale():
     """score_records at an (E, D) where the dense [E+1, D] f64 table would be
     ~1.6 TB (200k entities x 1M features): the sparse CSR path must run in
