@@ -16,6 +16,8 @@ Named sub-metrics in the same JSON line:
   re_wide_support_models_per_sec — u_cap ≥ 256 per-entity feature support
   re_score_records_per_sec — per-record scoring through the sparse-CSR
       scorer (host join + device binary-search join; O(nnz) at any (E, D))
+  detext_rows_per_sec — deep-tower (DeText-style) jitted Adam step rate
+      (text-CNN + wide tower, B=4096 L=16 vocab=30k)
   fe_funcalls_per_sec — fixed-effect loss+grad at N=5M, D=10k, K=16 through
       FixedEffectLRModel._objective_fun (the production class's own dispatch;
       grad_mode=auto resolves to the two-level one-hot "block" path here;
@@ -371,6 +373,62 @@ def run_re_score(fg, num_records: int, reps: int) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_detext(reps: int) -> float:
+    """Deep-tower (DeText-style) training-step rate through the production
+    module (models/deep_tower._TextWideTower, cnn encoder) — rows/sec of the
+    jitted Adam step at B=4096, L=16, vocab=30k, 64-dim units, wide D=10k.
+    The flagship deep fixed effect's hardware number (the reference
+    delegates this tower to the external DeText package on CPU workers)."""
+    import optax
+    from gdmix_tpu.models.deep_tower import _TextWideTower
+    from gdmix_tpu.ops.logistic import stable_bce
+
+    B, L, V, D, K = 4096, 16, 30_000, 10_000, 8
+    tower = _TextWideTower(vocab_size=V, num_wide=D, num_units=64,
+                           windows=(2, 3), num_filters=64, num_hidden=128,
+                           ftr_ext="cnn")
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 5)
+        return (jax.random.randint(ks[0], (B, 1, L), 0, V, jnp.int32),
+                (jax.random.uniform(ks[1], (B, 1, L)) < 0.9)
+                .astype(jnp.float32),
+                jax.random.randint(ks[2], (B, K), 0, D, jnp.int32),
+                jax.random.normal(ks[3], (B, K), jnp.float32),
+                jax.random.bernoulli(ks[4], 0.5, (B,)).astype(jnp.float32))
+
+    tokens, mask, widx, wval, labels = gen(jax.random.PRNGKey(0))
+    float(jnp.sum(wval))
+    params = tower.init(jax.random.PRNGKey(1), tokens, mask, widx, wval)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, tokens, mask, widx, wval, labels):
+        def loss_fn(prm):
+            logits = tower.apply(prm, tokens, mask, widx, wval)
+            return jnp.mean(stable_bce(logits, labels))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, tokens, mask, widx,
+                                   wval, labels)
+    float(loss)   # compile + first step
+    times = []
+    for _ in range(max(reps, 2)):
+        t0 = time.time()
+        params, opt_state, loss = step(params, opt_state, tokens, mask,
+                                       widx, wval, labels)
+        float(loss)
+        times.append(time.time() - t0)
+    elapsed = min(times)
+    sys.stderr.write(f"bench[detext]: step {elapsed*1e3:.1f}ms at B={B} "
+                     f"(reps {[round(t, 4) for t in times]})\n")
+    return B / elapsed
+
+
 def run_re_sharded(fg, tag: str, reps: int) -> float:
     """models/sec through the sharded device plane alone (fit_flat →
     fit_records_sharded): the multi-chip production path, timed fit-only —
@@ -562,6 +620,9 @@ def main():
         submetrics["re_stage_models_per_sec"] = round(
             run_re_stage(make_workload_flat(STAGE_ENTITIES, seed=3),
                          max(reps - 2, 2)), 1)
+    if os.environ.get("BENCH_DETEXT", "1") != "0":
+        submetrics["detext_rows_per_sec"] = round(
+            run_detext(max(reps - 2, 2)), 1)
     score_records = int(os.environ.get("BENCH_SCORE_RECORDS", 1_000_000))
     if STAGE_ENTITIES and score_records:
         submetrics["re_score_records_per_sec"] = round(
