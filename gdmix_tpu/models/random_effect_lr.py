@@ -1338,10 +1338,13 @@ class RandomEffectLRModel(Model):
                                    schema_params)
 
     def score_flat(self, fg, model_weights: Dict[str, SparseModel],
-                   schema_params) -> Dict[str, np.ndarray]:
+                   schema_params, _table=None) -> Dict[str, np.ndarray]:
         """score_records for a columnar FlatGroups: one id→row lookup per
-        ENTITY (not per record), then the same single gather-matmul."""
-        table = self._model_table(model_weights)
+        ENTITY (not per record), then the same single gather-matmul.
+        `_table`: a prebuilt _model_table, so chunked callers (the streamed
+        inference loop) build the CSR join arrays once, not per chunk."""
+        table = _table if _table is not None \
+            else self._model_table(model_weights)
         E = len(model_weights)
         id2row = table[4]
         rows = np.fromiter((id2row.get(str(e), E) for e in fg.entity_ids),
@@ -1365,6 +1368,7 @@ class RandomEffectLRModel(Model):
                 iter_per_entity_grouped_flat_chunks
             outs = []
             ok = True
+            table = None
             for chunk in iter_per_entity_grouped_flat_chunks(
                     input_path, self.metadata,
                     self.model_params.partition_entity,
@@ -1373,8 +1377,11 @@ class RandomEffectLRModel(Model):
                     ok = False
                     break
                 if len(chunk):
+                    if table is None:  # CSR join arrays built once
+                        table = self._model_table(model_weights)
                     outs.append(self.score_flat(chunk, model_weights,
-                                                schema_params))
+                                                schema_params,
+                                                _table=table))
             if ok:
                 if not outs:
                     logger.info("No entities found in %s, skipping.",
