@@ -183,6 +183,20 @@ def _expand_shipped(b_to: int, dt: jnp.dtype, spec: tuple):
     return expand
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_dyn(b_to: int, dt: jnp.dtype):
+    """Cached jit: pad the two SWEEP-DYNAMIC bucket columns (offsets, theta0)
+    to the solver batch on device — the upload half of the multi-sweep
+    device-array reuse (everything else stays resident in HBM)."""
+    @jax.jit
+    def expand(off, th0):
+        def pad(a):
+            return jnp.pad(a.astype(dt), ((0, b_to - a.shape[0]),)
+                           + ((0, 0),) * (a.ndim - 1))
+        return pad(off), pad(th0)
+    return expand
+
+
 @jax.jit
 def _bucket_moved(theta, theta0):
     """One device bool per bucket: did the solve move ANY coefficient off
@@ -619,7 +633,8 @@ class RandomEffectLRModel(Model):
                                         entity_groups=(uniq, inv, ecounts))
 
     def fit_groups(self, groups, model_weights: Mapping[str, SparseModel],
-                   schema_params) -> Mapping[str, SparseModel]:
+                   schema_params,
+                   device_cache=None) -> Mapping[str, SparseModel]:
         """In-memory batched training of all entities in `groups` (a
         List[EntityGroup] or columnar FlatGroups); returns the prior ∪ new
         model mapping (prior-only entities carry forward, reference :155-163).
@@ -644,8 +659,9 @@ class RandomEffectLRModel(Model):
         # loop stays single-threaded on purpose (VERDICT r3 task 6
         # decomposition)
         pending = []
-        for bucket in buckets:
-            arrays = self._bucket_device_arrays(bucket)
+        for i, bucket in enumerate(buckets):
+            arrays = self._bucket_device_arrays(bucket, cache=device_cache,
+                                                cache_key=i)
             solved = self._select_solver(bucket.u_cap,
                                          bucket.indices.shape[0],
                                          bucket.n_cap)(arrays)
@@ -708,7 +724,10 @@ class RandomEffectLRModel(Model):
                              in zip(tt, tt[1:])))
         return merged
 
-    def _bucket_device_arrays(self, bucket: EntityBucket):
+    _STATIC_COLS = ("indices", "values", "labels", "weights", "sample_count")
+
+    def _bucket_device_arrays(self, bucket: EntityBucket, cache=None,
+                              cache_key=None):
         """Bucket arrays on device, entity axis sharded over the mesh when it
         divides evenly (row-sharded coefficient table: each chip solves its own
         entities — the in-process multi-chip RE path).
@@ -719,27 +738,71 @@ class RandomEffectLRModel(Model):
         narrowing exactness-checked on the host), and reconstruct + pow-2
         pad the batch axis on device (a cached expand jit): host→device
         bandwidth — not the solve — bounds the stage rate on relay-attached
-        chips. Solver shapes stay pow-2 (one compile per tier/spec)."""
+        chips. Solver shapes stay pow-2 (one compile per tier/spec).
+
+        `cache`/`cache_key`: multi-sweep device-array reuse. The in-HBM
+        pipeline's coordinate-descent sweeps retrain on IDENTICAL records —
+        only the offsets (score residuals) and theta0 (warm start) change
+        between sweeps — so the five sweep-static columns stay resident in
+        HBM and only the two dynamic ones cross the link from sweep 2 on
+        (~3× less wire on relay-attached chips). A hit is accepted only
+        when shapes, entity ids and sample counts all match; the CALLER
+        owns the stronger invariant that indices/values/labels/weights are
+        unchanged for the same key (workflow/pipeline.py does — it mutates
+        only the offset column between sweeps)."""
         dt = self.dtype
         mesh = get_mesh()
         ndev = len(mesh.devices.flatten())
         b = bucket.indices.shape[0]
         b_ship = pad_to_multiple(max(len(bucket.entity_ids), 1), 8)
+        if cache is not None:
+            ent = cache.get(cache_key)
+            if (ent is not None and ent["shape"] == bucket.indices.shape
+                    and ent["ndev"] == ndev
+                    and ent["entity_ids"] == list(bucket.entity_ids)
+                    and np.array_equal(ent["sample_count"],
+                                       bucket.sample_count)):
+                arrays = dict(ent["static"])
+                if ent["sharded"]:
+                    arrays["offsets"] = jax.device_put(
+                        np.asarray(bucket.offsets, dt),
+                        batch_sharding(mesh, rank=2))
+                    arrays["theta0"] = jax.device_put(
+                        np.asarray(bucket.theta0, dt),
+                        batch_sharding(mesh, rank=2))
+                else:
+                    off, th0 = _expand_dyn(b, dt)(
+                        jnp.asarray(bucket.offsets[:b_ship], dt),
+                        jnp.asarray(bucket.theta0[:b_ship], dt))
+                    arrays["offsets"] = off
+                    arrays["theta0"] = th0
+                return arrays
         if ndev == 1:
             shipped, spec = _compact_bucket_wire(bucket, b_ship, dt)
-            return _expand_shipped(b, dt, spec)(shipped)
-        arrays = dict(
-            indices=jnp.asarray(bucket.indices),
-            values=jnp.asarray(bucket.values, dt),
-            offsets=jnp.asarray(bucket.offsets, dt),
-            labels=jnp.asarray(bucket.labels, dt),
-            weights=jnp.asarray(bucket.weights, dt),
-            sample_count=jnp.asarray(bucket.sample_count, dt),
-            theta0=jnp.asarray(bucket.theta0, dt),
-        )
-        if ndev > 1 and b % ndev == 0 and jax.process_count() == 1:
-            arrays = {k: jax.device_put(v, batch_sharding(mesh, rank=v.ndim))
-                      for k, v in arrays.items()}
+            arrays = _expand_shipped(b, dt, spec)(shipped)
+            sharded = False
+        else:
+            arrays = dict(
+                indices=jnp.asarray(bucket.indices),
+                values=jnp.asarray(bucket.values, dt),
+                offsets=jnp.asarray(bucket.offsets, dt),
+                labels=jnp.asarray(bucket.labels, dt),
+                weights=jnp.asarray(bucket.weights, dt),
+                sample_count=jnp.asarray(bucket.sample_count, dt),
+                theta0=jnp.asarray(bucket.theta0, dt),
+            )
+            sharded = (ndev > 1 and b % ndev == 0
+                       and jax.process_count() == 1)
+            if sharded:
+                arrays = {k: jax.device_put(v,
+                                            batch_sharding(mesh, rank=v.ndim))
+                          for k, v in arrays.items()}
+        if cache is not None:
+            cache[cache_key] = dict(
+                shape=bucket.indices.shape, ndev=ndev, sharded=sharded,
+                entity_ids=list(bucket.entity_ids),
+                sample_count=np.array(bucket.sample_count, copy=True),
+                static={k: arrays[k] for k in self._STATIC_COLS})
         return arrays
 
     def _solver_key(self, maxiter: int = None):

@@ -274,8 +274,9 @@ class InMemoryPipeline:
                         from gdmix_tpu.data.bucketing import select_entities
                         owned = select_entities(
                             groups, np.arange(rank, len(groups), nproc))
-                        partial = model.fit_groups(owned, item["weights"],
-                                                   params)
+                        partial = model.fit_groups(
+                            owned, item["weights"], params,
+                            device_cache=item.setdefault("dev_cache", {}))
                         partial = {eid: partial[eid]
                                    for eid in owned.entity_ids}
                         merged = self._exchange_re_models(
@@ -283,8 +284,12 @@ class InMemoryPipeline:
                             sweep, name, partial, model)
                         item["weights"] = dict(item["weights"], **merged)
                     else:
+                        # device_cache: sweep 2+ re-ships only offsets/theta0
+                        # — the records are identical between sweeps (the
+                        # ledger mutates only the offset column)
                         item["weights"] = model.fit_groups(
-                            groups, item["weights"], params)
+                            groups, item["weights"], params,
+                            device_cache=item.setdefault("dev_cache", {}))
 
                 # score ALL training rows (active + passive) for the ledger —
                 # dense-table record scoring, no re-grouping needed
