@@ -196,11 +196,38 @@ class FixedEffectLRModel(Model):
         return indices, values, offsets, labels, weights, uid
 
     def _device_batch(self, data: PerRecordData, schema_params,
-                      for_training: bool) -> Tuple[SparseBatch, np.ndarray, int]:
-        """Assemble a padded, device-sharded SparseBatch + uids from host columns."""
+                      for_training: bool,
+                      cache=None) -> Tuple[SparseBatch, np.ndarray, int]:
+        """Assemble a padded, device-sharded SparseBatch + uids from host
+        columns.
+
+        `cache`: multi-sweep device-array reuse (single-process). The in-HBM
+        pipeline's sweeps retrain/rescore on IDENTICAL records — only the
+        offset column (score residuals) changes — so from sweep 2 on the
+        four static columns stay HBM-resident and only offsets cross the
+        link (640 MB → ~20 MB per sweep at N=5M). A hit requires matching
+        shapes AND bitwise-equal uids; the caller owns the stronger
+        invariant that indices/values/labels/weights are unchanged
+        (workflow/pipeline.py mutates only the offset column)."""
         n = data.num_samples
         indices, values, offsets, labels, weights, uid = \
             self._host_arrays(data, schema_params)
+        if cache is not None and jax.process_count() == 1:
+            ent = cache.get("batch")
+            if (ent is not None and ent["n"] == n
+                    and ent["shape"] == indices.shape
+                    and np.array_equal(ent["uid"], uid)):
+                ndev_ = len(self.mesh.devices.flatten())
+                n_pad_ = pad_to_multiple(max(n, 1), ndev_ * 8)
+                off = np.asarray(offsets, self.dtype)
+                if len(off) != n_pad_:
+                    off = np.concatenate(
+                        [off, np.zeros(n_pad_ - n, self.dtype)])
+                batch = SparseBatch(
+                    indices=ent["indices"], values=ent["values"],
+                    offsets=jax.device_put(off, batch_sharding(self.mesh)),
+                    labels=ent["labels"], weights=ent["weights"])
+                return batch, uid, n
 
         ndev = len(self.mesh.devices.flatten())
         if jax.process_count() > 1:
@@ -240,6 +267,11 @@ class FixedEffectLRModel(Model):
             labels=put(pad(labels).astype(dt), bsh),
             weights=put(pad(weights).astype(dt), bsh),  # pads → weight 0
         )
+        if cache is not None and jax.process_count() == 1:
+            cache["batch"] = dict(
+                n=n, shape=indices.shape, uid=np.array(uid, copy=True),
+                indices=batch.indices, values=batch.values,
+                labels=batch.labels, weights=batch.weights)
         return batch, uid, n
 
     def _device_batch_streamed(self, chunks, schema_params
@@ -566,11 +598,14 @@ class FixedEffectLRModel(Model):
     # ------------------------------------------------------------------ train --
 
     def fit_data(self, train_data: PerRecordData, schema_params,
-                 warm_start: Optional[np.ndarray] = None) -> np.ndarray:
+                 warm_start: Optional[np.ndarray] = None,
+                 device_cache=None) -> np.ndarray:
         """In-memory fit: solve on device, threshold, set model_coefficients.
-        The device batch is returned for reuse (scoring/variance)."""
+        The device batch is returned for reuse (scoring/variance).
+        device_cache: see _device_batch (multi-sweep static-column reuse)."""
         batch, train_uid, n_train = self._device_batch(train_data, schema_params,
-                                                       for_training=True)
+                                                       for_training=True,
+                                                       cache=device_cache)
         return self._fit_batch(batch, train_uid, n_train, warm_start)
 
     def _fit_batch(self, batch: SparseBatch, train_uid: np.ndarray,
@@ -600,9 +635,13 @@ class FixedEffectLRModel(Model):
         self._train_batch_cache = (batch, train_uid, n_train)
         return self.model_coefficients
 
-    def score_data(self, data: PerRecordData, schema_params) -> Dict[str, np.ndarray]:
-        """In-memory scoring: {uid, total, per_coordinate, labels?, weights?}."""
-        batch, uid, n = self._device_batch(data, schema_params, for_training=False)
+    def score_data(self, data: PerRecordData, schema_params,
+                   device_cache=None) -> Dict[str, np.ndarray]:
+        """In-memory scoring: {uid, total, per_coordinate, labels?, weights?}.
+        device_cache: see _device_batch (multi-sweep static-column reuse)."""
+        batch, uid, n = self._device_batch(data, schema_params,
+                                           for_training=False,
+                                           cache=device_cache)
         return self._score_arrays(batch, uid, n, schema_params)
 
     def train(self, training_data_dir, validation_data_dir, metadata_file,

@@ -196,6 +196,9 @@ class InMemoryPipeline:
         nproc = jax.process_count()
         rank = jax.process_index()
 
+        # multi-sweep device-array reuse: only the offset
+        # column changes between sweeps (see _device_batch)
+        fe_caches = {"fit": {}, "train": {}, "valid": {}}
         for sweep in range(self.num_sweeps):
             logger.info("=== coordinate-descent sweep %d ===", sweep + 1)
             # ---- fixed effect ----
@@ -211,14 +214,17 @@ class InMemoryPipeline:
                     fe_train, np.arange(rank, fe_train.num_samples, nproc))
             else:
                 fe_fit_view = fe_train
-            fe_model.fit_data(fe_fit_view, fe_params, warm_start=warm)
-            tr_scores = fe_model.score_data(fe_train, fe_params)
+            fe_model.fit_data(fe_fit_view, fe_params, warm_start=warm,
+                              device_cache=fe_caches["fit"])
+            tr_scores = fe_model.score_data(fe_train, fe_params,
+                                            device_cache=fe_caches["train"])
             train_ledger.apply_coordinate(fe_name, tr_scores["uid"],
                                           tr_scores["per_coordinate"])
             if fe_valid is not None:
                 self._set_offsets(fe_valid, valid_ledger, fe_name,
                                   fe_model_params.offset_column_name, uid_col)
-                va = fe_model.score_data(fe_valid, fe_params)
+                va = fe_model.score_data(fe_valid, fe_params,
+                                         device_cache=fe_caches["valid"])
                 valid_ledger.apply_coordinate(fe_name, va["uid"],
                                               va["per_coordinate"])
                 self.metrics[fe_name] = float(auc_metric(
