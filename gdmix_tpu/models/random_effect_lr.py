@@ -945,7 +945,8 @@ class RandomEffectLRModel(Model):
     def fit_records_sharded(self, data, schema_params,
                             model_weights: Optional[Dict[str, SparseModel]] = None,
                             mesh=None,
-                            entity_groups=None) -> Dict[str, SparseModel]:
+                            entity_groups=None,
+                            device_cache=None) -> Dict[str, SparseModel]:
         """Multi-chip training straight from per-record data: records are routed
         over ICI to the shard owning their entity (parallel/entity_sharding ≡
         the Spark shuffle-by-entity, DataPartitioner.scala:235-276), grouped
@@ -993,137 +994,177 @@ class RandomEffectLRModel(Model):
         if E == 0:
             return (prior_table if prior_table is not None
                     else dict(model_weights))
+
+        # multi-sweep device-array reuse (same contract as fit_groups'
+        # device_cache): coordinate-descent sweeps retrain on IDENTICAL
+        # records — only offsets + warm starts change — so sweep 2+ skips
+        # support extraction and re-routes ONLY the offset column over ICI;
+        # the routed static columns and per-tier packed blocks stay in HBM.
+        # A hit requires matching (n, E, shards, counts, entity ids); the
+        # CALLER owns the stronger invariant that everything but offsets is
+        # unchanged for the same cache dict (workflow/pipeline.py does).
+        k_now = data.indices.shape[1] if data.indices is not None else 0
+        chit = None
+        if device_cache is not None:
+            ent_c = device_cache.get("sharded")
+            if (ent_c is not None and ent_c["n"] == n and ent_c["E"] == E
+                    and ent_c["num_shards"] == num_shards
+                    and ent_c["k"] == k_now
+                    and np.array_equal(ent_c["counts"], counts)
+                    and np.array_equal(ent_c["uniq"], uniq)):
+                chit = ent_c
         # round-robin ownership over sorted entity ids (≡ hash partitioning:
         # any deterministic balanced assignment works)
         owner_of_entity = (np.arange(E) % num_shards).astype(np.int32)
 
-        labels = (data.columns[schema_params.label_column_name]
-                  .astype(np.float64)
-                  if schema_params.label_column_name in data.columns
-                  else np.zeros(n))
-        weights = (data.columns[schema_params.weight_column_name]
-                   .astype(np.float64)
-                   if schema_params.weight_column_name
-                   and schema_params.weight_column_name in data.columns
-                   else np.ones(n))
         offsets = (data.columns[p.offset_column_name].astype(np.float64)
                    if p.offset_column_name in data.columns else np.zeros(n))
-        if data.indices is not None:
-            indices, values = data.indices, data.values
+        if chit is None:
+            labels = (data.columns[schema_params.label_column_name]
+                      .astype(np.float64)
+                      if schema_params.label_column_name in data.columns
+                      else np.zeros(n))
+            weights = (data.columns[schema_params.weight_column_name]
+                       .astype(np.float64)
+                       if schema_params.weight_column_name
+                       and schema_params.weight_column_name in data.columns
+                       else np.ones(n))
+            offsets = (data.columns[p.offset_column_name].astype(np.float64)
+                       if p.offset_column_name in data.columns else np.zeros(n))
+            if data.indices is not None:
+                indices, values = data.indices, data.values
+            else:
+                indices = np.zeros((n, 1), np.int32)
+                values = np.zeros((n, 1))
+
+            # per-entity sorted supports + per-entry LOCAL feature ids (the
+            # entity-compact remap rides WITH each record through the exchange)
+            nat = None
+            if entity_groups is not None and data.indices is not None:
+                # pre-grouped records are entity-CONTIGUOUS: the multicore C++
+                # per-entity dedup replaces the N-scale unique + searchsorted
+                from gdmix_tpu import native as _native
+                rec_starts = np.zeros(E + 1, np.int64)
+                np.cumsum(counts, out=rec_starts[1:])
+                nat = _native.entry_local(indices, values, data.nnz,
+                                          counts, rec_starts[:-1],
+                                          use_value_mask=data.nnz is None)
+            if nat is not None:
+                local_indices, sup_feat, u_counts, sup_offs = nat
+                sup_keys = (np.repeat(np.arange(E, dtype=np.int64), u_counts) * D
+                            + sup_feat)
+            else:
+                sup_keys, sup_feat, sup_offs = self._entity_supports(
+                    inv, data.indices, data.values, data.nnz, E, D)
+                u_counts = np.diff(sup_offs)
+                local_indices = np.zeros(indices.shape, np.int32)
+                if data.indices is not None and sup_keys.size:
+                    k = indices.shape[1]
+                    if data.nnz is not None:
+                        entry_ok = np.arange(k)[None, :] \
+                            < np.asarray(data.nnz)[:, None]
+                    else:
+                        entry_ok = values != 0
+                    flat_pos = np.flatnonzero(entry_ok.ravel())
+                    flat_rec = flat_pos // k
+                    ent_e = inv[flat_rec].astype(np.int64)
+                    fid_e = indices.ravel()[flat_pos].astype(np.int64)
+                    pos = np.searchsorted(sup_keys, ent_e * D + fid_e)
+                    li = local_indices.reshape(-1)
+                    li[flat_pos] = (pos - sup_offs[ent_e]).astype(np.int32)
+                    local_indices = li.reshape(indices.shape)
+            u_eff = np.maximum(u_counts, 1)
+
+            # power-of-two sample-count tiers (the host bucketize ladder;
+            # per-entity assignment — cross-tier lane packing was measured
+            # SLOWER on-chip and rejected, see plan_lane_buckets' docstring)
+            caps = np.asarray(_sample_caps(counts, 8))
+            tier_of_entity = np.searchsorted(caps, counts,
+                                             side="left").astype(np.int32)
+
+            tt.append(("host_prep", time.time()))
+            # pad the record axis so it shards evenly; padding rows carry weight 0
+            # and the entity sentinel (they can never enter a block)
+            n_pad = pad_to_multiple(max(n, 1), num_shards * 8)
+            rows_per_shard = n_pad // num_shards
+            extra = n_pad - n
+
+            def padr(a, fill=0.0):
+                if not extra:
+                    return a
+                block = np.full((extra,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, block], axis=0)
+
+            ent_rows = padr(inv.astype(np.int32), int(ENTITY_SENTINEL))
+            owner_pad = padr(owner_of_entity[inv], 0)
+            if extra:  # spread padding rows round-robin (they carry the sentinel)
+                owner_pad[n:] = np.arange(extra) % num_shards
+            tier_rows = padr(tier_of_entity[inv], 0)
+
+            # exact routing capacity: max records any source shard sends anywhere
+            src = np.arange(n_pad) // rows_per_shard
+            pair = np.bincount(src * num_shards + owner_pad,
+                               minlength=num_shards * num_shards)
+            capacity = pad_to_multiple(max(int(pair.max()), 1), 8)
+            per_shard_rows = num_shards * capacity  # routed records per shard
+
+            # ONE all-to-all for every payload column incl. entity/tier tags
+            routed = route_records(
+                mesh,
+                dict(indices=shard_rows(mesh, padr(local_indices)),
+                     values=shard_rows(mesh, padr(values).astype(dt)),
+                     offsets=shard_rows(mesh, padr(offsets).astype(dt)),
+                     labels=shard_rows(mesh, padr(labels).astype(dt)),
+                     weights=shard_rows(mesh, padr(weights).astype(dt)),
+                     _ent=shard_rows(mesh, ent_rows),
+                     _tier=shard_rows(mesh, tier_rows)),
+                shard_rows(mesh, owner_pad), capacity=capacity)
+            r_ent = routed.arrays["_ent"]
+            r_tier = routed.arrays["_tier"]
+            tt.append(("route", time.time()))
+
+            # host-predicted slot assignment per tier: build_entity_blocks packs
+            # each shard's tier members in ascending entity order, so slot =
+            # owner·b_cap + rank-within-owner — no device fetch needed
+            tiers = []
+            slot_of_entity = np.full(E, -1, np.int64)  # slot within the OWN tier
+            for t in range(len(caps)):
+                members = np.flatnonzero(tier_of_entity == t)
+                if members.size == 0:
+                    continue
+                own_m = owner_of_entity[members]
+                per_shard = np.bincount(own_m, minlength=num_shards)
+                b_cap_t = min(max(8, _next_pow2(int(per_shard.max()))),
+                              per_shard_rows)
+                u_cap_t = pad_to_multiple(max(int(u_eff[members].max()), 1), 8)
+                order = np.argsort(own_m, kind="stable")   # members already ↑
+                sorted_members = members[order]
+                shard_of = own_m[order]
+                shard_starts = np.searchsorted(shard_of, np.arange(num_shards))
+                rank = np.arange(members.size) - shard_starts[shard_of]
+                slots = shard_of.astype(np.int64) * b_cap_t + rank
+                slot_of_entity[sorted_members] = slots
+                tiers.append(dict(t=t, n_cap=int(caps[t]), b_cap=b_cap_t,
+                                  u_cap=u_cap_t, members=sorted_members,
+                                  slots=slots))
         else:
-            indices = np.zeros((n, 1), np.int32)
-            values = np.zeros((n, 1))
+            (sup_keys, sup_feat, sup_offs, u_counts, tier_of_entity,
+             slot_of_entity, tiers, owner_pad, capacity, extra) = (
+                chit["sup_keys"], chit["sup_feat"], chit["sup_offs"],
+                chit["u_counts"], chit["tier_of_entity"],
+                chit["slot_of_entity"], chit["tiers"], chit["owner_pad"],
+                chit["capacity"], chit["extra"])
+            tt.append(("host_prep", time.time()))
+            off_pad = (np.concatenate([offsets, np.zeros(extra)])
+                       if extra else offsets)
+            routed = route_records(
+                mesh, dict(offsets=shard_rows(mesh, off_pad.astype(dt))),
+                shard_rows(mesh, owner_pad), capacity=capacity)
+            r_ent, r_tier = chit["r_ent"], chit["r_tier"]
+            tt.append(("route", time.time()))
+        tier_static = {} if device_cache is not None and chit is None else None
 
-        # per-entity sorted supports + per-entry LOCAL feature ids (the
-        # entity-compact remap rides WITH each record through the exchange)
-        nat = None
-        if entity_groups is not None and data.indices is not None:
-            # pre-grouped records are entity-CONTIGUOUS: the multicore C++
-            # per-entity dedup replaces the N-scale unique + searchsorted
-            from gdmix_tpu import native as _native
-            rec_starts = np.zeros(E + 1, np.int64)
-            np.cumsum(counts, out=rec_starts[1:])
-            nat = _native.entry_local(indices, values, data.nnz,
-                                      counts, rec_starts[:-1],
-                                      use_value_mask=data.nnz is None)
-        if nat is not None:
-            local_indices, sup_feat, u_counts, sup_offs = nat
-            sup_keys = (np.repeat(np.arange(E, dtype=np.int64), u_counts) * D
-                        + sup_feat)
-        else:
-            sup_keys, sup_feat, sup_offs = self._entity_supports(
-                inv, data.indices, data.values, data.nnz, E, D)
-            u_counts = np.diff(sup_offs)
-            local_indices = np.zeros(indices.shape, np.int32)
-            if data.indices is not None and sup_keys.size:
-                k = indices.shape[1]
-                if data.nnz is not None:
-                    entry_ok = np.arange(k)[None, :] \
-                        < np.asarray(data.nnz)[:, None]
-                else:
-                    entry_ok = values != 0
-                flat_pos = np.flatnonzero(entry_ok.ravel())
-                flat_rec = flat_pos // k
-                ent_e = inv[flat_rec].astype(np.int64)
-                fid_e = indices.ravel()[flat_pos].astype(np.int64)
-                pos = np.searchsorted(sup_keys, ent_e * D + fid_e)
-                li = local_indices.reshape(-1)
-                li[flat_pos] = (pos - sup_offs[ent_e]).astype(np.int32)
-                local_indices = li.reshape(indices.shape)
-        u_eff = np.maximum(u_counts, 1)
-
-        # power-of-two sample-count tiers (the host bucketize ladder;
-        # per-entity assignment — cross-tier lane packing was measured
-        # SLOWER on-chip and rejected, see plan_lane_buckets' docstring)
-        caps = np.asarray(_sample_caps(counts, 8))
-        tier_of_entity = np.searchsorted(caps, counts,
-                                         side="left").astype(np.int32)
-
-        tt.append(("host_prep", time.time()))
-        # pad the record axis so it shards evenly; padding rows carry weight 0
-        # and the entity sentinel (they can never enter a block)
-        n_pad = pad_to_multiple(max(n, 1), num_shards * 8)
-        rows_per_shard = n_pad // num_shards
-        extra = n_pad - n
-
-        def padr(a, fill=0.0):
-            if not extra:
-                return a
-            block = np.full((extra,) + a.shape[1:], fill, a.dtype)
-            return np.concatenate([a, block], axis=0)
-
-        ent_rows = padr(inv.astype(np.int32), int(ENTITY_SENTINEL))
-        owner_pad = padr(owner_of_entity[inv], 0)
-        if extra:  # spread padding rows round-robin (they carry the sentinel)
-            owner_pad[n:] = np.arange(extra) % num_shards
-        tier_rows = padr(tier_of_entity[inv], 0)
-
-        # exact routing capacity: max records any source shard sends anywhere
-        src = np.arange(n_pad) // rows_per_shard
-        pair = np.bincount(src * num_shards + owner_pad,
-                           minlength=num_shards * num_shards)
-        capacity = pad_to_multiple(max(int(pair.max()), 1), 8)
-        per_shard_rows = num_shards * capacity  # routed records per shard
-
-        # ONE all-to-all for every payload column incl. entity/tier tags
-        routed = route_records(
-            mesh,
-            dict(indices=shard_rows(mesh, padr(local_indices)),
-                 values=shard_rows(mesh, padr(values).astype(dt)),
-                 offsets=shard_rows(mesh, padr(offsets).astype(dt)),
-                 labels=shard_rows(mesh, padr(labels).astype(dt)),
-                 weights=shard_rows(mesh, padr(weights).astype(dt)),
-                 _ent=shard_rows(mesh, ent_rows),
-                 _tier=shard_rows(mesh, tier_rows)),
-            shard_rows(mesh, owner_pad), capacity=capacity)
-        r_ent = routed.arrays["_ent"]
-        r_tier = routed.arrays["_tier"]
-        tt.append(("route", time.time()))
-
-        # host-predicted slot assignment per tier: build_entity_blocks packs
-        # each shard's tier members in ascending entity order, so slot =
-        # owner·b_cap + rank-within-owner — no device fetch needed
-        tiers = []
-        slot_of_entity = np.full(E, -1, np.int64)  # slot within the OWN tier
-        for t in range(len(caps)):
-            members = np.flatnonzero(tier_of_entity == t)
-            if members.size == 0:
-                continue
-            own_m = owner_of_entity[members]
-            per_shard = np.bincount(own_m, minlength=num_shards)
-            b_cap_t = min(max(8, _next_pow2(int(per_shard.max()))),
-                          per_shard_rows)
-            u_cap_t = pad_to_multiple(max(int(u_eff[members].max()), 1), 8)
-            order = np.argsort(own_m, kind="stable")   # members already ↑
-            sorted_members = members[order]
-            shard_of = own_m[order]
-            shard_starts = np.searchsorted(shard_of, np.arange(num_shards))
-            rank = np.arange(members.size) - shard_starts[shard_of]
-            slots = shard_of.astype(np.int64) * b_cap_t + rank
-            slot_of_entity[sorted_members] = slots
-            tiers.append(dict(t=t, n_cap=int(caps[t]), b_cap=b_cap_t,
-                              u_cap=u_cap_t, members=sorted_members,
-                              slots=slots))
+        # warm start in LOCAL space
 
         # warm start in LOCAL space (reference prior reconciliation,
         # job_consumers.py:260-288): one key intersection for table priors
@@ -1187,6 +1228,15 @@ class RandomEffectLRModel(Model):
             blocks, _, _, pack_dropped = pack_tier(
                 mesh, routed, r_ent, r_tier, ti["t"],
                 b_cap=ti["b_cap"], n_cap=ti["n_cap"])
+            if chit is not None:
+                # sweep 2+: only offsets were re-routed; the static packed
+                # columns come from HBM-resident cache
+                blocks = dict(chit["tier_static"][ti["t"]],
+                              offsets=blocks["offsets"])
+            elif tier_static is not None:
+                tier_static[ti["t"]] = {
+                    k: blocks[k]
+                    for k in ("indices", "values", "labels", "weights")}
             solver_arrays = dict(
                 blocks,
                 sample_count=shard_rows(mesh, sample_count.astype(dt)),
@@ -1202,6 +1252,16 @@ class RandomEffectLRModel(Model):
             pending.append((ti, solved, pack_dropped))
         if hasattr(routed.overflow, "copy_to_host_async"):
             routed.overflow.copy_to_host_async()
+        if tier_static is not None:
+            device_cache["sharded"] = dict(
+                n=n, E=E, k=k_now, num_shards=num_shards,
+                counts=np.array(counts, copy=True),
+                uniq=np.array(uniq, copy=True),
+                sup_keys=sup_keys, sup_feat=sup_feat, sup_offs=sup_offs,
+                u_counts=u_counts, tier_of_entity=tier_of_entity,
+                slot_of_entity=slot_of_entity, tiers=tiers,
+                owner_pad=owner_pad, capacity=capacity, extra=extra,
+                r_ent=r_ent, r_tier=r_tier, tier_static=tier_static)
         tt.append(("dispatch", time.time()))
 
         # columnar collection: gather each tier's support coefficients

@@ -262,7 +262,8 @@ class InMemoryPipeline:
                         partial = model.fit_records_sharded(
                             slice_rows(active, np.flatnonzero(owned[inv])),
                             params, model_weights=item["weights"],
-                            mesh=local_mesh())
+                            mesh=local_mesh(),
+                            device_cache=item.setdefault("dev_cache", {}))
                         partial = {eid: partial[eid] for eid in uniq[owned]}
                         merged = self._exchange_re_models(
                             os.path.join(cfg.output_dir, name, MODELS),
@@ -270,7 +271,8 @@ class InMemoryPipeline:
                         item["weights"] = dict(item["weights"], **merged)
                     else:
                         item["weights"] = model.fit_records_sharded(
-                            active, params, model_weights=item["weights"])
+                            active, params, model_weights=item["weights"],
+                            device_cache=item.setdefault("dev_cache", {}))
                 else:
                     groups = self._group(item["train"], pcfg, model.metadata,
                                          active_only=True)

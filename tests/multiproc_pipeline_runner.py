@@ -36,13 +36,13 @@ sharded_calls = []
 _orig = RandomEffectLRModel.fit_records_sharded
 
 
-def _spy(self, data, schema_params, model_weights=None, mesh=None):
+def _spy(self, data, schema_params, model_weights=None, mesh=None, **kw):
     # the composed plane must route over the process-LOCAL mesh
     assert mesh is None or len(mesh.devices.flatten()) == len(
         jax.local_devices()), mesh
     sharded_calls.append(self.model_params.partition_entity)
     return _orig(self, data, schema_params, model_weights=model_weights,
-                 mesh=mesh)
+                 mesh=mesh, **kw)
 
 
 RandomEffectLRModel.fit_records_sharded = _spy

@@ -73,6 +73,72 @@ def test_changed_data_rejects_cache(tmp_path):
                                    rtol=1e-12, atol=1e-13, err_msg=eid)
 
 
+def test_sharded_cached_refit_matches_uncached(tmp_path, monkeypatch):
+    """fit_records_sharded with device_cache: sweep 2 re-routes ONLY the
+    offset column (the static routed/packed columns stay in HBM) and must
+    reproduce the uncached refit exactly."""
+    from gdmix_tpu.io.input_pipeline import PerRecordData
+    rng = np.random.default_rng(41)
+    E, N, K, D = 37, 400, 3, 40
+    ent = rng.integers(0, E, N)
+    data = PerRecordData(
+        columns={"user_id": np.array([str(e + 100) for e in ent], object),
+                 "uid": np.arange(N, dtype=np.int64),
+                 "response": rng.integers(0, 2, N).astype(np.float64),
+                 "offset": rng.normal(size=N) * 0.1},
+        indices=rng.integers(0, D, (N, K)).astype(np.int64),
+        values=rng.normal(size=(N, K)), nnz=np.full(N, K, np.int64),
+        num_samples=N)
+    md_file, train_dir, feature_file = _write_dataset(
+        tmp_path, _make_groups(num_entities=3, seed=1)[0], width=D)
+    model, base = _build_model(md_file, train_dir, feature_file, tmp_path)
+
+    cache = {}
+    w1 = model.fit_records_sharded(data, base, device_cache=cache)
+    assert "sharded" in cache
+
+    import dataclasses
+    cols2 = dict(data.columns)
+    cols2["offset"] = cols2["offset"] + 0.3
+    data2 = dataclasses.replace(data, columns=cols2)
+
+    # the cached refit must NOT re-run the support extraction
+    import gdmix_tpu.models.random_effect_lr as RE
+    calls = []
+    orig = RE.RandomEffectLRModel._entity_supports
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(RE.RandomEffectLRModel, "_entity_supports",
+                        staticmethod(spy))
+    want = model.fit_records_sharded(data2, base, model_weights=dict(w1))
+    n_uncached = len(calls)
+    calls.clear()
+    got = model.fit_records_sharded(data2, base, model_weights=dict(w1),
+                                    device_cache=cache)
+    assert len(calls) < n_uncached or n_uncached == 0
+    assert set(got) == set(want)
+    for eid in want:
+        np.testing.assert_allclose(np.asarray(got[eid].theta),
+                                   np.asarray(want[eid].theta),
+                                   rtol=1e-12, atol=1e-13, err_msg=eid)
+
+    # changed data (different entity mix) must reject the cache
+    ent3 = rng.integers(0, E + 5, N)
+    cols3 = dict(data.columns)
+    cols3["user_id"] = np.array([str(e + 100) for e in ent3], object)
+    data3 = dataclasses.replace(data, columns=cols3)
+    want3 = model.fit_records_sharded(data3, base)
+    got3 = model.fit_records_sharded(data3, base, device_cache=cache)
+    assert set(got3) == set(want3)
+    for eid in want3:
+        np.testing.assert_allclose(np.asarray(got3[eid].theta),
+                                   np.asarray(want3[eid].theta),
+                                   rtol=1e-12, atol=1e-13, err_msg=eid)
+
+
 def test_pipeline_multi_sweep_uses_cache(tmp_path):
     """A 2-sweep in-memory pipeline run on the host RE plane matches the
     1-sweep-then-1-sweep math while routing sweep 2 through the device
