@@ -73,6 +73,45 @@ def test_changed_data_rejects_cache(tmp_path):
                                    rtol=1e-12, atol=1e-13, err_msg=eid)
 
 
+def test_fe_cached_refit_matches_uncached(tmp_path):
+    """FixedEffectLRModel fit/score with device_cache: sweep 2 re-ships only
+    the offset column; coefficients and scores must equal the uncached
+    path, and changed data must reject the cache."""
+    from tests.test_fixed_effect_lr import _make_dataset, _params
+    from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+    from gdmix_tpu.io.input_pipeline import load_per_record
+
+    ds = _make_dataset(tmp_path, seed=44)
+    model_params, base_params = _params(ds, tmp_path)
+    model = FixedEffectLRModel(model_params, base_params)
+    data = load_per_record(ds["train_dir"], model.metadata, "global")
+
+    cache = {}
+    c1 = model.fit_data(data, base_params, device_cache=cache)
+    assert "batch" in cache
+
+    import dataclasses
+    cols2 = dict(data.columns)
+    cols2["offset"] = cols2.get(
+        "offset", np.zeros(data.num_samples)) + 0.2
+    data2 = dataclasses.replace(data, columns=cols2)
+    want = model.fit_data(data2, base_params, warm_start=c1)
+    got = model.fit_data(data2, base_params, warm_start=c1,
+                         device_cache=cache)
+    np.testing.assert_array_equal(got, want)
+
+    s_want = model.score_data(data2, base_params)
+    s_got = model.score_data(data2, base_params, device_cache=cache)
+    np.testing.assert_array_equal(s_got["total"], s_want["total"])
+
+    # different rows (a slice) must reject the cache
+    from gdmix_tpu.io.input_pipeline import slice_rows
+    view = slice_rows(data2, np.arange(0, data2.num_samples, 2))
+    v_want = model.score_data(view, base_params)
+    v_got = model.score_data(view, base_params, device_cache=cache)
+    np.testing.assert_array_equal(v_got["total"], v_want["total"])
+
+
 def test_sharded_cached_refit_matches_uncached(tmp_path, monkeypatch):
     """fit_records_sharded with device_cache: sweep 2 re-routes ONLY the
     offset column (the static routed/packed columns stay in HBM) and must
