@@ -182,9 +182,7 @@ def _sample_caps(counts: np.ndarray, min_bucket_rows: int) -> List[int]:
 LANE_BLOCK = 128   # fused lanes kernel block width (newton_lanes.LANES)
 
 
-def plan_lane_buckets(counts: np.ndarray, caps,
-                      lanes: int = LANE_BLOCK,
-                      batch_align: int = 8) -> List:
+def plan_lane_buckets(counts: np.ndarray, caps) -> List:
     """The bucket PLAN shared by both bucketizers: one bucket per pow-2
     sample-count tier, per-entity tier assignment.
 
@@ -330,7 +328,7 @@ def iter_bucketize_flat(fg: FlatGroups,
     weight_col = schema_params.weight_column_name
     uid_col = schema_params.uid_column_name
     caps = np.asarray(_sample_caps(counts, min_bucket_rows))
-    plan = plan_lane_buckets(counts, caps, batch_align=batch_align)
+    plan = plan_lane_buckets(counts, caps)
     bucket_of = np.empty(E, np.int64)                             # [E]
     for bi, (_, members_) in enumerate(plan):
         bucket_of[members_] = bi
@@ -527,9 +525,10 @@ def bucketize(groups: Sequence[EntityGroup],
         cap *= 2
     caps.append(_round_up(max_count, min_bucket_rows))
 
-    # identical plan to iter_bucketize_flat (cross-tier lane packing + pow-2
-    # decomposition) — the two paths must produce identical buckets
-    plan = plan_lane_buckets(counts, caps, batch_align=batch_align)
+    # identical plan to iter_bucketize_flat (one bucket per pow-2 tier —
+    # lane packing was measured and rejected, see plan_lane_buckets) — the
+    # two paths must produce identical buckets
+    plan = plan_lane_buckets(counts, caps)
 
     buckets: List[EntityBucket] = []
     for n_cap, members in plan:

@@ -182,6 +182,10 @@ class MemFS(FileSystem):
     def open(self, path, mode="r", **kw):
         key = self._key(path)
         binary = "b" in mode
+        if "+" in mode:
+            # a read branch would hand back a throwaway snapshot and silently
+            # drop writes; refuse rather than lose data (LocalFS honors r+)
+            raise ValueError(f"MemFS does not support update modes: {mode!r}")
         if "w" in mode or "a" in mode or "x" in mode:
             w = _MemWriter(self, key, append="a" in mode)
             return w if binary else _pyio.TextIOWrapper(w, **kw)
@@ -280,11 +284,14 @@ def get_fs(path) -> Tuple[FileSystem, str]:
         return _local, path
     fs = _registry.get(scheme)
     if fs is None:
-        if scheme == "mem":
-            fs = MemFS()
-        else:
-            fs = _FsspecFS(scheme)  # raises for truly unknown schemes
-        register_filesystem(scheme, fs)
+        with _registry_lock:  # lose the construction race, not the instance
+            fs = _registry.get(scheme)
+            if fs is None:
+                if scheme == "mem":
+                    fs = MemFS()
+                else:
+                    fs = _FsspecFS(scheme)  # raises for unknown schemes
+                _registry[scheme] = fs
     return fs, path
 
 

@@ -103,7 +103,11 @@ def read_scores(path: str, schema_params) -> Dict[str, np.ndarray]:
     for f in files:
         try:
             from gdmix_tpu import native
-            cols = native.read_avro_columns(f)
+            # the native decoder mmaps a REAL local path; remote schemes go
+            # through the copy-through-local seam (same contract as
+            # model_avro._parse_native)
+            with fs.local_input(f) as local:
+                cols = native.read_avro_columns(local)
         except Exception:
             cols = None
         if cols is None:

@@ -72,12 +72,28 @@ def compression_of(filename: str) -> str:
     return ""
 
 
+class _OwnedGzipFile(gzip.GzipFile):
+    """GzipFile that closes the underlying fs file object too.
+    gzip.GzipFile(fileobj=...) deliberately leaves the fileobj open, but
+    remote filesystems commit bytes only when THEIR file object closes —
+    leaving it to GC finalization can lose the write."""
+
+    def close(self):
+        raw = self.fileobj
+        try:
+            super().close()
+        finally:
+            if raw is not None:
+                raw.close()
+
+
 def _open_read(path: str, compression: Optional[str]):
     comp = compression_of(path) if compression is None else compression
     if comp == "GZIP":
-        return gzip.GzipFile(fileobj=fs.open(path, "rb"), mode="rb")
+        return _OwnedGzipFile(fileobj=fs.open(path, "rb"), mode="rb")
     if comp == "ZLIB":
-        raw = fs.open(path, "rb").read()
+        with fs.open(path, "rb") as f:
+            raw = f.read()
         import io as _io
         return _io.BytesIO(zlib.decompress(raw))
     return fs.open(path, "rb")
@@ -105,7 +121,7 @@ class _ZlibWriter:
 def _open_write(path: str, compression: Optional[str]):
     comp = compression_of(path) if compression is None else compression
     if comp == "GZIP":
-        return gzip.GzipFile(fileobj=fs.open(path, "wb"), mode="wb")
+        return _OwnedGzipFile(fileobj=fs.open(path, "wb"), mode="wb")
     if comp == "ZLIB":
         return _ZlibWriter(path)
     return fs.open(path, "wb")

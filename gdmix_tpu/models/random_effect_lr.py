@@ -1029,8 +1029,6 @@ class RandomEffectLRModel(Model):
                        if schema_params.weight_column_name
                        and schema_params.weight_column_name in data.columns
                        else np.ones(n))
-            offsets = (data.columns[p.offset_column_name].astype(np.float64)
-                       if p.offset_column_name in data.columns else np.zeros(n))
             if data.indices is not None:
                 indices, values = data.indices, data.values
             else:
@@ -1163,8 +1161,6 @@ class RandomEffectLRModel(Model):
             r_ent, r_tier = chit["r_ent"], chit["r_tier"]
             tt.append(("route", time.time()))
         tier_static = {} if device_cache is not None and chit is None else None
-
-        # warm start in LOCAL space
 
         # warm start in LOCAL space (reference prior reconciliation,
         # job_consumers.py:260-288): one key intersection for table priors

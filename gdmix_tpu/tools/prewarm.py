@@ -182,11 +182,12 @@ def main(argv=None) -> int:
             # two passes through a device_cache: pass 1 compiles the full
             # route/pack/solve ladder, pass 2 the offsets-only route+pack
             # shapes of the multi-sweep reuse path (both persist)
-            cache = {}
-            out = model.fit_records_sharded(data, base, device_cache=cache)
+            dev_cache = {}
+            out = model.fit_records_sharded(data, base,
+                                            device_cache=dev_cache)
             out = model.fit_records_sharded(data, base,
                                             model_weights=dict(out),
-                                            device_cache=cache)
+                                            device_cache=dev_cache)
         dt = time.time() - t0
     logger.info("prewarm: %d models over tiers %s in %.1fs — ladder "
                 "compiled%s", len(out), tiers, dt,

@@ -197,8 +197,11 @@ class InMemoryPipeline:
         rank = jax.process_index()
 
         # multi-sweep device-array reuse: only the offset
-        # column changes between sweeps (see _device_batch)
-        fe_caches = {"fit": {}, "train": {}, "valid": {}}
+        # column changes between sweeps (see _device_batch). Fit and
+        # train-scoring share one cache: the cache is only active
+        # single-process, where fe_fit_view IS fe_train (same uids), so one
+        # HBM-resident copy of the static columns serves both.
+        fe_caches = {"train": {}, "valid": {}}
         for sweep in range(self.num_sweeps):
             logger.info("=== coordinate-descent sweep %d ===", sweep + 1)
             # ---- fixed effect ----
@@ -215,7 +218,7 @@ class InMemoryPipeline:
             else:
                 fe_fit_view = fe_train
             fe_model.fit_data(fe_fit_view, fe_params, warm_start=warm,
-                              device_cache=fe_caches["fit"])
+                              device_cache=fe_caches["train"])
             tr_scores = fe_model.score_data(fe_train, fe_params,
                                             device_cache=fe_caches["train"])
             train_ledger.apply_coordinate(fe_name, tr_scores["uid"],

@@ -216,3 +216,58 @@ def test_metadata_roundtrip_remote(memfs, tmp_path):
     md.save("mem://bkt/md/tensor_metadata.json")
     again = DatasetMetadata.from_file("mem://bkt/md/tensor_metadata.json")
     assert again.num_features("global") == 5
+
+
+def test_gzip_tfrecord_remote_commits_on_close(memfs):
+    """gzip.GzipFile(fileobj=...) does not close the fileobj; remote schemes
+    commit bytes only when THEIR file object closes. _OwnedGzipFile must
+    close both, so the record is visible immediately — not at GC."""
+    from gdmix_tpu.io import tfrecord
+    path = "mem://bkt/tf/data.tfrecord.gz"
+    tfrecord.write_tfrecords(path, [b"payload-bytes"])
+    assert fs.exists(path)  # committed by close, not by finalization
+    assert list(tfrecord.read_tfrecords(path)) == [b"payload-bytes"]
+
+
+def test_memfs_refuses_update_modes(memfs):
+    """LocalFS honors r+; MemFS would silently drop the writes (the read
+    branch returns a snapshot copy) — it must refuse instead."""
+    with fs.open("mem://bkt/f.bin", "wb") as f:
+        f.write(b"abc")
+    with pytest.raises(ValueError):
+        fs.open("mem://bkt/f.bin", "r+b")
+
+
+def test_read_scores_remote_takes_native_fast_path(memfs, monkeypatch):
+    """The native columnar decoder needs a REAL local path; remote score
+    reads must go through fs.local_input instead of silently demoting to
+    the ~40x slower per-record Python reader."""
+    from gdmix_tpu import native
+    from gdmix_tpu.io import scores as scores_io
+    if not native.available():
+        pytest.skip("native codecs unavailable")
+
+    class _SP:
+        uid_column_name = "uid"
+        label_column_name = "label"
+        weight_column_name = "weight"
+        prediction_score_column_name = "predictionScore"
+        prediction_score_per_coordinate_column_name = \
+            "predictionScorePerCoordinate"
+
+    uids = np.arange(64, dtype=np.int64)
+    sc = np.linspace(-1, 1, 64).astype(np.float32)
+    scores_io.write_scores("mem://bkt/ns/part-0.avro", _SP, uids, sc,
+                           scores_per_coordinate=sc * 2)
+    calls = []
+    real = native.read_avro_columns
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(native, "read_avro_columns", counting)
+    got = scores_io.read_scores("mem://bkt/ns", _SP)
+    assert calls and not calls[0].startswith("mem://")  # local_input path
+    np.testing.assert_array_equal(got["uid"], uids)
+    np.testing.assert_allclose(got["predictionScore"], sc, rtol=1e-6)

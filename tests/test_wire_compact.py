@@ -154,11 +154,25 @@ def test_fit_groups_compact_wire_bit_identical_same_mesh(tmp_path,
     monkeypatch.setattr(RE, "get_mesh",
                         lambda *a, **k: get_mesh(jax.devices()[:1]))
     compact = model.fit_groups(groups, {}, base)          # compact spec
-    compact_warm = model.fit_groups(groups, dict(compact), base)
+
+    # The warm arms must actually exercise the warm wire (nonzero theta0 on
+    # the uplink AND a real solve on the downlink): a converged prior would
+    # trip the warm-sweep downlink skip and both arms would reconstruct from
+    # host theta0, comparing theta0 against itself. Halve the prior so every
+    # bucket moves.
+    import dataclasses
+    prior = {eid: dataclasses.replace(sm, theta=np.asarray(sm.theta) * 0.5)
+             for eid, sm in dict(compact).items()}
+    compact_warm = model.fit_groups(groups, dict(prior), base)
 
     monkeypatch.setattr(RE, "_compact_bucket_wire", _eager_wire)
     eager = model.fit_groups(groups, {}, base)            # eager f32 control
-    eager_warm = model.fit_groups(groups, dict(compact), base)
+    eager_warm = model.fit_groups(groups, dict(prior), base)
+    # the perturbed warm start genuinely moved (guards against the skip
+    # silently re-activating and making the warm arms vacuous again)
+    assert any(
+        not np.array_equal(np.asarray(compact_warm[eid].theta),
+                           np.asarray(prior[eid].theta)) for eid in prior)
 
     assert set(compact) == set(eager)
     for eid in compact:
