@@ -73,10 +73,8 @@ def compression_of(filename: str) -> str:
 
 
 class _OwnedGzipFile(gzip.GzipFile):
-    """GzipFile that closes the underlying fs file object too.
-    gzip.GzipFile(fileobj=...) deliberately leaves the fileobj open, but
-    remote filesystems commit bytes only when THEIR file object closes —
-    leaving it to GC finalization can lose the write."""
+    """Read-side GzipFile that closes the underlying fs file object too.
+    gzip.GzipFile(fileobj=...) deliberately leaves the fileobj open."""
 
     def close(self):
         raw = self.fileobj
@@ -85,6 +83,53 @@ class _OwnedGzipFile(gzip.GzipFile):
         finally:
             if raw is not None:
                 raw.close()
+
+
+class _OwnedGzipWriter(gzip.GzipFile):
+    """Write-side GzipFile with atomic-ish failure semantics: remote stores
+    commit bytes only when THEIR file object closes, so closing the raw
+    object unconditionally would land a TRUNCATED gzip file whenever the
+    body or the trailer flush raises. Here the raw object is closed (and the
+    write committed) only on the success path; on any failure the partial
+    target is discarded instead — nothing lands, matching atomic_output
+    elsewhere (ADVICE r4)."""
+
+    def __init__(self, path: str, fileobj):
+        super().__init__(fileobj=fileobj, mode="wb")
+        self._path = path
+        self._abort = False
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            self._abort = True
+        return super().__exit__(exc_type, exc, tb)
+
+    def _discard(self, raw):
+        # some stores commit on close; close then best-effort delete so no
+        # truncated object stays visible
+        import contextlib
+        with contextlib.suppress(Exception):
+            raw.close()
+        with contextlib.suppress(Exception):
+            fs.remove(self._path)
+
+    def close(self):
+        raw = self.fileobj
+        if raw is None:  # already closed
+            super().close()
+            return
+        if self._abort:
+            self.fileobj = None  # skip the trailer flush entirely
+            super().close()
+            self._discard(raw)
+            return
+        try:
+            super().close()  # flush the gzip trailer into raw's buffer
+        except BaseException:
+            self._abort = True
+            self._discard(raw)
+            raise
+        raw.close()  # success: commit
 
 
 def _open_read(path: str, compression: Optional[str]):
@@ -121,7 +166,7 @@ class _ZlibWriter:
 def _open_write(path: str, compression: Optional[str]):
     comp = compression_of(path) if compression is None else compression
     if comp == "GZIP":
-        return _OwnedGzipFile(fileobj=fs.open(path, "wb"), mode="wb")
+        return _OwnedGzipWriter(path, fs.open(path, "wb"))
     if comp == "ZLIB":
         return _ZlibWriter(path)
     return fs.open(path, "wb")

@@ -683,9 +683,8 @@ class FixedEffectLRModel(Model):
         else:
             if stream > 0:
                 logger.warning(
-                    "stream_chunk_rows: streaming needs single-process "
-                    "tfrecord input without custom_input_fn — loading "
-                    "eagerly instead")
+                    "stream_chunk_rows: streaming needs tfrecord input "
+                    "without custom_input_fn — loading eagerly instead")
             train_data = load_per_record(
                 training_data_dir, self.metadata, self.feature_bag_name,
                 num_shards=num_shards_eff, shard_index=shard_index_eff,

@@ -81,9 +81,11 @@ class InMemoryPipeline:
       * "host":    group entities on host (numpy) and solve vmapped buckets
       * "sharded": route records to entity-owner shards over ICI and group on
                    device (parallel/entity_sharding) — the multi-chip path
-      * "auto":    "sharded" whenever the feature bag is rectangular (the
-                   default; a 1-device mesh degenerates gracefully — the
-                   all_to_all is identity and grouping still runs on device)
+      * "auto":    the default — "sharded" iff the feature bag is
+                   rectangular AND the (process-local) mesh has >1 device;
+                   on a single device the on-device grouping loses to the
+                   host marshal (~2.2x measured), so auto keeps "host" there
+                   (same rule as RandomEffectLRModel.fit_flat)
 
     Under multi-process the two parallelism levels COMPOSE (≡ the reference's
     partitions-across-workers × pool-within-worker,
@@ -303,7 +305,7 @@ class InMemoryPipeline:
                             device_cache=item.setdefault("dev_cache", {}))
 
                 # score ALL training rows (active + passive) for the ledger —
-                # dense-table record scoring, no re-grouping needed
+                # O(nnz) sparse-CSR record scoring, no re-grouping needed
                 sc = model.score_records(item["train"], item["weights"], params)
                 train_ledger.apply_coordinate(name, sc["uid"],
                                               sc["per_coordinate"])

@@ -1,7 +1,13 @@
 """Subprocess runner for the 2-process x 4-virtual-device in-HBM pipeline test.
 
 Usage: python tests/multiproc_pipeline_runner.py <pid> <nproc> <ml_root> <out>
-       <port> [re_mode]
+       <port> [re_mode] [pipeline_out]
+
+`pipeline_out` (default: <out>) may be a remote-scheme path (e.g.
+fakefs://bucket/run with GDMIX_FAKEFS_ROOT set) — the pipeline's model
+exchange, score writes and final artifacts then ride the fs seam against a
+shared fake remote store with REAL processes. metrics_<pid>.json always
+lands in the local <out>.
 Runs the full 3-coordinate coordinate-descent pipeline under jax.distributed:
 FE trains SPMD over all 8 devices; RE composes the two parallelism levels —
 entities round-robin OWNED per process (model-file exchange) × ICI routing +
@@ -16,6 +22,7 @@ import sys
 pid, nproc, ml_root, out_dir, port = (int(sys.argv[1]), int(sys.argv[2]),
                                       sys.argv[3], sys.argv[4], sys.argv[5])
 re_mode = sys.argv[6] if len(sys.argv) > 6 else "sharded"
+pipeline_out = sys.argv[7] if len(sys.argv) > 7 else out_dir
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -47,7 +54,7 @@ def _spy(self, data, schema_params, model_weights=None, mesh=None, **kw):
 
 RandomEffectLRModel.fit_records_sharded = _spy
 
-metrics = run_gdmix_in_memory(_config(ml_root, out_dir), num_sweeps=2,
+metrics = run_gdmix_in_memory(_config(ml_root, pipeline_out), num_sweeps=2,
                               re_mode=re_mode)
 with open(os.path.join(out_dir, f"metrics_{pid}.json"), "w") as f:
     json.dump({"metrics": metrics, "sharded_calls": sharded_calls}, f)

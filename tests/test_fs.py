@@ -229,6 +229,42 @@ def test_gzip_tfrecord_remote_commits_on_close(memfs):
     assert list(tfrecord.read_tfrecords(path)) == [b"payload-bytes"]
 
 
+def test_gzip_write_body_failure_lands_nothing(memfs):
+    """If the writer body raises, the remote store must NOT see a truncated
+    gzip object: _OwnedGzipWriter aborts (closes without committing a valid
+    file) instead of committing partial bytes on close (ADVICE r4)."""
+    from gdmix_tpu.io import tfrecord
+    path = "mem://bkt/tf/fail.tfrecord.gz"
+    with pytest.raises(RuntimeError):
+        with tfrecord._open_write(path, "GZIP") as f:
+            f.write(b"half-a-record")
+            raise RuntimeError("boom")
+    assert not fs.exists(path)
+
+
+def test_gzip_trailer_flush_failure_lands_nothing(memfs):
+    """If the gzip trailer flush itself raises on close, the partial object
+    must be discarded, not committed (ADVICE r4)."""
+    from gdmix_tpu.io import tfrecord
+    path = "mem://bkt/tf/fail2.tfrecord.gz"
+    w = tfrecord._open_write(path, "GZIP")
+    w.write(b"some-bytes")
+    raw = w.fileobj
+
+    class _FailOnWrite:
+        def write(self, data):
+            raise OSError("store went away")
+
+        def close(self):
+            raw.close()
+
+    w.fileobj = _FailOnWrite()
+    w.myfileobj = None
+    with pytest.raises(OSError):
+        w.close()
+    assert not fs.exists(path)
+
+
 def test_memfs_refuses_update_modes(memfs):
     """LocalFS honors r+; MemFS would silently drop the writes (the read
     branch returns a snapshot copy) — it must refuse instead."""
@@ -271,3 +307,61 @@ def test_read_scores_remote_takes_native_fast_path(memfs, monkeypatch):
     assert calls and not calls[0].startswith("mem://")  # local_input path
     np.testing.assert_array_equal(got["uid"], uids)
     np.testing.assert_allclose(got["predictionScore"], sc, rtol=1e-6)
+
+
+@pytest.fixture()
+def fakefs(tmp_path):
+    """A fresh fakefs:// store per test rooted at a hidden local dir."""
+    store = tmp_path / ".store"
+    d = fs.DirFS(str(store))
+    fs.register_filesystem("fakefs", d)
+    yield store
+    fs._registry.pop("fakefs", None)
+
+
+def test_dirfs_roundtrip_and_low_rpc_glob(fakefs):
+    with fs.open("fakefs://bkt/a/b.txt", "w") as f:
+        f.write("hello")
+    with fs.open("fakefs://bkt/a/c.bin", "wb") as f:
+        f.write(b"\x00\x01")
+    assert fs.open("fakefs://bkt/a/b.txt").read() == "hello"
+    assert fs.open("fakefs://bkt/a/c.bin", "rb").read() == b"\x00\x01"
+    assert fs.isdir("fakefs://bkt/a")
+    assert fs.listdir("fakefs://bkt/a") == ["b.txt", "c.bin"]
+    assert fs.glob("fakefs://bkt/a/*.txt") == ["fakefs://bkt/a/b.txt"]
+    with fs.open("fakefs://bkt/a/b.txt", "a") as f:
+        f.write("!")
+    assert fs.open("fakefs://bkt/a/b.txt").read() == "hello!"
+    fs.remove("fakefs://bkt/a/b.txt")
+    assert not fs.exists("fakefs://bkt/a/b.txt")
+    # files land under the backing root
+    assert (fakefs / "bkt/a/c.bin").is_file()
+
+
+def test_dirfs_commit_on_close_and_discard_on_error(fakefs):
+    """Object-store semantics: a writer's bytes become visible only at close
+    (temp-then-rename), and a failing body lands NOTHING — no partial
+    objects for concurrent readers in other processes."""
+    w = fs.open("fakefs://bkt/x.bin", "wb")
+    w.write(b"pending")
+    assert not fs.exists("fakefs://bkt/x.bin")  # not yet committed
+    w.close()
+    assert fs.open("fakefs://bkt/x.bin", "rb").read() == b"pending"
+
+    with pytest.raises(RuntimeError):
+        with fs.open("fakefs://bkt/y.bin", "wb") as f:
+            f.write(b"partial")
+            raise RuntimeError("boom")
+    assert not fs.exists("fakefs://bkt/y.bin")
+    # no stray temp files either
+    names = [n for _, _, fns in os.walk(str(fakefs)) for n in fns]
+    assert not [n for n in names if n.endswith(".part~")], names
+
+
+def test_dirfs_atomic_output_and_local_input(fakefs):
+    with fs.atomic_output("fakefs://bkt/up/model.avro") as local:
+        with open(local, "wb") as f:
+            f.write(b"model-bytes")
+    assert fs.open("fakefs://bkt/up/model.avro", "rb").read() == b"model-bytes"
+    with fs.local_input("fakefs://bkt/up/model.avro") as local:
+        assert open(local, "rb").read() == b"model-bytes"
