@@ -35,8 +35,10 @@ from gdmix_tpu.io.input_pipeline import PerRecordData, load_per_record
 from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
-from gdmix_tpu.ops.logistic import (SparseBatch, fixed_effect_value_and_grad,
+from gdmix_tpu.ops.logistic import (HybridAux, SparseBatch, build_hybrid_aux,
+                                    fixed_effect_value_and_grad,
                                     fixed_effect_value_and_grad_block,
+                                    fixed_effect_value_and_grad_hybrid,
                                     fixed_effect_value_and_grad_onehot,
                                     hessian_diag, hessian_full, l2_value_and_grad,
                                     predict_logits)
@@ -102,9 +104,13 @@ def effective_grad_mode(grad_mode: str, has_intercept: bool,
     (v5e, N=5M K=16: 0.13 s @ D=10k, 0.27 s @ 100k, 1.83 s @ 1M —
     scripts/fe_wide_d.py) while the scatter-add path is D-independent
     (1.31 s @ 100k..1M, 1.72 s @ 10M), so past the measured ~700k crossover
-    auto takes `scatter` — never an O(D) path outside its win region
-    (VERDICT r3 task 4; the reference's sparse graph is D-independent the
-    same way, fixed_effect_lr_lbfgs_model.py:214-392). At/below
+    auto takes `hybrid`: the hot/cold split that runs the frequent-feature
+    majority through block's compact MXU path and only the cold tail through
+    per-entry gather/scatter (ops/logistic.py HybridAux; the builder itself
+    falls back to plain scatter when the data has no hot set — uniform ids —
+    so auto is never worse than scatter; VERDICT r4 task 1). The reference's
+    sparse graph is D-independent the same way
+    (fixed_effect_lr_lbfgs_model.py:214-392). At/below
     onehot_max_features the single-level `onehot` densification wins.
     The sorted-COO `segment` mode (flat 2.15 s at every D measured) is
     explicit-only: it never beats scatter on TPU. The Pallas kernels are
@@ -118,7 +124,7 @@ def effective_grad_mode(grad_mode: str, has_intercept: bool,
             return "block"
         if num_features <= onehot_max_features:
             return "onehot"
-        return "scatter"
+        return "hybrid"
     if grad_mode.startswith("pallas") and not has_intercept:
         return "scatter"
     return grad_mode
@@ -413,13 +419,16 @@ class FixedEffectLRModel(Model):
 
     # ------------------------------------------------------------- objective --
 
-    def _objective_fun(self, batch: SparseBatch):
+    def _objective_fun(self, batch: SparseBatch,
+                       hybrid_aux: Optional[HybridAux] = None):
         """(value, grad) of the global objective for a (possibly traced) batch.
         Data-sum via scan over chunks; the λ-term is applied once. With sharded
         inputs XLA all-reduces the partial sums across the mesh (the gRPC ring
         of reference :384-390). Multi-process note: the batch is always passed
         as a jit ARGUMENT (closing over non-addressable global arrays is
-        disallowed)."""
+        disallowed). `hybrid_aux`: the hot/cold split for the wide-D regime
+        (build_hybrid_aux; None — e.g. the builder declined on uniform ids —
+        degrades the `hybrid` mode to plain scatter)."""
         chunk = self.model_params.train_chunk_size
         num_features = self.num_features
         kw = dict(has_intercept=self.has_intercept, regularize_bias=True,
@@ -490,6 +499,33 @@ class FixedEffectLRModel(Model):
                     regularize_bias=self.is_regularize_bias, intercept_at_end=True)
                 return v.astype(x.dtype) + lv, g + lg
             return fun
+
+        if mode == "hybrid" and hybrid_aux is not None:
+            hy_chunk = chunk or max(256, min(n, p.block_chunk_size))
+
+            def fun(x):
+                nn = pad_to_multiple(n, hy_chunk)
+                bb, ax = batch, hybrid_aux
+                if nn != n:
+                    def fill(a):
+                        filler = jnp.zeros((nn - n,) + a.shape[1:], a.dtype)
+                        return jnp.concatenate([a, filler], axis=0)
+                    bb = SparseBatch(*[fill(a) for a in batch])
+                    # value-0 padding entries are inert in both one-hot
+                    # matmuls; cold_row stays < n, untouched by row padding
+                    ax = ax._replace(hot_idx=fill(ax.hot_idx))
+                v, g = fixed_effect_value_and_grad_hybrid(
+                    x, bb, ax, num_features, chunk=hy_chunk,
+                    has_intercept=self.has_intercept,
+                    model_type=self.model_type,
+                    precision=_PRECISIONS[p.block_precision])
+                lv, lg = l2_value_and_grad(
+                    x, self.l2_reg_weight, has_intercept=self.has_intercept,
+                    regularize_bias=self.is_regularize_bias, intercept_at_end=True)
+                return v + lv, g + lg
+            return fun
+        # mode == "hybrid" with no aux (builder declined — no hot set in the
+        # data — or the caller didn't build one) falls through to scatter.
 
         if mode == "block":
             bl_chunk = chunk or max(256, min(n, p.block_chunk_size))
@@ -606,11 +642,42 @@ class FixedEffectLRModel(Model):
         batch, train_uid, n_train = self._device_batch(train_data, schema_params,
                                                        for_training=True,
                                                        cache=device_cache)
-        return self._fit_batch(batch, train_uid, n_train, warm_start)
+        return self._fit_batch(batch, train_uid, n_train, warm_start,
+                               device_cache=device_cache)
+
+    def build_hybrid_aux_for(self, batch: SparseBatch, device_cache=None
+                             ) -> Optional[HybridAux]:
+        """Hot/cold split for the wide-D fit (ops/logistic.py HybridAux).
+        None when grad_mode doesn't resolve to `hybrid` or the data declines
+        (no hot set — the builder's data-driven fallback). Cached across
+        sweeps: the split depends only on indices/values, which the
+        multi-sweep pipeline keeps identical (only offsets change)."""
+        p = self.model_params
+        mode = effective_grad_mode(p.grad_mode, self.has_intercept,
+                                   self.num_features, p.block_min_features,
+                                   p.onehot_max_features,
+                                   p.block_max_features)
+        if mode != "hybrid":
+            return None
+        if device_cache is not None and "hybrid_aux" in device_cache:
+            return device_cache["hybrid_aux"]
+        ndev = len(self.mesh.devices.flatten())
+        aux = build_hybrid_aux(
+            batch.indices, batch.values, self.num_features,
+            hot_features=p.hot_features,
+            cold_max_frac=p.hybrid_cold_max_frac,
+            pad_multiple=ndev * 8,
+            shardings=(replicated(self.mesh),
+                       batch_sharding(self.mesh, rank=2),
+                       batch_sharding(self.mesh)))
+        if device_cache is not None:
+            device_cache["hybrid_aux"] = aux
+        return aux
 
     def _fit_batch(self, batch: SparseBatch, train_uid: np.ndarray,
                    n_train: int,
-                   warm_start: Optional[np.ndarray] = None) -> np.ndarray:
+                   warm_start: Optional[np.ndarray] = None,
+                   device_cache=None) -> np.ndarray:
         if warm_start is not None and len(warm_start) == self._dim:
             x0 = jnp.asarray(warm_start, self.dtype)
         else:
@@ -618,14 +685,16 @@ class FixedEffectLRModel(Model):
         x0 = jax.device_put(x0, replicated(self.mesh))
 
         p = self.model_params
+        aux = self.build_hybrid_aux_for(batch, device_cache)
         if self._solve_fn is None:
             # one jit wrapper per model instance: repeated fits (multi-sweep
             # pipeline) reuse the compiled computation per input shape
-            self._solve_fn = jax.jit(lambda x, b: lbfgs(
-                self._objective_fun(b), x, m=p.num_of_lbfgs_curvature_pairs,
+            self._solve_fn = jax.jit(lambda x, b, ax: lbfgs(
+                self._objective_fun(b, ax), x,
+                m=p.num_of_lbfgs_curvature_pairs,
                 ftol=p.lbfgs_tolerance, pgtol=p.lbfgs_pgtol,
                 maxiter=p.num_of_lbfgs_iterations))
-        res = self._solve_fn(x0, batch)
+        res = self._solve_fn(x0, batch, aux)
         logger.info("f_min: %s, iters: %s, funcalls: %s, converged: %s",
                     float(res.f), int(res.num_iterations), int(res.num_funcalls),
                     bool(res.converged))

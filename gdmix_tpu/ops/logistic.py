@@ -17,6 +17,7 @@ padding has value 0.0 (index content is then irrelevant for both X·θ and Xᵀr
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -327,6 +328,228 @@ def fixed_effect_value_and_grad_block(x: jnp.ndarray,
     (value, grad2, r_sum), _ = jax.lax.scan(body, init, tuple(chunks))
     grad_w = grad2.reshape(d_pad)[:num_features]
     grad = (jnp.concatenate([grad_w, r_sum[None]]) if has_intercept else grad_w)
+    return value, grad
+
+
+class HybridAux(NamedTuple):
+    """Hot/cold feature split for the wide-D fixed-effect regime.
+
+    Recommender feature spaces are power-law: at D≫1M MOST entries hit a
+    small hot set. The D-independent scatter path costs ~9 ns/entry for the
+    forward gather plus ~7 ns/entry for the backward scatter on v5e
+    (scripts/fe_hybrid_probe.py: 0.73 s + 0.58 s at 80M entries, D=1M) —
+    both per-ENTRY, serialized memory ops the MXU never sees. The hybrid
+    remaps the top-A frequent features to a compact id space and runs ALL
+    entries through the two-level one-hot block path over that compact space
+    (O(A) instead of O(D), MXU matmuls), while only the few cold-tail
+    entries pay the per-entry gather/scatter price against the full D
+    (≈20 ns/entry measured, but on a ~5-20% minority). The reference's
+    sparse TF graph is D-independent too (fixed_effect_lr_lbfgs_model.py:
+    214-392) but CPU-bound ~8 s/funcall-class; this beats it structurally:
+    the bulk rides the MXU (VERDICT r4 task 1).
+
+    Built ONCE per fit by build_hybrid_aux (the batch is fixed across
+    L-BFGS iterations; sweeps reuse it via the device cache)."""
+    hot_ids: jnp.ndarray   # [A] int32 global feature id per compact slot
+    hot_idx: jnp.ndarray   # [N, K] int32 compact ids; cold/padding → A (dump)
+    cold_idx: jnp.ndarray  # [Mc] int32 global ids of cold entries (pad: 0)
+    cold_row: jnp.ndarray  # [Mc] int32 source record ids (pad: 0)
+    cold_val: jnp.ndarray  # [Mc] values (pad: 0.0 — inert)
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_counts_fn(num_features: int):
+    @jax.jit
+    def f(indices, values):
+        m = (values != 0)
+        counts = jnp.zeros((num_features,), jnp.int32) \
+            .at[indices.reshape(-1)].add(m.reshape(-1).astype(jnp.int32))
+        return counts, jnp.sum(m.astype(jnp.int64))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_hot_fn(hot: int):
+    @jax.jit
+    def f(counts):
+        top_counts, hot_ids = jax.lax.top_k(counts, hot)
+        return hot_ids, jnp.sum(top_counts.astype(jnp.int64))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_build_fn(num_features: int, hot: int, mc_pad: int,
+                     shardings=None):
+    kw = {}
+    if shardings is not None:
+        # (replicated, like-indices, batch-1d x3) — keeps the split arrays
+        # laid out exactly like the batch they'll be consumed with
+        rep, sh2, sh1 = shardings
+        kw = dict(out_shardings=HybridAux(rep, sh2, sh1, sh1, sh1))
+
+    @functools.partial(jax.jit, **kw)
+    def f(indices, values, hot_ids):
+        k = indices.shape[1]
+        remap = jnp.full((num_features,), hot, jnp.int32) \
+            .at[hot_ids].set(jnp.arange(hot, dtype=jnp.int32))
+        idx_c = jnp.take(remap, indices)                       # [N, K]
+        m = values != 0
+        hot_idx = jnp.where(m & (idx_c < hot), idx_c, hot)
+        is_cold = (idx_c == hot) & m
+        flat_cold = is_cold.reshape(-1)
+        nk = flat_cold.shape[0]
+        dest = jnp.cumsum(flat_cold.astype(jnp.int32)) - 1
+        tgt = jnp.where(flat_cold, dest, mc_pad)               # drop non-cold
+        src = jnp.arange(nk, dtype=jnp.int32)
+        pos = jnp.zeros((mc_pad,), jnp.int32).at[tgt].set(src, mode="drop")
+        valid = jnp.zeros((mc_pad,), jnp.bool_).at[tgt].set(True, mode="drop")
+        cold_idx = jnp.where(valid, indices.reshape(-1)[pos], 0)
+        cold_val = jnp.where(valid, values.reshape(-1)[pos], 0.0)
+        cold_row = jnp.where(valid, (pos // k).astype(jnp.int32), 0)
+        return HybridAux(hot_ids, hot_idx, cold_idx, cold_row, cold_val)
+    return f
+
+
+def build_hybrid_aux(indices, values, num_features: int, *,
+                     hot_features: int = 131_072,
+                     cold_max_frac: float = 0.6,
+                     pad_multiple: int = 8,
+                     shardings=None) -> Optional[HybridAux]:
+    """Build the hot/cold split for a CONCRETE batch (host numpy or device
+    arrays — all heavy passes run on device; only two scalars come to host).
+    Returns None when the data doesn't reward the split (cold fraction above
+    `cold_max_frac`, e.g. uniform ids): the caller then keeps the plain
+    scatter path — the decision is data-driven, not hard-coded.
+
+    Multi-host safe: every pass is a jitted SPMD computation over the global
+    arrays; the two host fetches are of fully-replicated scalars."""
+    a_eff = int(min(hot_features, num_features))
+    if a_eff <= 0:
+        return None
+    counts, total = _hybrid_counts_fn(num_features)(indices, values)
+    hot_ids, hot_sum = _hybrid_hot_fn(a_eff)(counts)
+    total = int(total)
+    mc = total - int(hot_sum)
+    if total == 0 or mc / max(total, 1) > cold_max_frac:
+        return None
+    # pow-2 capacity tiers bound recompiles across fits/sweeps
+    mc_pad = max(int(pad_multiple), 1)
+    while mc_pad < max(mc, 1):
+        mc_pad *= 2
+    build = _hybrid_build_fn(num_features, a_eff, mc_pad, shardings)
+    return build(indices, values, hot_ids)
+
+
+def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
+                                       batch: SparseBatch,
+                                       aux: HybridAux,
+                                       num_features: int,
+                                       *,
+                                       chunk: int,
+                                       has_intercept: bool = True,
+                                       model_type: str = "logistic_regression",
+                                       lane: int = 128,
+                                       precision=jax.lax.Precision.HIGHEST):
+    """Fixed-effect data term with the hot/cold split (see HybridAux).
+
+    Forward: z = z_hot + z_cold + offset + b, where z_hot rides the compact
+    two-level one-hot gather (same MXU construction as
+    fixed_effect_value_and_grad_block, dump slot gathers θ=0 so cold entries
+    contribute nothing) and z_cold is a per-entry gather+row-scatter over
+    the cold minority. Backward mirrors it: the compact [A]-gradient comes
+    off the matmul scatter and lands in grad[hot_ids] (A unique indices);
+    cold entries scatter-add straight into grad[D]. Exact same math as
+    fixed_effect_value_and_grad with l2_reg_weight=0 — the caller adds the
+    λ-term once. Requires batch length divisible by `chunk`."""
+    dtype = x.dtype
+    if has_intercept:
+        w, b = x[:-1], x[-1]
+    else:
+        w, b = x, jnp.zeros((), dtype)
+    n, k = aux.hot_idx.shape
+    assert n % chunk == 0, (n, chunk)
+    c = n // chunk
+    e = chunk * k
+    a_eff = aux.hot_ids.shape[0]
+    a_blocks = (a_eff + 1 + lane - 1) // lane   # +1: the dump slot gathers 0
+    a_pad = a_blocks * lane
+    w_c = jnp.take(w, aux.hot_ids)               # [A] compact hot coefficients
+    theta2 = jnp.zeros((a_pad,), dtype).at[:a_eff].set(w_c) \
+        .reshape(a_blocks, lane)
+    split = precision == "bf16x2"
+    if split:
+        f32 = jnp.float32
+        theta_hi = theta2.astype(jnp.bfloat16)
+        theta_lo = (theta2.astype(f32) - theta_hi.astype(f32)) \
+            .astype(jnp.bfloat16)
+
+    # cold forward correction: fold into the offsets the scan consumes
+    z_cold = jnp.zeros((n,), dtype).at[aux.cold_row] \
+        .add(jnp.take(w, aux.cold_idx) * aux.cold_val.astype(dtype))
+    offsets2 = batch.offsets + z_cold
+
+    def reshape(arr):
+        return arr.reshape((c, chunk) + arr.shape[1:])
+
+    chunks = (reshape(aux.hot_idx), reshape(batch.values), reshape(offsets2),
+              reshape(batch.labels), reshape(batch.weights))
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (1, a_blocks), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, lane), 1)
+
+    def body(carry, ch):
+        v_acc, g2_acc = carry
+        c_idx, c_val, c_off, c_lab, c_wt = ch
+        idx = c_idx.reshape(e)
+        onehot_dt = jnp.bfloat16 if split else dtype
+        hi1 = (idx[:, None] // lane == iota_a).astype(onehot_dt)  # [e, A/l]
+        lo1 = (idx[:, None] % lane == iota_l).astype(onehot_dt)   # [e, lane]
+        gdims = (((1,), (0,)), ((), ()))
+        if split:
+            G = (jax.lax.dot_general(hi1, theta_hi, gdims,
+                                     preferred_element_type=f32)
+                 + jax.lax.dot_general(hi1, theta_lo, gdims,
+                                       preferred_element_type=f32))
+            gathered = jnp.sum(G * lo1.astype(f32), axis=1).astype(dtype)
+        else:
+            G = jax.lax.dot_general(hi1, theta2, gdims, precision=precision,
+                                    preferred_element_type=dtype)
+            gathered = jnp.sum(G * lo1, axis=1)               # [e] = θc[idx]
+        vals = c_val.reshape(e)
+        z = jnp.sum((vals * gathered).reshape(chunk, k), axis=1) + c_off + b
+        if model_type == "linear_regression":
+            per = (c_lab - z) ** 2
+            dz = 2.0 * (z - c_lab)
+        else:
+            per = stable_bce(z, c_lab)
+            dz = jax.nn.sigmoid(z) - c_lab
+        r = c_wt * dz
+        ce = vals * jnp.broadcast_to(r[:, None], (chunk, k)).reshape(e)
+        sdims = (((0,), (0,)), ((), ()))
+        if split:
+            ce32 = ce.astype(f32)
+            ce_hi = ce32.astype(jnp.bfloat16)
+            ce_lo = (ce32 - ce_hi.astype(f32)).astype(jnp.bfloat16)
+            g2 = (jax.lax.dot_general(hi1 * ce_hi[:, None], lo1, sdims,
+                                      preferred_element_type=f32)
+                  + jax.lax.dot_general(hi1 * ce_lo[:, None], lo1, sdims,
+                                        preferred_element_type=f32)
+                  ).astype(dtype)
+        else:
+            g2 = jax.lax.dot_general(hi1 * ce[:, None], lo1, sdims,
+                                     precision=precision,
+                                     preferred_element_type=dtype)
+        return (v_acc + jnp.sum(c_wt * per), g2_acc + g2), r
+
+    init = (jnp.zeros((), dtype), jnp.zeros((a_blocks, lane), dtype))
+    (value, grad2), r_chunks = jax.lax.scan(body, init, chunks)
+    r_full = r_chunks.reshape(n)
+    grad_hot = grad2.reshape(a_pad)[:a_eff]
+    grad_w = jnp.zeros((num_features,), dtype) \
+        .at[aux.cold_idx].add(aux.cold_val.astype(dtype)
+                              * jnp.take(r_full, aux.cold_row)) \
+        .at[aux.hot_ids].add(grad_hot)
+    grad = (jnp.concatenate([grad_w, jnp.sum(r_full)[None]])
+            if has_intercept else grad_w)
     return value, grad
 
 

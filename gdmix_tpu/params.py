@@ -161,7 +161,8 @@ class FixedLRParams(LRParams):
     # out-of-core ingestion: decode the shard in bounded-host-memory chunks of
     # this many records, shipping each to HBM as it decodes (host RAM holds
     # ONE chunk; the dataset lives sharded on the mesh). 0 = load eagerly.
-    # Single-process tfrecord only (multi-host shards must agree on shapes).
+    # Tfrecord input without custom_input_fn only; composes with multi-host
+    # (each process streams its own file shard, shapes agreed at stream end).
     stream_chunk_rows: int = 0
     # gradient strategy: "block" is the two-level one-hot decomposition (MXU
     # gather/scatter via hi/lo matmuls, any feature count), "onehot" densifies
@@ -172,15 +173,23 @@ class FixedLRParams(LRParams):
     # "pallas_flat" the flat entry-space gather/scatter pair (ops/pallas/
     # fe_flat.py — experimental SMALL-BATCH opt-in only: its [E, 1] entry
     # columns tile to 512 B/entry in HBM, 40 GB at N=5M/K=16, and lose to
-    # "block" on HBM traffic whenever they do fit), "auto" picks by feature
-    # count
-    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"pallas"|"pallas_block"|"pallas_gather"|"pallas_flat"
+    # "block" on HBM traffic whenever they do fit), "hybrid" the hot/cold
+    # feature split for the wide-D power-law regime (top-hot_features ids
+    # through block's compact MXU path, cold tail through per-entry
+    # gather/scatter; degrades to scatter when the data has no hot set),
+    # "auto" picks by feature count
+    grad_mode: str = "auto"   # "auto"|"block"|"onehot"|"scatter"|"hybrid"|"pallas"|"pallas_block"|"pallas_gather"|"pallas_flat"
     onehot_max_features: int = 16384
     block_min_features: int = 1024  # auto: block above, onehot at/below
     # auto: block's measured win-region ceiling — its O(D) cost crosses the
     # D-independent scatter path at ~700k features (v5e, N=5M K=16,
-    # scripts/fe_wide_d.py); past it auto takes scatter
+    # scripts/fe_wide_d.py); past it auto takes the hot/cold hybrid
     block_max_features: int = 700_000
+    # hybrid mode: compact hot-set size (top-A features by batch frequency)
+    # and the cold-entry fraction above which the split stops paying and the
+    # builder falls back to plain scatter (data-driven, e.g. uniform ids)
+    hot_features: int = 131072
+    hybrid_cold_max_frac: float = 0.6
     block_chunk_size: int = 8192    # records per scan step in block mode
     # MXU dot precision for block mode: "float32" = bf16x3 (~f32-accurate —
     # measured identical objective to "highest" at N=5M/D=10k, 15% faster;

@@ -298,19 +298,21 @@ def test_effective_grad_mode_auto_resolution():
     assert effective_grad_mode("auto", True, 10_000, 1024, 16384) == "block"
     assert effective_grad_mode("auto", True, 1024, 1024, 16384) == "onehot"
     assert effective_grad_mode("auto", False, 50, 1024, 16384) == "onehot"
-    # degenerate config: past both ceilings -> scatter
+    # degenerate config: past both ceilings -> hybrid (whose builder
+    # degrades to scatter when the data has no hot set)
     assert effective_grad_mode("auto", True, 18_000, 20_000, 16384) \
-        == "scatter"
-    # wide-D regime (VERDICT r3 task 4): block's O(D) cost crosses the
-    # D-independent scatter at the measured ~700k (scripts/fe_wide_d.py:
-    # block 0.27s@100k / 1.83s@1M vs scatter ~1.31s flat) — auto must never
-    # take block past its win region
+        == "hybrid"
+    # wide-D regime (VERDICT r3 task 4 + r4 task 1): block's O(D) cost
+    # crosses the D-independent paths at the measured ~700k
+    # (scripts/fe_wide_d.py) — past it auto takes the hot/cold hybrid
+    # (scripts/fe_hybrid_probe*.py), which itself falls back to scatter on
+    # hot-set-free data
     assert effective_grad_mode("auto", True, 100_000, 1024, 16384) == "block"
     assert effective_grad_mode("auto", True, 700_000, 1024, 16384) == "block"
     assert effective_grad_mode("auto", True, 700_001, 1024, 16384) \
-        == "scatter"
+        == "hybrid"
     assert effective_grad_mode("auto", True, 10_000_000, 1024, 16384) \
-        == "scatter"
+        == "hybrid"
     # the ceiling is a tunable (pin the parameter wiring)
     assert effective_grad_mode("auto", True, 2_000_000, 1024, 16384,
                                block_max_features=5_000_000) == "block"
@@ -318,7 +320,7 @@ def test_effective_grad_mode_auto_resolution():
     assert effective_grad_mode("segment", True, 10_000_000, 1024, 16384) \
         == "segment"
     # explicit modes are never overridden...
-    for m in ("block", "onehot", "scatter", "pallas_flat"):
+    for m in ("block", "onehot", "scatter", "hybrid", "pallas_flat"):
         assert effective_grad_mode(m, True, 10_000, 1024, 16384) == m
     # ...except pallas without an intercept, which falls back to scatter
     for m in ("pallas", "pallas_block", "pallas_gather", "pallas_flat"):

@@ -341,3 +341,141 @@ def test_block_grad_model_fit_matches_oracle(tmp_path):
                               lam=model_params.l2_reg_weight,
                               regularize_bias=model_params.regularize_bias)
     np.testing.assert_allclose(model.model_coefficients, oracle, atol=1e-6)
+
+
+def _zipf_sparse(n=512, d=300, k=6, seed=0):
+    """Power-law (Zipf s=1) padded-COO batch — the wide-D hybrid's regime."""
+    rng = np.random.RandomState(seed)
+    u = rng.rand(n, k)
+    indices = (np.minimum(np.exp(u * np.log(d)).astype(int), d) - 1) \
+        .astype(np.int32)
+    values = rng.randn(n, k)
+    values[rng.rand(n, k) < 0.2] = 0.0     # padding entries (inert)
+    y = rng.randint(0, 2, n).astype(np.float64)
+    offsets = 0.1 * rng.randn(n)
+    weights = rng.rand(n) + 0.5
+    return indices, values, offsets, y, weights
+
+
+@pytest.mark.parametrize("model_type,has_intercept",
+                         [("logistic_regression", True),
+                          ("logistic_regression", False),
+                          ("linear_regression", True)])
+def test_hybrid_grad_matches_reference_path(model_type, has_intercept):
+    """fixed_effect_value_and_grad_hybrid (hot/cold split, VERDICT r4 task 1)
+    ≡ fixed_effect_value_and_grad on the data term, with BOTH sides active
+    (small hot set on power-law ids → real cold tail)."""
+    from gdmix_tpu.ops.logistic import (build_hybrid_aux,
+                                        fixed_effect_value_and_grad_hybrid)
+    d, n, k = 300, 512, 6
+    indices, values, offsets, y, weights = _zipf_sparse(n=n, d=d, k=k, seed=31)
+    if model_type == "linear_regression":
+        y = y + 0.3 * np.random.RandomState(3).randn(n)
+    batch = _batch(indices, values, offsets, y, weights)
+    aux = build_hybrid_aux(batch.indices, batch.values, d, hot_features=32,
+                           cold_max_frac=0.9)
+    assert aux is not None
+    # both sides genuinely active
+    assert int(np.sum(np.asarray(aux.cold_val) != 0)) > 0
+    dim = d + (1 if has_intercept else 0)
+    x = jnp.asarray(np.random.RandomState(4).randn(dim))
+
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        x, batch, d, has_intercept=has_intercept, regularize_bias=True,
+        l2_reg_weight=0.0, model_type=model_type)
+    v_hy, g_hy = jax.jit(
+        lambda xx, bb, ax: fixed_effect_value_and_grad_hybrid(
+            xx, bb, ax, d, chunk=128, has_intercept=has_intercept,
+            model_type=model_type))(x, batch, aux)
+    np.testing.assert_allclose(float(v_hy), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_hy), np.asarray(g_ref),
+                               atol=1e-10)
+
+
+def test_hybrid_builder_edges():
+    """All-hot (A ≥ distinct ids → empty cold side) stays exact; hot-set-free
+    data (uniform ids vs a tiny A) makes the builder DECLINE — the
+    data-driven fallback to scatter, so auto is never worse than scatter."""
+    from gdmix_tpu.ops.logistic import (build_hybrid_aux,
+                                        fixed_effect_value_and_grad_hybrid)
+    d, n, k = 300, 256, 5
+    indices, values, offsets, y, weights = _zipf_sparse(n=n, d=d, k=k, seed=7)
+    batch = _batch(indices, values, offsets, y, weights)
+    # A >= D: everything hot, cold arrays are pure padding
+    aux = build_hybrid_aux(batch.indices, batch.values, d,
+                           hot_features=10_000, cold_max_frac=0.9)
+    assert aux is not None
+    assert int(np.sum(np.asarray(aux.cold_val) != 0)) == 0
+    x = jnp.asarray(np.random.RandomState(1).randn(d + 1))
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        x, batch, d, regularize_bias=True, l2_reg_weight=0.0)
+    v_hy, g_hy = fixed_effect_value_and_grad_hybrid(x, batch, aux, d,
+                                                    chunk=128)
+    np.testing.assert_allclose(float(v_hy), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_hy), np.asarray(g_ref),
+                               atol=1e-10)
+    # uniform ids, tiny hot budget → decline
+    rng = np.random.RandomState(2)
+    uni = batch._replace(indices=jnp.asarray(
+        rng.randint(0, d, (n, k)), jnp.int32))
+    assert build_hybrid_aux(uni.indices, uni.values, d, hot_features=8,
+                            cold_max_frac=0.3) is None
+
+
+def test_hybrid_grad_over_mesh_matches_host():
+    """The hybrid's GSPMD story: batch + split arrays sharded over the
+    8-device mesh produce the same (value, grad) as unsharded."""
+    from gdmix_tpu.ops.logistic import (build_hybrid_aux,
+                                        fixed_effect_value_and_grad_hybrid)
+    from gdmix_tpu.parallel.mesh import (batch_sharding, get_mesh, replicated)
+    d, n, k = 300, 512, 6
+    indices, values, offsets, y, weights = _zipf_sparse(n=n, d=d, k=k, seed=5)
+    batch = _batch(indices, values, offsets, y, weights)
+    x = jnp.asarray(np.random.RandomState(8).randn(d + 1))
+    aux_host = build_hybrid_aux(batch.indices, batch.values, d,
+                                hot_features=32, cold_max_frac=0.9)
+    v_ref, g_ref = fixed_effect_value_and_grad_hybrid(x, batch, aux_host, d,
+                                                      chunk=128)
+
+    mesh = get_mesh()
+    ndev = len(mesh.devices.flatten())
+    assert ndev == 8
+    bsh, bsh2 = batch_sharding(mesh), batch_sharding(mesh, rank=2)
+    sharded = SparseBatch(jax.device_put(batch.indices, bsh2),
+                          jax.device_put(batch.values, bsh2),
+                          jax.device_put(batch.offsets, bsh),
+                          jax.device_put(batch.labels, bsh),
+                          jax.device_put(batch.weights, bsh))
+    aux = build_hybrid_aux(sharded.indices, sharded.values, d,
+                           hot_features=32, cold_max_frac=0.9,
+                           pad_multiple=ndev * 8,
+                           shardings=(replicated(mesh), bsh2, bsh))
+    v_sh, g_sh = jax.jit(
+        lambda xx, bb, ax: fixed_effect_value_and_grad_hybrid(
+            xx, bb, ax, d, chunk=64))(
+        jax.device_put(x, replicated(mesh)), sharded, aux)
+    np.testing.assert_allclose(float(v_sh), float(v_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               atol=1e-9)
+
+
+def test_hybrid_grad_model_fit_matches_oracle(tmp_path):
+    """End-to-end FE fit with grad_mode=hybrid (small hot set → both sides
+    active) equals the scipy oracle."""
+    from tests.test_fixed_effect_lr import (_make_dataset, _params,
+                                            _scipy_fe_oracle)
+    from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+    from gdmix_tpu import constants
+    ds = _make_dataset(tmp_path, seed=29)
+    model_params, base_params = _params(ds, tmp_path, grad_mode="hybrid",
+                                        hot_features=6,
+                                        hybrid_cold_max_frac=1.0,
+                                        block_chunk_size=32)
+    model = FixedEffectLRModel(model_params, base_params)
+    model.train(ds["train_dir"], None, ds["md_file"], model.checkpoint_path,
+                {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+                 constants.IS_CHIEF: True}, base_params)
+    oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
+                              lam=model_params.l2_reg_weight,
+                              regularize_bias=model_params.regularize_bias)
+    np.testing.assert_allclose(model.model_coefficients, oracle, atol=1e-6)
