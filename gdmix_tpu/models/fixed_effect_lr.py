@@ -39,6 +39,7 @@ from gdmix_tpu.ops.logistic import (HybridAux, SparseBatch, build_hybrid_aux,
                                     fixed_effect_value_and_grad,
                                     fixed_effect_value_and_grad_block,
                                     fixed_effect_value_and_grad_hybrid,
+                                    fixed_effect_value_and_grad_hybrid_pallas,
                                     fixed_effect_value_and_grad_onehot,
                                     hessian_diag, hessian_full, l2_value_and_grad,
                                     predict_logits)
@@ -125,7 +126,10 @@ def effective_grad_mode(grad_mode: str, has_intercept: bool,
         if num_features <= onehot_max_features:
             return "onehot"
         return "hybrid"
-    if grad_mode.startswith("pallas") and not has_intercept:
+    if grad_mode.startswith("pallas") and grad_mode != "pallas_hybrid" \
+            and not has_intercept:
+        # the fused kernels need the intercept-last layout; pallas_hybrid
+        # handles b=0 natively (its rsum output is simply unused)
         return "scatter"
     return grad_mode
 
@@ -500,8 +504,20 @@ class FixedEffectLRModel(Model):
                 return v.astype(x.dtype) + lv, g + lg
             return fun
 
-        if mode == "hybrid" and hybrid_aux is not None:
+        if mode in ("hybrid", "pallas_hybrid") and hybrid_aux is not None:
             hy_chunk = chunk or max(256, min(n, p.block_chunk_size))
+            platform = jax.devices()[0].platform
+            # the fused kernel is the hybrid's production form on TPU (XLA
+            # rewrites the compact one-hot matmuls back into its ~9 ns/entry
+            # gather walk — probe2); the XLA form stays the dtype-exact
+            # fallback elsewhere (f64 oracle tests) unless forced
+            use_kernel = (mode == "pallas_hybrid"
+                          or platform in ("tpu", "axon"))
+            interpret = platform not in ("tpu", "axon")
+            if use_kernel:
+                # the kernel's residual transpose works 128 sublanes at a
+                # time — the record tile must be a lane multiple
+                hy_chunk = pad_to_multiple(hy_chunk, 128)
 
             def fun(x):
                 nn = pad_to_multiple(n, hy_chunk)
@@ -514,11 +530,18 @@ class FixedEffectLRModel(Model):
                     # value-0 padding entries are inert in both one-hot
                     # matmuls; cold_row stays < n, untouched by row padding
                     ax = ax._replace(hot_idx=fill(ax.hot_idx))
-                v, g = fixed_effect_value_and_grad_hybrid(
-                    x, bb, ax, num_features, chunk=hy_chunk,
-                    has_intercept=self.has_intercept,
-                    model_type=self.model_type,
-                    precision=_PRECISIONS[p.block_precision])
+                if use_kernel:
+                    v, g = fixed_effect_value_and_grad_hybrid_pallas(
+                        x, bb, ax, num_features,
+                        has_intercept=self.has_intercept,
+                        model_type=self.model_type,
+                        tile=hy_chunk, interpret=interpret)
+                else:
+                    v, g = fixed_effect_value_and_grad_hybrid(
+                        x, bb, ax, num_features, chunk=hy_chunk,
+                        has_intercept=self.has_intercept,
+                        model_type=self.model_type,
+                        precision=_PRECISIONS[p.block_precision])
                 lv, lg = l2_value_and_grad(
                     x, self.l2_reg_weight, has_intercept=self.has_intercept,
                     regularize_bias=self.is_regularize_bias, intercept_at_end=True)
@@ -657,7 +680,7 @@ class FixedEffectLRModel(Model):
                                    self.num_features, p.block_min_features,
                                    p.onehot_max_features,
                                    p.block_max_features)
-        if mode != "hybrid":
+        if mode not in ("hybrid", "pallas_hybrid"):
             return None
         if device_cache is not None and "hybrid_aux" in device_cache:
             return device_cache["hybrid_aux"]

@@ -553,6 +553,50 @@ def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
     return value, grad
 
 
+def fixed_effect_value_and_grad_hybrid_pallas(x: jnp.ndarray,
+                                              batch: SparseBatch,
+                                              aux: HybridAux,
+                                              num_features: int,
+                                              *,
+                                              has_intercept: bool = True,
+                                              model_type: str =
+                                              "logistic_regression",
+                                              tile: int = 2048,
+                                              interpret: bool = False):
+    """fixed_effect_value_and_grad_hybrid with the hot side fused into the
+    Pallas MXU kernel (ops/pallas/fe_hybrid.py): XLA rewrites the compact
+    one-hot matmuls back into its ~9 ns/entry per-entry gather machinery, so
+    the XLA hybrid recovers only ~1.2x of the wide-D funcall; the kernel
+    keeps the one-hots in VMEM and the arithmetic on the MXU. The cold
+    minority stays on XLA per-entry ops (gather w / scatter grad), fed by
+    the kernel's residual output. Exact same math as the XLA hybrid at
+    two-term-bf16-split precision (~2^-17 relative)."""
+    from gdmix_tpu.ops.pallas.fe_hybrid import fe_hybrid_hot_pallas
+    dtype = x.dtype
+    if has_intercept:
+        w, b = x[:-1], x[-1]
+    else:
+        w, b = x, jnp.zeros((), dtype)
+    n = aux.hot_idx.shape[0]
+    z_cold = jnp.zeros((n,), jnp.float32).at[aux.cold_row] \
+        .add((jnp.take(w, aux.cold_idx) * aux.cold_val.astype(dtype))
+             .astype(jnp.float32))
+    offsets2 = batch.offsets.astype(jnp.float32) + z_cold
+    theta_c = jnp.take(w, aux.hot_ids)
+    loss, g_hot, rsum, r = fe_hybrid_hot_pallas(
+        theta_c, b, aux.hot_idx, batch.values, batch.labels, batch.weights,
+        offsets2, hot=aux.hot_ids.shape[0],
+        linear=(model_type == "linear_regression"),
+        tile=tile, interpret=interpret)
+    grad_w = jnp.zeros((num_features,), dtype) \
+        .at[aux.cold_idx].add(aux.cold_val.astype(dtype)
+                              * jnp.take(r, aux.cold_row).astype(dtype)) \
+        .at[aux.hot_ids].add(g_hot.astype(dtype))
+    grad = (jnp.concatenate([grad_w, rsum[None].astype(dtype)])
+            if has_intercept else grad_w)
+    return loss.astype(dtype), grad
+
+
 def per_entity_value_and_grad(theta: jnp.ndarray,
                               batch: SparseBatch,
                               num_features: int,
