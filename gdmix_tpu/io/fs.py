@@ -46,7 +46,8 @@ from typing import Dict, IO, Iterator, List, Optional, Tuple
 __all__ = [
     "FileSystem", "LocalFS", "MemFS", "DirFS", "register_filesystem", "get_fs",
     "open", "exists", "isdir", "isfile", "listdir", "makedirs", "glob",
-    "remove", "local_input", "atomic_output", "copy",
+    "remove", "local_input", "atomic_output", "copy", "is_local",
+    "upload_dir", "download_dir",
 ]
 
 _builtin_open = open
@@ -469,6 +470,33 @@ def glob(pattern: str) -> List[str]:
 def remove(path: str) -> None:
     fs, p = get_fs(path)
     fs.remove(p)
+
+
+def is_local(path: str) -> bool:
+    """True when `path` resolves to the local OS filesystem (no scheme)."""
+    return get_fs(path)[0] is _local
+
+
+def upload_dir(local_dir: str, remote_dir: str) -> None:
+    """Recursively copy a local directory tree to a (remote) destination —
+    the write half of copy-through-local for DIRECTORY artifacts (e.g. a
+    versioned orbax checkpoint), ≡ io_utils.py:299-334 at dir granularity."""
+    for root, _, files in os.walk(local_dir):
+        rel = os.path.relpath(root, local_dir)
+        for f in files:
+            dst = posixpath.join(remote_dir, *([] if rel == "." else
+                                               rel.split(os.sep)), f)
+            copy(os.path.join(root, f), dst)
+
+
+def download_dir(remote_dir: str, local_dir: str) -> None:
+    """Recursively copy a (remote) directory tree to a local one."""
+    base = remote_dir.rstrip("/")
+    for f in find_files(base):
+        rel = f[len(base) + 1:]
+        dst = os.path.join(local_dir, *rel.split("/"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        copy(f, dst)
 
 
 def find_files(path: str, suffix: str = "") -> List[str]:

@@ -45,6 +45,7 @@ except ImportError:  # pragma: no cover
     optax = None
 
 from gdmix_tpu import constants
+from gdmix_tpu.io import fs
 from gdmix_tpu.io import scores as scores_io
 from gdmix_tpu.io.input_pipeline import read_per_record
 from gdmix_tpu.io.metadata import DatasetMetadata
@@ -191,7 +192,9 @@ def pairwise_ranking_loss(logits, labels, weights, group_ids):
 
 
 def _load_vocab(vocab_file: str) -> Dict[str, int]:
-    with open(vocab_file, encoding="utf-8") as f:
+    # fs seam: the vocab may live on a remote scheme, like DeText's vocab on
+    # HDFS (reference detext-movieLens.yaml vocab_file + tf.io.gfile reads)
+    with fs.open(vocab_file, encoding="utf-8") as f:
         return {line.strip(): i for i, line in enumerate(f) if line.strip()}
 
 
@@ -290,8 +293,15 @@ class DeepTowerModel(Model):
         valid = (self._load_arrays(validation_data_dir, schema_params)
                  if validation_data_dir else None)
 
+        nproc = jax.process_count()
+        ndev = len(self.mesh.devices.flatten())
+        if nproc > 1 and p.batch_size % ndev != 0:
+            raise ValueError(
+                f"multi-host deep-tower training needs batch_size divisible "
+                f"by the global device count ({p.batch_size} % {ndev})")
+
         rng = jax.random.PRNGKey(p.seed)
-        sample = self._batch_slice(train, np.arange(min(8, train["n"])))
+        sample = self._numpy_slice(train, np.arange(min(8, train["n"])))
         params = self.module.init(rng, *sample[:4])
         tx = optax.adam(p.learning_rate)
         opt_state = tx.init(params)
@@ -328,6 +338,12 @@ class DeepTowerModel(Model):
             losses = []
             for s in range(steps_per_epoch):
                 idx = perm[s * p.batch_size:(s + 1) * p.batch_size]
+                if nproc > 1 and len(idx) % ndev != 0:
+                    # degenerate n < batch_size tail: drop the remainder so
+                    # the global batch stays evenly sharded (drop_remainder)
+                    idx = idx[:len(idx) // ndev * ndev]
+                    if len(idx) == 0:
+                        continue
                 batch = self._batch_slice(train, idx)
                 params, opt_state, loss = train_step(params, opt_state, *batch)
                 losses.append(float(loss))
@@ -347,11 +363,12 @@ class DeepTowerModel(Model):
             self._save_checkpoint()
 
         # Score train + validation with the best checkpoint. Multi-process:
-        # training is lockstep-replicated (same data order + seed on every
-        # process → bitwise-identical params, ≡ the reference FE design where
-        # every worker runs an identical deterministic solver), so only the
-        # scoring work is sharded — each process writes every num_workers-th
-        # record, keeping the union of score files duplicate-free.
+        # every step above was one SPMD computation over the global mesh
+        # (per-process sample shards, replicated params, all-reduced grads
+        # — _batch_slice), so params are identical by construction; scoring
+        # runs SPMD the same way and each process writes every
+        # num_workers-th record, keeping the union of part files
+        # duplicate-free.
         task_index = execution_context.get(constants.TASK_INDEX, 0)
         num_workers = execution_context.get(constants.NUM_WORKERS, 1)
         self._write_scores(score_fn, train, schema_params,
@@ -362,48 +379,87 @@ class DeepTowerModel(Model):
                                self.base_params.validation_score_dir, task_index,
                                num_workers=num_workers)
 
+    @staticmethod
+    def _numpy_slice(arrays, idx):
+        return (arrays["tokens"][idx], arrays["mask"][idx],
+                arrays["indices"][idx], arrays["values"][idx],
+                arrays["labels"][idx], arrays["weights"][idx],
+                arrays["offsets"][idx], arrays["groups"][idx])
+
     def _batch_slice(self, arrays, idx):
-        batch = (arrays["tokens"][idx], arrays["mask"][idx],
-                 arrays["indices"][idx], arrays["values"][idx],
-                 arrays["labels"][idx], arrays["weights"][idx],
-                 arrays["offsets"][idx], arrays["groups"][idx])
-        if self._shard_batches and len(idx) % \
-                len(self.mesh.devices.flatten()) == 0:
+        """Device batch for one step. Multi-host: every process holds the
+        full arrays and the SAME permutation (identical seed); each takes
+        its contiguous slice of the global batch and the global sharded
+        arrays assemble from the process-local pieces — per-process sample
+        shards with replicated params, GSPMD all-reducing the grads exactly
+        like the LR fixed effect (≡ DeText on TFJob worker replicas,
+        reference container_ops.py:91-114, minus the parameter servers the
+        SPMD design doesn't need)."""
+        nproc = jax.process_count()
+        ndev = len(self.mesh.devices.flatten())
+        if nproc > 1:
+            assert len(idx) % ndev == 0, (len(idx), ndev)
+            per = len(idx) // nproc
+            rank = jax.process_index()
+            local = self._numpy_slice(arrays, idx[rank * per:(rank + 1) * per])
+            return tuple(
+                jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh, rank=a.ndim), a)
+                for a in local)
+        batch = self._numpy_slice(arrays, idx)
+        if self._shard_batches and len(idx) % ndev == 0:
             # batch dim sharded over the mesh; params stay replicated (XLA
             # all-reduces the grads — data-parallel SGD)
-            import jax as _jax
             batch = tuple(
-                _jax.device_put(a, batch_sharding(self.mesh, rank=a.ndim))
+                jax.device_put(a, batch_sharding(self.mesh, rank=a.ndim))
                 for a in batch)
         return batch
 
     def _score_all(self, score_fn, params, arrays, chunk: int = 4096) -> np.ndarray:
+        """Scores for ALL rows, identical on every process. Multi-host: each
+        chunk is scored as one SPMD computation over the global mesh (every
+        process participates — per-process divergent computations would
+        deadlock the collectives), then the per-process contiguous shards
+        allgather back to hosts."""
+        nproc = jax.process_count()
+        ndev = len(self.mesh.devices.flatten())
         out = []
         for s in range(0, arrays["n"], chunk):
             idx = np.arange(s, min(s + chunk, arrays["n"]))
+            true_len = len(idx)
+            if nproc > 1 and len(idx) % ndev != 0:
+                pad = ndev - len(idx) % ndev
+                idx = np.concatenate([idx, np.full(pad, idx[-1])])
             batch = self._batch_slice(arrays, idx)
-            out.append(np.asarray(score_fn(params, *batch[:4])))
+            z = score_fn(params, *batch[:4])
+            if nproc > 1:
+                from jax.experimental import multihost_utils
+                shards = sorted(z.addressable_shards,
+                                key=lambda sh: sh.index[0].start or 0)
+                local = np.concatenate([np.asarray(sh.data)
+                                        for sh in shards])
+                z = multihost_utils.process_allgather(local).reshape(-1)
+            out.append(np.asarray(z)[:true_len])
         return np.concatenate(out) if out else np.zeros(0)
 
     def _write_scores(self, score_fn, arrays, schema_params, output_dir,
                       task_index, num_workers: int = 1):
         if not output_dir:
             return
-        if num_workers > 1:
-            keep = np.arange(task_index, arrays["n"], num_workers)
-            arrays = dict(arrays, n=len(keep),
-                          **{k: arrays[k][keep]
-                             for k in ("tokens", "mask", "indices", "values",
-                                       "labels", "weights", "offsets", "uid",
-                                       "groups")})
+        # score EVERYTHING once (SPMD across all processes), then each
+        # worker writes only its interleaved slice — the union of part
+        # files is duplicate-free and the collectives stay in lockstep
         per_coordinate = self._score_all(score_fn, self.params_tree, arrays)
         total = per_coordinate + arrays["offsets"]
+        keep = np.arange(task_index, arrays["n"], num_workers) \
+            if num_workers > 1 else np.arange(arrays["n"])
         out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
-        scores_io.write_scores(out, schema_params, arrays["uid"], total,
-                               scores_per_coordinate=per_coordinate,
-                               labels=arrays["labels"],
-                               weights=arrays["weights"])
-        logger.info("Wrote %d deep-tower scores to %s", arrays["n"], out)
+        scores_io.write_scores(out, schema_params, arrays["uid"][keep],
+                               total[keep],
+                               scores_per_coordinate=per_coordinate[keep],
+                               labels=arrays["labels"][keep],
+                               weights=arrays["weights"][keep])
+        logger.info("Wrote %d deep-tower scores to %s", len(keep), out)
 
     # ------------------------------------------------------------ checkpoint --
     # Versioned orbax checkpoint (replaces DeText's TF checkpoints, reference
@@ -414,28 +470,46 @@ class DeepTowerModel(Model):
     CKPT_FORMAT_VERSION = 1
 
     def _ckpt_dir(self) -> str:
-        return os.path.join(os.path.abspath(self.checkpoint_path),
-                            "deep_tower_ckpt")
+        # orbax needs absolute LOCAL paths; scheme paths pass through
+        # untouched and are bridged below via write-local-then-upload
+        path = self.checkpoint_path
+        if fs.is_local(path):
+            path = os.path.abspath(path)
+        return os.path.join(path, "deep_tower_ckpt")
 
     def _save_checkpoint(self) -> None:
+        """Versioned orbax checkpoint + manifest. Remote checkpoint_path
+        (scheme://): orbax writes a local temp dir which is then uploaded
+        whole — the write half of copy-through-local at directory
+        granularity (DeText's checkpoints land on the shared HDFS store the
+        same way, reference fixed_effect_detext_model.py:43-89)."""
         import orbax.checkpoint as ocp
-        os.makedirs(self.checkpoint_path, exist_ok=True)
         flat = jax.tree.map(lambda x: np.asarray(x), self.params_tree)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(self._ckpt_dir(), "params"), flat, force=True)
-        ckptr.wait_until_finished()
-        with open(os.path.join(self._ckpt_dir(), "manifest.json"), "w") as f:
+        ckpt_dir = self._ckpt_dir()
+        if fs.is_local(ckpt_dir):
+            os.makedirs(self.checkpoint_path, exist_ok=True)
+            ckptr.save(os.path.join(ckpt_dir, "params"), flat, force=True)
+            ckptr.wait_until_finished()
+        else:
+            import tempfile
+            with tempfile.TemporaryDirectory() as tmp:
+                local = os.path.join(tmp, "params")
+                ckptr.save(local, flat, force=True)
+                ckptr.wait_until_finished()
+                fs.upload_dir(local, ckpt_dir + "/params")
+        with fs.open(os.path.join(ckpt_dir, "manifest.json"), "w") as f:
             json.dump({"format_version": self.CKPT_FORMAT_VERSION,
                        "model": "deep_tower",
                        "vocab_size": len(self.vocab),
                        "num_wide": self.num_wide,
                        "hparams": dataclasses.asdict(self.model_params)}, f,
                       indent=2)
-        logger.info("Saved deep-tower checkpoint to %s", self._ckpt_dir())
+        logger.info("Saved deep-tower checkpoint to %s", ckpt_dir)
 
     def _load_checkpoint(self) -> None:
         import orbax.checkpoint as ocp
-        with open(os.path.join(self._ckpt_dir(), "manifest.json")) as f:
+        with fs.open(os.path.join(self._ckpt_dir(), "manifest.json")) as f:
             manifest = json.load(f)
         assert manifest["format_version"] == self.CKPT_FORMAT_VERSION, \
             f"unsupported checkpoint version {manifest['format_version']}"
@@ -450,8 +524,15 @@ class DeepTowerModel(Model):
             np.zeros((1, n_fields, self.model_params.max_len), np.float32),
             np.zeros((1, 1), np.int32), np.zeros((1, 1), np.float32))
         template = jax.tree.map(lambda x: np.asarray(x), template)
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.join(self._ckpt_dir(), "params"), template)
+        params_dir = os.path.join(self._ckpt_dir(), "params")
+        if fs.is_local(params_dir):
+            restored = ocp.StandardCheckpointer().restore(params_dir, template)
+        else:
+            import tempfile
+            with tempfile.TemporaryDirectory() as tmp:
+                local = os.path.join(tmp, "params")
+                fs.download_dir(params_dir, local)
+                restored = ocp.StandardCheckpointer().restore(local, template)
         self.params_tree = jax.tree.map(jnp.asarray, restored)
 
     def export(self, output_model_dir):

@@ -102,7 +102,10 @@ def _kernel(idx_ref, data_ref, th_hi_ref, th_lo_ref, b_ref,
         r_c = r[c * LANE:(c + 1) * LANE, :]                     # [128, 1]
         rows.append(jax.lax.dot_general(
             r_c, eye, sdims, preferred_element_type=jnp.float32))  # [1, 128]
-    r_ref[...] = jnp.concatenate(rows, axis=1)                  # [1, T]
+    # the [8, T] output block covers 8 consecutive grid steps (a [1, T]
+    # block would violate the 8-sublane tiling rule); each step writes its
+    # own row
+    r_ref[pl.ds(i % 8, 1), :] = jnp.concatenate(rows, axis=1)   # [1, T]
 
     # pass 2: scatter g2 += Σ_k onehot_hi(ce)ᵀ · onehot_lo, ce 2-term split
     g2 = jnp.zeros((a_blocks, LANE), jnp.float32)
@@ -135,8 +138,17 @@ def fe_hybrid_hot_pallas(theta_c, b, hot_idx, values, labels, weights,
     carry value 0 and are inert). offsets2 must already include the cold
     forward correction z_cold. Rows must be a multiple of `tile`
     (padding rows: weight 0)."""
-    n, k = hot_idx.shape
-    assert n % tile == 0, (n, tile)
+    n0, k = hot_idx.shape
+    assert n0 % tile == 0, (n0, tile)
+    # the r output rides as [n//tile, tile] in 8-sublane blocks → the grid
+    # must be a multiple of 8; pad inert rows (weight 0) up to 8·tile here
+    n = ((n0 + 8 * tile - 1) // (8 * tile)) * (8 * tile)
+    if n != n0:
+        def _pad(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((n - n0,) + a.shape[1:], a.dtype)], axis=0)
+        hot_idx, values, labels, weights, offsets2 = map(
+            _pad, (hot_idx, values, labels, weights, offsets2))
     a_blocks = (hot + 1 + LANE - 1) // LANE   # +1: the dump slot
     a_pad = a_blocks * LANE
 
@@ -170,7 +182,7 @@ def fe_hybrid_hot_pallas(theta_c, b, hot_idx, values, labels, weights,
             pl.BlockSpec((a_blocks, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile), lambda i: (i, 0),
+            pl.BlockSpec((8, tile), lambda i: (i // 8, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -185,4 +197,4 @@ def fe_hybrid_hot_pallas(theta_c, b, hot_idx, values, labels, weights,
     )(hot_idx, data, th_hi, th_lo,
       jnp.asarray(b, jnp.float32)[None, None])
     return (loss[0, 0], g2.reshape(a_pad)[:hot], rsum[0, 0],
-            r_rows.reshape(n))
+            r_rows.reshape(n)[:n0])
