@@ -359,7 +359,12 @@ class DeepTowerModel(Model):
                 best_params = params
         self.params_tree = best_params
         is_chief = execution_context.get(constants.IS_CHIEF, True)
-        if is_chief:
+        if nproc > 1:
+            # orbax coordinates multi-host saves itself (primary writes the
+            # data, everyone barriers) — a chief-only call would leave the
+            # chief's barrier collectives unmatched and crash the runtime
+            self._save_checkpoint(write_manifest=is_chief)
+        elif is_chief:
             self._save_checkpoint()
 
         # Score train + validation with the best checkpoint. Multi-process:
@@ -477,12 +482,14 @@ class DeepTowerModel(Model):
             path = os.path.abspath(path)
         return os.path.join(path, "deep_tower_ckpt")
 
-    def _save_checkpoint(self) -> None:
+    def _save_checkpoint(self, write_manifest: bool = True) -> None:
         """Versioned orbax checkpoint + manifest. Remote checkpoint_path
         (scheme://): orbax writes a local temp dir which is then uploaded
         whole — the write half of copy-through-local at directory
         granularity (DeText's checkpoints land on the shared HDFS store the
-        same way, reference fixed_effect_detext_model.py:43-89)."""
+        same way, reference fixed_effect_detext_model.py:43-89). Multi-host:
+        EVERY process must call this (orbax barriers internally; the primary
+        writes the data); only the chief passes write_manifest."""
         import orbax.checkpoint as ocp
         flat = jax.tree.map(lambda x: np.asarray(x), self.params_tree)
         ckptr = ocp.StandardCheckpointer()
@@ -497,7 +504,11 @@ class DeepTowerModel(Model):
                 local = os.path.join(tmp, "params")
                 ckptr.save(local, flat, force=True)
                 ckptr.wait_until_finished()
-                fs.upload_dir(local, ckpt_dir + "/params")
+                if jax.process_index() == 0:
+                    # only the primary's temp dir holds the written files
+                    fs.upload_dir(local, ckpt_dir + "/params")
+        if not write_manifest:
+            return
         with fs.open(os.path.join(ckpt_dir, "manifest.json"), "w") as f:
             json.dump({"format_version": self.CKPT_FORMAT_VERSION,
                        "model": "deep_tower",

@@ -196,3 +196,52 @@ def test_multi_worker_sharded_scoring(detext_data, tmp_path):
     np.testing.assert_array_equal(ref["uid"][ow], merged["uid"][om])
     np.testing.assert_allclose(ref["predictionScore"][ow],
                                merged["predictionScore"][om], atol=1e-4)
+
+
+def test_two_process_training_matches_single(detext_data, tmp_path):
+    """REAL two-process SPMD deep-tower training (2 procs x 2 virtual devices):
+    per-process batch shards + all-reduced grads must reproduce the
+    single-process run — the TPU re-design of DeText on TFJob worker
+    replicas (reference container_ops.py:91-114); VERDICT r4 task 2."""
+    import json
+    import subprocess
+    import sys
+
+    single_root = str(tmp_path / "single")
+    model, base = _build(detext_data, single_root, num_epochs=3,
+                         batch_size=256)
+    ctx = {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+           constants.IS_CHIEF: True}
+    model.train(model.training_data_dir, model.validation_data_dir,
+                model.metadata_file, model.checkpoint_path, ctx, base)
+    single = read_scores(os.path.join(single_root, "validation_scores"), base)
+
+    mp_root = str(tmp_path / "mp")
+    runner = os.path.join(os.path.dirname(__file__),
+                          "multiproc_deep_tower_runner.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, runner, str(pid), "2", detext_data, mp_root, "9936"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for pid, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {pid} failed:\n{outs[pid][-4000:]}"
+
+    # union of the two interleaved part files = every validation record once
+    mp = read_scores(os.path.join(mp_root, "validation_scores"), base)
+    assert len(mp["uid"]) == len(single["uid"])
+    assert len(np.unique(mp["uid"])) == len(np.unique(single["uid"]))
+    om, os_ = np.argsort(mp["uid"], kind="stable"), \
+        np.argsort(single["uid"], kind="stable")
+    # different mesh/summation orders + Adam accumulation → close, not
+    # bitwise; the learned ranking must agree
+    a = mp["predictionScore"][om]
+    b = single["predictionScore"][os_]
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.98, corr
+    auc_mp = float(auc_metric(mp["predictionScore"], mp["response"]))
+    auc_single = float(auc_metric(single["predictionScore"],
+                                  single["response"]))
+    assert abs(auc_mp - auc_single) < 0.05, (auc_mp, auc_single)
