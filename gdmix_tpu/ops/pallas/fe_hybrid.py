@@ -112,11 +112,12 @@ def _kernel(idx_ref, data_ref, th_hi_ref, th_lo_ref, b_ref,
     for kk in range(k):
         idx_k = _col(idx, kk)
         ce_k = _col(data, kk) * r                               # [T, 1] f32
-        ce_hi = ce_k.astype(jnp.bfloat16)
-        ce_lo = (ce_k - ce_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # two-term bf16 split of ce (Mosaic note: jnp.where with bf16
+        # scalar literals fails verification — build in f32, cast after)
+        ce_hi32 = ce_k.astype(jnp.bfloat16).astype(jnp.float32)
         cond = idx_k // LANE == iota_a
-        hi_hi = jnp.where(cond, ce_hi, jnp.bfloat16(0.0))       # [T, A_b]
-        hi_lo = jnp.where(cond, ce_lo, jnp.bfloat16(0.0))
+        hi_hi = jnp.where(cond, ce_hi32, 0.0).astype(jnp.bfloat16)  # [T, A_b]
+        hi_lo = jnp.where(cond, ce_k - ce_hi32, 0.0).astype(jnp.bfloat16)
         lo_k = (idx_k % LANE == iota_l).astype(jnp.bfloat16)    # [T, 128]
         g2 = g2 + jax.lax.dot_general(
             hi_hi, lo_k, sdims, preferred_element_type=jnp.float32)
