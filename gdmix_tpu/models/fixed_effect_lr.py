@@ -169,6 +169,9 @@ class FixedEffectLRModel(Model):
         self.model_coefficients: Optional[np.ndarray] = None
         self.variances: Optional[np.ndarray] = None
         self._solve_fn = None  # lazily-built jitted solver, reused across calls
+        # observability for the multi-sweep device cache: how many times the
+        # static columns actually crossed the link (tests pin this to 1)
+        self.static_upload_count = 0
 
     # ------------------------------------------------------------------ data --
 
@@ -211,31 +214,40 @@ class FixedEffectLRModel(Model):
         """Assemble a padded, device-sharded SparseBatch + uids from host
         columns.
 
-        `cache`: multi-sweep device-array reuse (single-process). The in-HBM
-        pipeline's sweeps retrain/rescore on IDENTICAL records — only the
-        offset column (score residuals) changes — so from sweep 2 on the
-        four static columns stay HBM-resident and only offsets cross the
-        link (640 MB → ~20 MB per sweep at N=5M). A hit requires matching
-        shapes AND bitwise-equal uids; the caller owns the stronger
-        invariant that indices/values/labels/weights are unchanged
+        `cache`: multi-sweep device-array reuse. The in-HBM pipeline's
+        sweeps retrain/rescore on IDENTICAL records — only the offset
+        column (score residuals) changes — so from sweep 2 on the four
+        static columns stay HBM-resident and only offsets cross the link
+        (640 MB → ~20 MB per sweep at N=5M). Multi-host composes: each
+        process caches its local shard's contribution to the global static
+        arrays and re-ships only its local offsets (VERDICT r4 task 5;
+        every process must hit/miss CONSISTENTLY — guaranteed by the
+        pipeline's identical sweep structure — or the miss path's allgather
+        would desynchronize). A hit requires matching shapes AND
+        bitwise-equal local uids; the caller owns the stronger invariant
+        that indices/values/labels/weights are unchanged
         (workflow/pipeline.py mutates only the offset column)."""
         n = data.num_samples
         indices, values, offsets, labels, weights, uid = \
             self._host_arrays(data, schema_params)
-        if cache is not None and jax.process_count() == 1:
+        if cache is not None:
             ent = cache.get("batch")
             if (ent is not None and ent["n"] == n
                     and ent["shape"] == indices.shape
                     and np.array_equal(ent["uid"], uid)):
-                ndev_ = len(self.mesh.devices.flatten())
-                n_pad_ = pad_to_multiple(max(n, 1), ndev_ * 8)
+                n_pad_ = ent["n_pad"]
                 off = np.asarray(offsets, self.dtype)
                 if len(off) != n_pad_:
                     off = np.concatenate(
                         [off, np.zeros(n_pad_ - n, self.dtype)])
+                if jax.process_count() > 1:
+                    off_dev = jax.make_array_from_process_local_data(
+                        batch_sharding(self.mesh), off)
+                else:
+                    off_dev = jax.device_put(off, batch_sharding(self.mesh))
                 batch = SparseBatch(
                     indices=ent["indices"], values=ent["values"],
-                    offsets=jax.device_put(off, batch_sharding(self.mesh)),
+                    offsets=off_dev,
                     labels=ent["labels"], weights=ent["weights"])
                 return batch, uid, n
 
@@ -277,9 +289,11 @@ class FixedEffectLRModel(Model):
             labels=put(pad(labels).astype(dt), bsh),
             weights=put(pad(weights).astype(dt), bsh),  # pads → weight 0
         )
-        if cache is not None and jax.process_count() == 1:
+        if cache is not None:
+            self.static_upload_count += 1
             cache["batch"] = dict(
                 n=n, shape=indices.shape, uid=np.array(uid, copy=True),
+                n_pad=n_pad,
                 indices=batch.indices, values=batch.values,
                 labels=batch.labels, weights=batch.weights)
         return batch, uid, n

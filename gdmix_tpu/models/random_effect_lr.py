@@ -459,6 +459,11 @@ class RandomEffectLRModel(Model):
         self.metadata = DatasetMetadata.from_file(self.metadata_file)
         self.num_features = self.metadata.num_features(self.feature_bag_name)
         self.dtype = jnp.dtype(model_params.dtype)
+        # observability for the multi-sweep device caches: how many times
+        # static columns actually crossed the link (tests pin this to 1
+        # across sweeps; counts BUCKETS on the host plane, PLANES on the
+        # sharded one)
+        self.static_upload_count = 0
         self.variance_mode = model_params.random_effect_variance_mode
 
     # ------------------------------------------------------------------ train --
@@ -751,7 +756,11 @@ class RandomEffectLRModel(Model):
         unchanged for the same key (workflow/pipeline.py does — it mutates
         only the offset column between sweeps)."""
         dt = self.dtype
-        mesh = get_mesh()
+        # multi-process: each process solves its OWNED entities on its
+        # process-LOCAL mesh (the composed two-level parallelism), so the
+        # row sharding and the sweep cache work there too (VERDICT r4 task 5)
+        from gdmix_tpu.parallel.mesh import local_mesh
+        mesh = get_mesh() if jax.process_count() == 1 else local_mesh()
         ndev = len(mesh.devices.flatten())
         b = bucket.indices.shape[0]
         b_ship = pad_to_multiple(max(len(bucket.entity_ids), 1), 8)
@@ -791,13 +800,15 @@ class RandomEffectLRModel(Model):
                 sample_count=jnp.asarray(bucket.sample_count, dt),
                 theta0=jnp.asarray(bucket.theta0, dt),
             )
-            sharded = (ndev > 1 and b % ndev == 0
-                       and jax.process_count() == 1)
+            # the mesh above is process-local under multi-process, so the
+            # row sharding is purely addressable — no global-array rules
+            sharded = ndev > 1 and b % ndev == 0
             if sharded:
                 arrays = {k: jax.device_put(v,
                                             batch_sharding(mesh, rank=v.ndim))
                           for k, v in arrays.items()}
         if cache is not None:
+            self.static_upload_count += 1
             cache[cache_key] = dict(
                 shape=bucket.indices.shape, ndev=ndev, sharded=sharded,
                 entity_ids=list(bucket.entity_ids),
@@ -1249,6 +1260,7 @@ class RandomEffectLRModel(Model):
         if hasattr(routed.overflow, "copy_to_host_async"):
             routed.overflow.copy_to_host_async()
         if tier_static is not None:
+            self.static_upload_count += 1
             device_cache["sharded"] = dict(
                 n=n, E=E, k=k_now, num_shards=num_shards,
                 counts=np.array(counts, copy=True),
