@@ -199,11 +199,14 @@ class InMemoryPipeline:
         rank = jax.process_index()
 
         # multi-sweep device-array reuse: only the offset
-        # column changes between sweeps (see _device_batch). Fit and
-        # train-scoring share one cache: the cache is only active
-        # single-process, where fe_fit_view IS fe_train (same uids), so one
-        # HBM-resident copy of the static columns serves both.
-        fe_caches = {"train": {}, "valid": {}}
+        # column changes between sweeps (see _device_batch). Single-process,
+        # fe_fit_view IS fe_train (same uids), so fit and train-scoring
+        # share ONE cache and one HBM-resident copy of the static columns
+        # serves both; multi-host they differ (the fit view is this
+        # process's sample shard) and each gets its own cache — statics
+        # still cross the link exactly once per view (VERDICT r4 task 5).
+        fe_caches = {"fit": {}, "valid": {}}
+        fe_caches["score_train"] = fe_caches["fit"] if nproc == 1 else {}
         for sweep in range(self.num_sweeps):
             logger.info("=== coordinate-descent sweep %d ===", sweep + 1)
             # ---- fixed effect ----
@@ -220,9 +223,9 @@ class InMemoryPipeline:
             else:
                 fe_fit_view = fe_train
             fe_model.fit_data(fe_fit_view, fe_params, warm_start=warm,
-                              device_cache=fe_caches["train"])
-            tr_scores = fe_model.score_data(fe_train, fe_params,
-                                            device_cache=fe_caches["train"])
+                              device_cache=fe_caches["fit"])
+            tr_scores = fe_model.score_data(
+                fe_train, fe_params, device_cache=fe_caches["score_train"])
             train_ledger.apply_coordinate(fe_name, tr_scores["uid"],
                                           tr_scores["per_coordinate"])
             if fe_valid is not None:

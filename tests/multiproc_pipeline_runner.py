@@ -35,9 +35,22 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel  # noqa: E402
 from gdmix_tpu.models.random_effect_lr import RandomEffectLRModel  # noqa: E402
 from gdmix_tpu.workflow.pipeline import run_gdmix_in_memory  # noqa: E402
 from tests.test_e2e_pipeline import _config  # noqa: E402
+
+# capture model instances so the multi-sweep static-upload counters can be
+# asserted (VERDICT r4 task 5: statics cross the link once per view, not
+# once per sweep, under multi-host too)
+_instances = []
+for _cls in (FixedEffectLRModel, RandomEffectLRModel):
+    _cls._orig_init = _cls.__init__
+
+    def _rec_init(self, *a, __orig=_cls._orig_init, **kw):
+        __orig(self, *a, **kw)
+        _instances.append(self)
+    _cls.__init__ = _rec_init
 
 sharded_calls = []
 _orig = RandomEffectLRModel.fit_records_sharded
@@ -56,6 +69,10 @@ RandomEffectLRModel.fit_records_sharded = _spy
 
 metrics = run_gdmix_in_memory(_config(ml_root, pipeline_out), num_sweeps=2,
                               re_mode=re_mode)
+uploads = {type(m).__name__: 0 for m in _instances}
+for m in _instances:
+    uploads[type(m).__name__] += m.static_upload_count
 with open(os.path.join(out_dir, f"metrics_{pid}.json"), "w") as f:
-    json.dump({"metrics": metrics, "sharded_calls": sharded_calls}, f)
+    json.dump({"metrics": metrics, "sharded_calls": sharded_calls,
+               "static_uploads": uploads}, f)
 print(f"proc {pid}: {metrics} (sharded calls: {sharded_calls})", flush=True)

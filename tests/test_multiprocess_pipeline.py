@@ -54,6 +54,12 @@ def test_two_process_pipeline_matches_single(tmp_path):
         # sweep went through the sharded plane on the process-LOCAL 4-device
         # mesh (2 coordinates x 2 sweeps), not the host-grouping fallback
         assert obj["sharded_calls"] == ["user_id", "movie_id"] * 2, obj
+        # multi-sweep device caches are ACTIVE under multi-host (VERDICT r4
+        # task 5): statics crossed the link once per VIEW, not per sweep —
+        # FE = 3 views (fit shard, full-train score, valid score); each RE
+        # coordinate's sharded plane = 1 → 2 total
+        assert obj["static_uploads"] == {"FixedEffectLRModel": 3,
+                                         "RandomEffectLRModel": 2}, obj
         ladders.append(obj["metrics"])
     # both processes computed identical ladders (SPMD determinism)
     assert ladders[0] == ladders[1]
