@@ -432,10 +432,15 @@ def build_hybrid_aux(indices, values, num_features: int, *,
     mc = total - int(hot_sum)
     if total == 0 or mc / max(total, 1) > cold_max_frac:
         return None
-    # pow-2 capacity tiers bound recompiles across fits/sweeps
-    mc_pad = max(int(pad_multiple), 1)
-    while mc_pad < max(mc, 1):
-        mc_pad *= 2
+    # capacity tiers bound recompiles across fits; 1/8-mantissa pow2 steps
+    # keep the padding ≤12.5% — cold padding entries are inert but still
+    # PROCESSED by the per-entry scatter, so a plain pow2 tier would
+    # inflate the cold side's cost up to 2x (measured on probe4)
+    mult = max(int(pad_multiple), 1)
+    mc_eff = max(mc, 1)
+    step = 1 << max((mc_eff - 1).bit_length() - 3, 0)
+    mc_pad = ((mc_eff + step - 1) // step) * step
+    mc_pad = ((mc_pad + mult - 1) // mult) * mult
     build = _hybrid_build_fn(num_features, a_eff, mc_pad, shardings)
     return build(indices, values, hot_ids)
 
