@@ -182,9 +182,25 @@ def _sample_caps(counts: np.ndarray, min_bucket_rows: int) -> List[int]:
 LANE_BLOCK = 128   # fused lanes kernel block width (newton_lanes.LANES)
 
 
-def plan_lane_buckets(counts: np.ndarray, caps) -> List:
+# Modeled cost of promoting one row into a bigger tier (padded compute +
+# iteration coupling), derived from the r3 on-chip packing experiment: the
+# promotion-only merge added ~75 ms over ~100k promoted row-slots on v5e
+# (see the docstring's measurement table). Used ONLY to decide whether a
+# merged dispatch saves more than its promoted rows cost.
+PACK_PROMOTED_ROW_COST_S = 7.5e-7
+
+
+def plan_lane_buckets(counts: np.ndarray, caps,
+                      dispatch_latency_s: Optional[float] = None) -> List:
     """The bucket PLAN shared by both bucketizers: one bucket per pow-2
-    sample-count tier, per-entity tier assignment.
+    sample-count tier, per-entity tier assignment — plus a HARDWARE-ADAPTIVE
+    small-tier merge: with `dispatch_latency_s` given (one startup probe,
+    util/timing.measure_dispatch_latency_s), a tier merges into the next
+    whenever the dispatch it saves exceeds the modeled cost of its promoted
+    rows (PACK_PROMOTED_ROW_COST_S). On the ~25 ms relay only trivially
+    small tiers merge (today's plan survives); on a ~0.3 ms PCIe chip the
+    packing the r3 experiment rejected relay-conditionally becomes
+    available where it actually wins (VERDICT r4 task 6).
 
     Cross-tier lane packing was implemented here, measured on the chip, and
     REJECTED (VERDICT r3 task 7 — the measurement showing padded compute is
@@ -217,8 +233,50 @@ def plan_lane_buckets(counts: np.ndarray, caps) -> List:
     counts = np.asarray(counts, np.int64)
     caps = np.asarray(caps, np.int64)
     tier = np.searchsorted(caps, counts, side="left")
-    return [(int(caps[t]), np.flatnonzero(tier == t))
+    plan = [(int(caps[t]), np.flatnonzero(tier == t))
             for t in range(len(caps)) if (tier == t).any()]
+    if dispatch_latency_s is None:
+        return plan
+    # 1) smallest-first adjacent merges while the saved dispatch beats the
+    # modeled promoted-row cost (on the 25 ms relay this merges only tiers
+    # whose promotion costs < ~33k row-slots — exactly the regime the r3
+    # experiment showed winning; its blanket promotion at ~100k+ rows/merge
+    # was correctly slower). Merging is transitive (a twice-promoted tier
+    # pays the final cap).
+    merged: List = []
+    i = 0
+    while i < len(plan):
+        cap_i, members = plan[i]
+        while i + 1 < len(plan):
+            cap_j, members_j = plan[i + 1]
+            promoted_rows = int(len(members)) * (cap_j - cap_i)
+            if promoted_rows * PACK_PROMOTED_ROW_COST_S >= dispatch_latency_s:
+                break
+            members = np.concatenate([members, members_j])
+            cap_i = cap_j
+            i += 1
+        merged.append((cap_i, np.sort(members)))
+        i += 1
+    # 2) pow-2 batch-padding decomposition — the r3 experiment's part (b),
+    # rejected relay-conditionally (+8 dispatches x 25 ms) but a win where
+    # dispatch is cheap: split a tier's batch into LANE_BLOCK-aligned pieces
+    # when the padded lanes saved are worth more than the added dispatches.
+    out: List = []
+    for n_cap, members in merged:
+        b = len(members)
+        pow2_pad = _next_pow2(max(b, 1)) - b
+        nblocks = (b + LANE_BLOCK - 1) // LANE_BLOCK
+        rem = b - (nblocks - 1) * LANE_BLOCK
+        dec_pad = _next_pow2(max(rem, 1)) - rem
+        saved_rows = (pow2_pad - dec_pad) * n_cap
+        if (nblocks > 1
+                and saved_rows * PACK_PROMOTED_ROW_COST_S
+                > (nblocks - 1) * dispatch_latency_s):
+            for s in range(0, b, LANE_BLOCK):
+                out.append((n_cap, members[s:s + LANE_BLOCK]))
+        else:
+            out.append((n_cap, members))
+    return out
 
 
 def bucketize_flat(fg: FlatGroups,
@@ -328,7 +386,9 @@ def iter_bucketize_flat(fg: FlatGroups,
     weight_col = schema_params.weight_column_name
     uid_col = schema_params.uid_column_name
     caps = np.asarray(_sample_caps(counts, min_bucket_rows))
-    plan = plan_lane_buckets(counts, caps)
+    from gdmix_tpu.util.timing import nominal_dispatch_latency_s
+    plan = plan_lane_buckets(counts, caps,
+                             dispatch_latency_s=nominal_dispatch_latency_s())
     bucket_of = np.empty(E, np.int64)                             # [E]
     for bi, (_, members_) in enumerate(plan):
         bucket_of[members_] = bi
@@ -525,10 +585,12 @@ def bucketize(groups: Sequence[EntityGroup],
         cap *= 2
     caps.append(_round_up(max_count, min_bucket_rows))
 
-    # identical plan to iter_bucketize_flat (one bucket per pow-2 tier —
-    # lane packing was measured and rejected, see plan_lane_buckets) — the
+    # identical plan to iter_bucketize_flat (per-tier buckets + the
+    # latency-classified small-tier merge, see plan_lane_buckets) — the
     # two paths must produce identical buckets
-    plan = plan_lane_buckets(counts, caps)
+    from gdmix_tpu.util.timing import nominal_dispatch_latency_s
+    plan = plan_lane_buckets(counts, caps,
+                             dispatch_latency_s=nominal_dispatch_latency_s())
 
     buckets: List[EntityBucket] = []
     for n_cap, members in plan:

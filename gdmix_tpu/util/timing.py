@@ -58,3 +58,41 @@ def device_profile(log_dir: Optional[str] = None) -> Iterator[None]:
     finally:
         jax.profiler.stop_trace()
         logger.info("Wrote device trace to %s", log_dir)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def measure_dispatch_latency_s() -> float:
+    """One-time per-process probe of the device dispatch round trip: wall of
+    a tiny jitted call + scalar fetch, min of 3 after a warmup compile.
+    ~25 ms on the relay-attached axon chip, ~0.2-0.5 ms on a PCIe-attached
+    TPU, tens of µs on CPU. Feeds the lane-bucket packing decision
+    (data/bucketing.plan_lane_buckets): the r3 packing experiment's outcome
+    was conditional on this number, not universal (VERDICT r4 task 6)."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(f(x))
+        ts.append(time.time() - t0)
+    lat = min(ts)
+    logger.info("measured dispatch latency: %.3f ms", lat * 1e3)
+    return lat
+
+
+def nominal_dispatch_latency_s() -> float:
+    """The measured dispatch latency CLASSIFIED to a stable nominal value:
+    25 ms relay-class, else 1 ms (PCIe/local dispatch plus the ~ms
+    per-bucket host-marshal floor that rides every extra bucket regardless
+    of link). The bucket plan must not depend on run-to-run latency jitter
+    — the relay drifts 2-3x over hours and a plan that moved with it would
+    thrash the compile cache — so the packing decision keys on the CLASS,
+    not the sample."""
+    lat = measure_dispatch_latency_s()
+    return 25e-3 if lat >= 5e-3 else 1e-3
