@@ -22,9 +22,16 @@ Named sub-metrics in the same JSON line:
       FixedEffectLRModel._objective_fun (the production class's own dispatch;
       grad_mode=auto resolves to the two-level one-hot "block" path here;
       round-1 one-hot baseline: 1.03 s/funcall)
-  fe_wide_d_funcalls_per_sec — the same funcall at D=1M, past block's ~700k
-      win-region ceiling: auto must resolve to the D-independent scatter
-      path (scripts/fe_wide_d.py measurements; VERDICT r3 task 4)
+  fe_wide_d_funcalls_per_sec — the same funcall at D=1M (past block's ~700k
+      ceiling) on Zipf-1.2 power-law ids: auto resolves to the hot/cold
+      HYBRID (top-16k features through the compact block path, cold tail
+      per-entry; scripts/fe_hybrid_probe*.py — 3.4x over scatter)
+  fe_wide_d_uniform_funcalls_per_sec — the same at uniform ids (no hot set):
+      the hybrid builder declines and auto degrades to the r3/r4 scatter
+      path (fallback continuity)
+  re_stage_solve_bound_models_per_sec + re_stage_decomposition — the stage
+      rate with THIS run's measured link terms divided out (bytes_up/down,
+      phase walls, link fraction): drift-proof across relay conditions
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
 Once the primary is measured the line is GUARANTEED: a watchdog emits it with
@@ -64,6 +71,30 @@ class _Schema:
     weight_column_name = None
     prediction_score_column_name = "predictionScore"
     prediction_score_per_coordinate_column_name = "predictionScorePerCoordinate"
+
+
+def probe_link(mb: int = 8):
+    """One-time host<->device link probe: (up_bytes_per_s, down_bytes_per_s,
+    dispatch_latency_s). Feeds the drift-proof stage decomposition
+    (VERDICT r4 task 4): the relay link drifts 2-3x over hours, so
+    wall-derived rates alone can hide real regressions — the solve-bound
+    rate divides out the link terms using THIS run's measured bandwidth."""
+    from gdmix_tpu.util.timing import measure_dispatch_latency_s
+    lat = measure_dispatch_latency_s()
+    a = np.random.RandomState(0).rand(mb << 20 >> 3)   # mb MB of f64
+    t0 = time.time()
+    d = jax.device_put(a)
+    d.block_until_ready()
+    float(jnp.sum(d))   # relay: block_until_ready does not sync — fetch
+    up_s = time.time() - t0
+    t0 = time.time()
+    _ = np.asarray(d)
+    down_s = time.time() - t0
+    nb = a.nbytes
+    sys.stderr.write(f"bench[link]: up {nb / up_s / 1e6:.1f} MB/s, "
+                     f"down {nb / down_s / 1e6:.1f} MB/s, dispatch "
+                     f"{lat * 1e3:.1f} ms\n")
+    return nb / up_s, nb / down_s, lat
 
 
 def make_workload(num_entities: int, seed: int = 0, d: int = 24,
@@ -322,7 +353,13 @@ def run_re_stage(fg, reps: int) -> float:
         sys.stderr.write(
             f"bench[re-stage]: {n_models} models fit+export+reload in "
             f"{elapsed:.3f}s (reps {[round(t, 3) for t in rep_times]})\n")
-        return n_models / elapsed
+        decomp = dict(
+            wall_s=round(elapsed, 4),
+            bytes_up=int(getattr(model, "last_fit_bytes_up", 0)),
+            bytes_down=int(getattr(model, "last_fit_bytes_down", 0)),
+            phases={k: round(v, 4) for k, v in
+                    getattr(model, "last_fit_phases", {}).items()})
+        return n_models / elapsed, decomp
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -460,7 +497,8 @@ def run_re_sharded(fg, tag: str, reps: int) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_fe(reps: int = 4, d: int = 10_000, tag: str = "fe") -> float:
+def run_fe(reps: int = 4, d: int = 10_000, tag: str = "fe",
+           zipf_s: float = 0.0) -> float:
     """Fixed-effect loss+grad funcalls/sec at N=5M, D=10k, K=16 THROUGH THE
     PRODUCTION CLASS: the timed objective is FixedEffectLRModel's own
     _objective_fun — the exact (value, grad) every fit_data L-BFGS funcall
@@ -503,8 +541,20 @@ def run_fe(reps: int = 4, d: int = 10_000, tag: str = "fe") -> float:
         @jax.jit
         def gen(key):
             k1, k2, k3, k4 = jax.random.split(key, 4)
+            u = jax.random.uniform(k1, (n, k), jnp.float32, 1e-7, 1.0)
+            if zipf_s == 0.0:
+                idx = jax.random.randint(k1, (n, k), 0, d, jnp.int32)
+            elif zipf_s == 1.0:
+                idx = jnp.clip(jnp.exp(u * jnp.log(float(d)))
+                               .astype(jnp.int32) - 1, 0, d - 1)
+            else:
+                # inverse-CDF Zipf(s) on [1, d] — recommender id features
+                # are power-law; s=1.2 is the movie/item-popularity class
+                a = 1.0 - zipf_s
+                idx = jnp.clip(((1.0 + u * (float(d) ** a - 1.0))
+                                ** (1.0 / a)).astype(jnp.int32) - 1, 0, d - 1)
             return SparseBatch(
-                jax.random.randint(k1, (n, k), 0, d, jnp.int32),
+                idx,
                 jax.random.normal(k2, (n, k), jnp.float32),
                 0.1 * jax.random.normal(k4, (n,), jnp.float32),
                 jax.random.bernoulli(k3, 0.5, (n,)).astype(jnp.float32),
@@ -512,21 +562,32 @@ def run_fe(reps: int = 4, d: int = 10_000, tag: str = "fe") -> float:
 
         batch = gen(jax.random.PRNGKey(0))
         float(jnp.sum(batch.values))
+        # hybrid aux through the model API (auto resolves to hybrid past
+        # block's ceiling; on uniform ids the builder DECLINES and the
+        # objective degrades to scatter — both paths are production)
+        t0 = time.time()
+        aux = model.build_hybrid_aux_for(batch)
+        if aux is not None:
+            jax.block_until_ready(aux.cold_idx)
+            sys.stderr.write(
+                f"bench[{tag}]: hybrid aux built in {time.time() - t0:.1f}s "
+                f"(A={aux.hot_ids.shape[0]}, "
+                f"mc_pad={aux.cold_idx.shape[0]})\n")
 
         # the batch rides as a jit ARGUMENT (closing over it would embed
         # 640MB of constants in the compile payload — the relay rejects it)
         @jax.jit
-        def fun(x, b):
-            return model._objective_fun(b)(x)
+        def fun(x, b, ax):
+            return model._objective_fun(b, ax)(x)
 
         x = jnp.zeros((model._dim,), jnp.float32)
-        v, g = fun(x, batch)
+        v, g = fun(x, batch, aux)
         float(v)  # compile + first call
         times = []
         for _ in range(reps):
             x = x - 1e-4 * g
             t0 = time.time()
-            v, g = fun(x, batch)
+            v, g = fun(x, batch, aux)
             float(v), float(jnp.sum(g))  # host fetch = sync
             times.append(time.time() - t0)
         sys.stderr.write(f"bench[{tag}]: funcall min={min(times):.4f}s "
@@ -617,9 +678,24 @@ def main():
         submetrics["re_wide_support_models_per_sec"] = round(
             run_re(wide, "wide-support", max(reps - 2, 1)), 1)
     if STAGE_ENTITIES:
-        submetrics["re_stage_models_per_sec"] = round(
-            run_re_stage(make_workload_flat(STAGE_ENTITIES, seed=3),
-                         max(reps - 2, 2)), 1)
+        up_bw, down_bw, dispatch_lat = probe_link()
+        submetrics["dispatch_latency_ms"] = round(dispatch_lat * 1e3, 2)
+        submetrics["link_up_mb_per_s"] = round(up_bw / 1e6, 1)
+        stage_rate, decomp = run_re_stage(
+            make_workload_flat(STAGE_ENTITIES, seed=3), max(reps - 2, 2))
+        submetrics["re_stage_models_per_sec"] = round(stage_rate, 1)
+        # drift-proof decomposition (VERDICT r4 task 4): divide out THIS
+        # run's measured link terms so the solve-bound rate compares across
+        # rounds regardless of relay drift — and makes the "models/s on a
+        # PCIe-attached chip" extrapolation a computable artifact
+        link_s = decomp["bytes_up"] / up_bw + decomp["bytes_down"] / down_bw
+        solve_s = max(decomp["wall_s"] - link_s, 1e-6)
+        decomp["link_s_est"] = round(link_s, 4)
+        decomp["link_fraction"] = round(
+            min(link_s / decomp["wall_s"], 1.0), 3)
+        submetrics["re_stage_decomposition"] = decomp
+        submetrics["re_stage_solve_bound_models_per_sec"] = round(
+            STAGE_ENTITIES / solve_s, 1)
     if os.environ.get("BENCH_DETEXT", "1") != "0":
         submetrics["detext_rows_per_sec"] = round(
             run_detext(max(reps - 2, 2)), 1)
@@ -640,12 +716,20 @@ def main():
         submetrics["fe_speedup_vs_round1"] = round(
             fe_rate * FE_ROUND1_FUNCALL_S, 2)
     if RUN_FE and os.environ.get("BENCH_FE_WIDE", "1") != "0":
-        # wide-D regime (VERDICT r3 task 4): D=1M is past block's measured
-        # ~700k win-region ceiling, so grad_mode=auto resolves to the
-        # D-independent scatter path here — this sub-metric pins the
-        # crossover routing on real hardware every round
+        # wide-D regime (VERDICT r4 task 1): D=1M is past block's ~700k
+        # ceiling, so auto resolves to the hot/cold HYBRID. Recommender id
+        # features are power-law — Zipf s=1.2 (item-popularity class) is
+        # the representative workload; measured 3.4x over the r4 scatter
+        # path (probe4: 0.40 s vs 1.37 s per funcall at N=5M)
         submetrics["fe_wide_d_funcalls_per_sec"] = round(
-            run_fe(max(reps - 2, 2), d=1_000_000, tag="fe-wide-d"), 2)
+            run_fe(max(reps - 2, 2), d=1_000_000, tag="fe-wide-d",
+                   zipf_s=1.2), 2)
+        # uniform ids have NO hot set: the builder declines and the same
+        # auto path degrades to the r3/r4 scatter objective — this pins the
+        # fallback (continuity with the r3/r4 fe_wide_d series)
+        submetrics["fe_wide_d_uniform_funcalls_per_sec"] = round(
+            run_fe(max(reps - 2, 2), d=1_000_000, tag="fe-wide-d-uniform"),
+            2)
     watchdog.cancel()
     sys.stderr.write(f"bench: total wall {time.time() - t_start:.0f}s\n")
     _emit(primary, submetrics)

@@ -521,12 +521,12 @@ class FixedEffectLRModel(Model):
         if mode in ("hybrid", "pallas_hybrid") and hybrid_aux is not None:
             hy_chunk = chunk or max(256, min(n, p.block_chunk_size))
             platform = jax.devices()[0].platform
-            # the fused kernel is the hybrid's production form on TPU (XLA
-            # rewrites the compact one-hot matmuls back into its ~9 ns/entry
-            # gather walk — probe2); the XLA form stays the dtype-exact
-            # fallback elsewhere (f64 oracle tests) unless forced
-            use_kernel = (mode == "pallas_hybrid"
-                          or platform in ("tpu", "axon"))
+            # the XLA form IS the production hybrid: measured 0.40-0.46 s vs
+            # the fused kernel's 0.46-0.55 s at every A probed (full-N
+            # probe4 — the one-hot construction is the shared floor and
+            # XLA's fusion handles it fine); the kernel stays an explicit
+            # opt-in with its measurements on record
+            use_kernel = mode == "pallas_hybrid"
             interpret = platform not in ("tpu", "axon")
             if use_kernel:
                 # the kernel's residual transpose works 128 sublanes at a

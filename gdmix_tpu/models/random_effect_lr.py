@@ -649,6 +649,11 @@ class RandomEffectLRModel(Model):
         from gdmix_tpu.data.bucketing import FlatGroups, iter_bucketize_flat
         logger.info("Training %d entities", len(groups))
         tt = [("start", time.time())]  # per-phase wall marks (reference-style)
+        # link-traffic accounting for the drift-proof bench decomposition
+        # (VERDICT r4 task 4): how many bytes this fit moved host->device
+        # (accumulated by _bucket_device_arrays) and device->host
+        self.last_fit_bytes_up = 0
+        self.last_fit_bytes_down = 0
         bucketize_fn = (iter_bucketize_flat if isinstance(groups, FlatGroups)
                         else bucketize)
         buckets = bucketize_fn(groups, schema_params,
@@ -706,6 +711,7 @@ class RandomEffectLRModel(Model):
             for t in solved[:fetch_n]:
                 if hasattr(t, "copy_to_host_async"):
                     t.copy_to_host_async()
+                    self.last_fit_bytes_down += int(t.nbytes)
         new = ModelTable.concat(
             [self._collect_bucket_table(bucket, solved)
              for bucket, solved in pending],
@@ -723,10 +729,12 @@ class RandomEffectLRModel(Model):
         else:
             merged = prior.merged_with(new)
         tt.append(("merge", time.time()))
+        self.last_fit_phases = {nm: tb - ta for (_, ta), (nm, tb)
+                                in zip(tt, tt[1:])}
         logger.info("%d models in total after training/refreshing. | %s",
                     len(merged),
-                    " ".join(f"{nm}={tb - ta:.3f}s" for (_, ta), (nm, tb)
-                             in zip(tt, tt[1:])))
+                    " ".join(f"{nm}={dt:.3f}s"
+                             for nm, dt in self.last_fit_phases.items()))
         return merged
 
     _STATIC_COLS = ("indices", "values", "labels", "weights", "sample_count")
@@ -785,9 +793,16 @@ class RandomEffectLRModel(Model):
                         jnp.asarray(bucket.theta0[:b_ship], dt))
                     arrays["offsets"] = off
                     arrays["theta0"] = th0
+                self.last_fit_bytes_up = getattr(
+                    self, "last_fit_bytes_up", 0) + int(
+                    arrays["offsets"].nbytes + arrays["theta0"].nbytes)
                 return arrays
         if ndev == 1:
             shipped, spec = _compact_bucket_wire(bucket, b_ship, dt)
+            self.last_fit_bytes_up = getattr(
+                self, "last_fit_bytes_up", 0) + sum(
+                int(a.nbytes) for a in jax.tree_util.tree_leaves(shipped)
+                if hasattr(a, "nbytes"))
             arrays = _expand_shipped(b, dt, spec)(shipped)
             sharded = False
         else:
@@ -807,6 +822,11 @@ class RandomEffectLRModel(Model):
                 arrays = {k: jax.device_put(v,
                                             batch_sharding(mesh, rank=v.ndim))
                           for k, v in arrays.items()}
+        if ndev > 1:   # the 1-dev path counted its compact wire above
+            self.last_fit_bytes_up = getattr(
+                self, "last_fit_bytes_up", 0) + sum(
+                int(v.nbytes) for v in arrays.values()
+                if hasattr(v, "nbytes"))
         if cache is not None:
             self.static_upload_count += 1
             cache[cache_key] = dict(
