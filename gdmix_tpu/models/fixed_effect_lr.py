@@ -117,9 +117,10 @@ def effective_grad_mode(grad_mode: str, has_intercept: bool,
     explicit-only: it never beats scatter on TPU. The Pallas kernels are
     strictly OPT-IN — in particular pallas_flat's [E, 1] entry columns tile
     to T(8,128) in HBM (512 B per 4 B entry → 40 GB at N=5M, K=16), so it
-    loses to `block` at production batch sizes — and they require the fused
-    intercept-last layout: without an intercept they resolve to the scatter
-    path (the same fallthrough _objective_fun always applied)."""
+    loses to `block` at production batch sizes — and, except pallas_hybrid
+    (which handles b=0 natively), they require the fused intercept-last
+    layout: without an intercept they resolve to the scatter path (the same
+    fallthrough _objective_fun always applied)."""
     if grad_mode == "auto":
         if block_min_features < num_features <= block_max_features:
             return "block"
