@@ -348,6 +348,19 @@ def run_re_stage(fg, reps: int) -> float:
             n_loaded = len(loaded)
             rep_times.append(time.time() - t0)
         elapsed = min(rep_times[1:])
+        # solve-bound rate by MEASUREMENT, not modeling: the device-cache
+        # warm path re-ships only offsets/warm starts (~3% of the wire), so
+        # a cached fit's wall IS the solve+marshal term — drift-proof
+        # against relay conditions (VERDICT r4 task 4)
+        dev_cache = {}
+        warm_times = []
+        for rep in range(3):   # rep 0 populates the cache
+            t0 = time.time()
+            model.fit_flat(fg, weights, base_params, device_cache=dev_cache)
+            warm_times.append(time.time() - t0)
+        warm_s = min(warm_times[1:])
+        sys.stderr.write(f"bench[re-stage]: warm cached fit "
+                         f"{[round(t, 3) for t in warm_times]}\n")
         n_models = len(fg)
         assert n_loaded == n_models, (n_loaded, n_models)
         sys.stderr.write(
@@ -355,11 +368,12 @@ def run_re_stage(fg, reps: int) -> float:
             f"{elapsed:.3f}s (reps {[round(t, 3) for t in rep_times]})\n")
         decomp = dict(
             wall_s=round(elapsed, 4),
+            warm_fit_s=round(warm_s, 4),
             bytes_up=int(getattr(model, "last_fit_bytes_up", 0)),
             bytes_down=int(getattr(model, "last_fit_bytes_down", 0)),
             phases={k: round(v, 4) for k, v in
                     getattr(model, "last_fit_phases", {}).items()})
-        return n_models / elapsed, decomp
+        return n_models / elapsed, n_models / warm_s, decomp
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -681,21 +695,21 @@ def main():
         up_bw, down_bw, dispatch_lat = probe_link()
         submetrics["dispatch_latency_ms"] = round(dispatch_lat * 1e3, 2)
         submetrics["link_up_mb_per_s"] = round(up_bw / 1e6, 1)
-        stage_rate, decomp = run_re_stage(
+        stage_rate, warm_rate, decomp = run_re_stage(
             make_workload_flat(STAGE_ENTITIES, seed=3), max(reps - 2, 2))
         submetrics["re_stage_models_per_sec"] = round(stage_rate, 1)
-        # drift-proof decomposition (VERDICT r4 task 4): divide out THIS
-        # run's measured link terms so the solve-bound rate compares across
-        # rounds regardless of relay drift — and makes the "models/s on a
-        # PCIe-attached chip" extrapolation a computable artifact
+        # drift-proof decomposition (VERDICT r4 task 4): the solve-bound
+        # rate is MEASURED (warm cached fit — offsets-only wire), not
+        # modeled; serial-link seconds are reported alongside so the
+        # link-bound fraction is explicit (they can exceed the wall — the
+        # async uploads overlap each other and the solve)
         link_s = decomp["bytes_up"] / up_bw + decomp["bytes_down"] / down_bw
-        solve_s = max(decomp["wall_s"] - link_s, 1e-6)
-        decomp["link_s_est"] = round(link_s, 4)
+        decomp["serial_link_s_est"] = round(link_s, 4)
         decomp["link_fraction"] = round(
             min(link_s / decomp["wall_s"], 1.0), 3)
         submetrics["re_stage_decomposition"] = decomp
         submetrics["re_stage_solve_bound_models_per_sec"] = round(
-            STAGE_ENTITIES / solve_s, 1)
+            warm_rate, 1)
     if os.environ.get("BENCH_DETEXT", "1") != "0":
         submetrics["detext_rows_per_sec"] = round(
             run_detext(max(reps - 2, 2)), 1)

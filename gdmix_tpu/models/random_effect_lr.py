@@ -596,7 +596,8 @@ class RandomEffectLRModel(Model):
                              num_samples=int(np.asarray(fg.counts).sum()))
 
     def fit_flat(self, fg, model_weights: Mapping[str, SparseModel],
-                 schema_params) -> Mapping[str, SparseModel]:
+                 schema_params,
+                 device_cache=None) -> Mapping[str, SparseModel]:
         """Train a columnar FlatGroups partition through the configured
         random-effect plane (REParams.re_mode — the user-facing switch the
         reference lacks, its equivalent plane being the Spark shuffle +
@@ -622,7 +623,8 @@ class RandomEffectLRModel(Model):
                        or (mode == "auto" and fg.indices is not None
                            and len(mesh.devices.flatten()) > 1))
         if not use_sharded:
-            return self.fit_groups(fg, model_weights, schema_params)
+            return self.fit_groups(fg, model_weights, schema_params,
+                                   device_cache=device_cache)
         # FlatGroups is already grouped: factorize the E-scale group ids and
         # expand — skips the N-scale object-column unique (≈0.6 s/100k
         # entities of pure host time in fit_records_sharded otherwise)
@@ -635,7 +637,8 @@ class RandomEffectLRModel(Model):
                                         schema_params,
                                         model_weights=model_weights,
                                         mesh=mesh,
-                                        entity_groups=(uniq, inv, ecounts))
+                                        entity_groups=(uniq, inv, ecounts),
+                                        device_cache=device_cache)
 
     def fit_groups(self, groups, model_weights: Mapping[str, SparseModel],
                    schema_params,

@@ -192,3 +192,42 @@ def test_pipeline_multi_sweep_uses_cache(tmp_path):
     m = run_gdmix_in_memory(_config(ml, str(tmp_path / "o")), num_sweeps=2,
                             re_mode="host")
     assert m["per-movie"] >= m["global"] - 1e-6
+
+def test_hybrid_aux_cached_across_sweeps(tmp_path, monkeypatch):
+    """The wide-D hot/cold split depends only on indices/values (static
+    across coordinate-descent sweeps), so sweep 2+ must REUSE the cached
+    HybridAux — built exactly once per cache — and still match an uncached
+    fit on the new offsets."""
+    from tests.test_fixed_effect_lr import _make_dataset, _params
+    from gdmix_tpu.models import fixed_effect_lr as FE
+    from gdmix_tpu.io.input_pipeline import load_per_record
+
+    ds = _make_dataset(tmp_path, seed=45)
+    model_params, base_params = _params(ds, tmp_path, grad_mode="hybrid",
+                                        hot_features=6,
+                                        hybrid_cold_max_frac=1.0,
+                                        block_chunk_size=32)
+    model = FE.FixedEffectLRModel(model_params, base_params)
+    data = load_per_record(ds["train_dir"], model.metadata, "global")
+
+    builds = []
+    orig = FE.build_hybrid_aux
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return orig(*a, **kw)
+    monkeypatch.setattr(FE, "build_hybrid_aux", spy)
+
+    cache = {}
+    c1 = model.fit_data(data, base_params, device_cache=cache)
+    assert len(builds) == 1 and cache.get("hybrid_aux") is not None
+
+    import dataclasses
+    cols2 = dict(data.columns)
+    cols2["offset"] = cols2.get("offset", np.zeros(data.num_samples)) + 0.3
+    data2 = dataclasses.replace(data, columns=cols2)
+    got = model.fit_data(data2, base_params, warm_start=c1,
+                         device_cache=cache)
+    assert len(builds) == 1, "sweep 2 rebuilt the hybrid aux"
+    want = model.fit_data(data2, base_params, warm_start=c1)
+    np.testing.assert_allclose(got, want, atol=1e-12)
