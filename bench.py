@@ -82,9 +82,9 @@ def probe_link(mb: int = 8):
     from gdmix_tpu.util.timing import measure_dispatch_latency_s
     lat = measure_dispatch_latency_s()
     a = np.random.RandomState(0).rand(mb << 20 >> 3)   # mb MB of f64
+    float(jnp.sum(jax.device_put(a)))   # warm the put + reduction compile
     t0 = time.time()
     d = jax.device_put(a)
-    d.block_until_ready()
     float(jnp.sum(d))   # relay: block_until_ready does not sync — fetch
     up_s = time.time() - t0
     t0 = time.time()
@@ -348,6 +348,12 @@ def run_re_stage(fg, reps: int) -> float:
             n_loaded = len(loaded)
             rep_times.append(time.time() - t0)
         elapsed = min(rep_times[1:])
+        # snapshot the COLD fit's wire accounting BEFORE the warm loop
+        # resets it (fit_groups zeroes the counters at every fit)
+        cold_bytes_up = int(getattr(model, "last_fit_bytes_up", 0))
+        cold_bytes_down = int(getattr(model, "last_fit_bytes_down", 0))
+        cold_phases = dict(getattr(model, "last_fit_phases", {}))
+        cold_plane = getattr(model, "last_fit_plane", "host")
         # solve-bound rate by MEASUREMENT, not modeling: the device-cache
         # warm path re-ships only offsets/warm starts (~3% of the wire), so
         # a cached fit's wall IS the solve+marshal term — drift-proof
@@ -369,10 +375,10 @@ def run_re_stage(fg, reps: int) -> float:
         decomp = dict(
             wall_s=round(elapsed, 4),
             warm_fit_s=round(warm_s, 4),
-            bytes_up=int(getattr(model, "last_fit_bytes_up", 0)),
-            bytes_down=int(getattr(model, "last_fit_bytes_down", 0)),
-            phases={k: round(v, 4) for k, v in
-                    getattr(model, "last_fit_phases", {}).items()})
+            plane=cold_plane,
+            bytes_up=cold_bytes_up,
+            bytes_down=cold_bytes_down,
+            phases={k: round(v, 4) for k, v in cold_phases.items()})
         return n_models / elapsed, n_models / warm_s, decomp
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -582,7 +588,8 @@ def run_fe(reps: int = 4, d: int = 10_000, tag: str = "fe",
         t0 = time.time()
         aux = model.build_hybrid_aux_for(batch)
         if aux is not None:
-            jax.block_until_ready(aux.cold_idx)
+            int(aux.cold_idx[0])  # scalar fetch: block_until_ready is a
+            # no-op on the axon relay (CLAUDE.md)
             sys.stderr.write(
                 f"bench[{tag}]: hybrid aux built in {time.time() - t0:.1f}s "
                 f"(A={aux.hot_ids.shape[0]}, "

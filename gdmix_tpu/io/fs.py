@@ -410,6 +410,12 @@ def get_fs(path) -> Tuple[FileSystem, str]:
     if scheme is None:
         return _local, path
     fs = _registry.get(scheme)
+    if scheme == "fakefs" and fs is not None:
+        # the backing root is an env var: rebuild when it changes (a cached
+        # instance would silently keep writing to the old root)
+        root = os.environ.get("GDMIX_FAKEFS_ROOT")
+        if root and os.path.abspath(root) != getattr(fs, "_root", None):
+            fs = None
     if fs is None:
         with _registry_lock:  # lose the construction race, not the instance
             fs = _registry.get(scheme)

@@ -105,9 +105,15 @@ class _OwnedGzipWriter(gzip.GzipFile):
         return super().__exit__(exc_type, exc, tb)
 
     def _discard(self, raw):
-        # some stores commit on close; close then best-effort delete so no
-        # truncated object stays visible
         import contextlib
+        if hasattr(raw, "discard"):
+            # abort API (e.g. DirFS._DirWriter): nothing lands, atomically
+            with contextlib.suppress(Exception):
+                raw.discard()
+            return
+        # stores that commit on close: close then best-effort delete so no
+        # truncated object stays visible (a small window, unavoidable
+        # without an abort API)
         with contextlib.suppress(Exception):
             raw.close()
         with contextlib.suppress(Exception):

@@ -451,13 +451,27 @@ class DeepTowerModel(Model):
                       task_index, num_workers: int = 1):
         if not output_dir:
             return
-        # score EVERYTHING once (SPMD across all processes), then each
-        # worker writes only its interleaved slice — the union of part
-        # files is duplicate-free and the collectives stay in lockstep
+        if num_workers > 1 and jax.process_count() == 1:
+            # independent (non-jax-coordinated) worker replicas: slice THIS
+            # worker's interleaved subset before scoring — no collectives to
+            # keep in lockstep, and scoring everything would cost
+            # num_workers x the work
+            sub = np.arange(task_index, arrays["n"], num_workers)
+            arrays = dict(arrays, n=len(sub),
+                          **{k: arrays[k][sub]
+                             for k in ("tokens", "mask", "indices", "values",
+                                       "labels", "weights", "offsets", "uid",
+                                       "groups")})
+            keep = np.arange(arrays["n"])
+        else:
+            # jax-coordinated multi-host: score EVERYTHING once (one SPMD
+            # computation — divergent per-process computations would
+            # deadlock the collectives), then write only this worker's
+            # interleaved slice; the union of part files is duplicate-free
+            keep = np.arange(task_index, arrays["n"], num_workers) \
+                if num_workers > 1 else np.arange(arrays["n"])
         per_coordinate = self._score_all(score_fn, self.params_tree, arrays)
         total = per_coordinate + arrays["offsets"]
-        keep = np.arange(task_index, arrays["n"], num_workers) \
-            if num_workers > 1 else np.arange(arrays["n"])
         out = os.path.join(output_dir, f"part-{task_index:05d}.avro")
         scores_io.write_scores(out, schema_params, arrays["uid"][keep],
                                total[keep],

@@ -657,6 +657,7 @@ class RandomEffectLRModel(Model):
         # (accumulated by _bucket_device_arrays) and device->host
         self.last_fit_bytes_up = 0
         self.last_fit_bytes_down = 0
+        self.last_fit_plane = "host"
         bucketize_fn = (iter_bucketize_flat if isinstance(groups, FlatGroups)
                         else bucketize)
         buckets = bucketize_fn(groups, schema_params,
@@ -1007,6 +1008,12 @@ class RandomEffectLRModel(Model):
         from gdmix_tpu.data.partitioner import factorize_entities
         from gdmix_tpu.parallel.entity_sharding import pack_tier, route_records
         tt = [("start", time.time())]  # per-phase wall marks (reference-style)
+        # byte accounting covers the host plane only; reset so a previous
+        # fit_groups' counters can't leak into this fit's readout (the
+        # `plane` field tells the bench which accounting it is looking at)
+        self.last_fit_bytes_up = 0
+        self.last_fit_bytes_down = 0
+        self.last_fit_plane = "sharded"
         model_weights = model_weights if model_weights is not None else {}
         mesh = mesh if mesh is not None else get_mesh()
         num_shards = len(mesh.devices.flatten())
@@ -1335,6 +1342,9 @@ class RandomEffectLRModel(Model):
         if prior_table is None:
             merged.update(new)
         tt.append(("fetch_collect", time.time()))
+        self.last_fit_phases = {nm: tb - ta for (_, ta), (nm, tb)
+                                in zip(tt, tt[1:])}
+        self.last_fit_plane = "sharded"
         logger.info("sharded fit: %d entities over %d shards in %d tiers "
                     "(capacity=%d); %d models total | %s", E, num_shards,
                     len(tiers), capacity, len(merged),
