@@ -797,9 +797,13 @@ class RandomEffectLRModel(Model):
                         jnp.asarray(bucket.theta0[:b_ship], dt))
                     arrays["offsets"] = off
                     arrays["theta0"] = th0
+                # the WIRE is the [:b_ship] host slices — the expansion to
+                # [B, n_cap] happens on device (counting the expanded arrays
+                # would overstate the warm wire ~3x)
                 self.last_fit_bytes_up = getattr(
                     self, "last_fit_bytes_up", 0) + int(
-                    arrays["offsets"].nbytes + arrays["theta0"].nbytes)
+                    np.asarray(bucket.offsets[:b_ship]).nbytes
+                    + np.asarray(bucket.theta0[:b_ship]).nbytes)
                 return arrays
         if ndev == 1:
             shipped, spec = _compact_bucket_wire(bucket, b_ship, dt)
