@@ -373,8 +373,22 @@ def _hybrid_hot_fn(hot: int):
     @jax.jit
     def f(counts):
         top_counts, hot_ids = jax.lax.top_k(counts, hot)
-        return hot_ids, jnp.sum(top_counts.astype(jnp.int64))
+        return hot_ids, jnp.cumsum(top_counts.astype(jnp.int64))
     return f
+
+
+# Cost model for the ADAPTIVE hot-set size (hot_features=0), per entry, from
+# the v5e full-N measurements (scripts/fe_hybrid_probe4.py at e=80M: hybrid
+# hot-side ≈ 0.09 s @ A=8k / 0.14 s @ 16k / 0.20 s @ 32k after subtracting
+# the cold term; cold per-entry gather+scatter+z ≈ 35 ns):
+#   hot(A, e)  ≈ e · (HOT_BASE + HOT_PER_FEATURE · A)
+#   cold(A, e) ≈ cold_fraction(A) · e · COLD_ENTRY_S
+# The constants are one chip generation's calibration — the SHAPE of the
+# tradeoff (O(A) VPU one-hot build vs per-entry cold walk) is architectural.
+HYBRID_HOT_BASE_S = 0.6e-9
+HYBRID_HOT_PER_FEATURE_S = 5.8e-14
+HYBRID_COLD_ENTRY_S = 35e-9
+_HYBRID_A_CANDIDATES = (4096, 8192, 16384, 32768, 65536, 131072)
 
 
 @functools.lru_cache(maxsize=None)
@@ -411,26 +425,55 @@ def _hybrid_build_fn(num_features: int, hot: int, mc_pad: int,
 
 
 def build_hybrid_aux(indices, values, num_features: int, *,
-                     hot_features: int = 131_072,
+                     hot_features: int = 0,
                      cold_max_frac: float = 0.6,
                      pad_multiple: int = 8,
                      shardings=None) -> Optional[HybridAux]:
     """Build the hot/cold split for a CONCRETE batch (host numpy or device
-    arrays — all heavy passes run on device; only two scalars come to host).
-    Returns None when the data doesn't reward the split (cold fraction above
-    `cold_max_frac`, e.g. uniform ids): the caller then keeps the plain
-    scatter path — the decision is data-driven, not hard-coded.
+    arrays — all heavy passes run on device; only small replicated scalars
+    come to host). Returns None when the data doesn't reward the split
+    (cold fraction above `cold_max_frac`, e.g. uniform ids): the caller
+    then keeps the plain scatter path — the decision is data-driven, not
+    hard-coded.
 
-    Multi-host safe: every pass is a jitted SPMD computation over the global
-    arrays; the two host fetches are of fully-replicated scalars."""
-    a_eff = int(min(hot_features, num_features))
-    if a_eff <= 0:
+    hot_features=0 (the default) picks the hot-set size ADAPTIVELY: the
+    builder already holds the frequency counts, so it evaluates the
+    measured cost model (HYBRID_* constants) at pow-2 candidate sizes and
+    takes the argmin — steeper distributions get smaller hot sets, flatter
+    ones bigger (zipf-1.2 resolves to ~16k, zipf-1.0 to ~32-64k on the
+    probe-4 workload).
+
+    Multi-host safe: every pass is a jitted SPMD computation over the
+    global arrays; host fetches are of fully-replicated values."""
+    adaptive = hot_features <= 0
+    cap = min(_HYBRID_A_CANDIDATES[-1] if adaptive else hot_features,
+              num_features)
+    if cap <= 0:
         return None
     counts, total = _hybrid_counts_fn(num_features)(indices, values)
-    hot_ids, hot_sum = _hybrid_hot_fn(a_eff)(counts)
+    hot_ids_full, cum = _hybrid_hot_fn(int(cap))(counts)
     total = int(total)
-    mc = total - int(hot_sum)
-    if total == 0 or mc / max(total, 1) > cold_max_frac:
+    if total == 0:
+        return None
+    if adaptive:
+        cands = [c for c in _HYBRID_A_CANDIDATES if c <= cap] or [int(cap)]
+        covered = np.asarray(jax.device_get(
+            cum[jnp.asarray([c - 1 for c in cands])]), np.int64)
+        e = total
+        best_a, best_cost = cands[0], float("inf")
+        for c, cov in zip(cands, covered):
+            cost = (e * (HYBRID_HOT_BASE_S + HYBRID_HOT_PER_FEATURE_S * c)
+                    + (e - int(cov)) * HYBRID_COLD_ENTRY_S)
+            if cost < best_cost:
+                best_a, best_cost = c, cost
+        a_eff = int(best_a)
+        mc = total - int(covered[cands.index(best_a)])
+        hot_ids = hot_ids_full[:a_eff]
+    else:
+        a_eff = int(cap)
+        mc = total - int(jax.device_get(cum[a_eff - 1]))
+        hot_ids = hot_ids_full
+    if mc / max(total, 1) > cold_max_frac:
         return None
     # capacity tiers bound recompiles across fits; 1/8-mantissa pow2 steps
     # keep the padding ≤12.5% — cold padding entries are inert but still

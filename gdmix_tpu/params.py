@@ -188,10 +188,12 @@ class FixedLRParams(LRParams):
     # hybrid mode: compact hot-set size (top-A features by batch frequency)
     # and the cold-entry fraction above which the split stops paying and the
     # builder falls back to plain scatter (data-driven, e.g. uniform ids)
-    # measured optimum on v5e (N=5M K=16 D=1M zipf-1.2, probe4): A=16384
-    # gives 0.40 s/funcall vs scatter's 1.37 s (3.4x); 8k and 32k are within
-    # 15%. The block-path hot-side cost is O(A), coverage is logarithmic.
-    hot_features: int = 16384
+    # 0 = ADAPTIVE: the builder evaluates the measured cost model at pow-2
+    # candidate sizes against the batch's own frequency profile (steeper
+    # distribution -> smaller hot set). Explicit values pin A; the probe-4
+    # optimum at D=1M zipf-1.2 was 16384 (0.40 s/funcall vs scatter's
+    # 1.37 s, 3.4x; 8k/32k within 15%).
+    hot_features: int = 0
     hybrid_cold_max_frac: float = 0.5
     block_chunk_size: int = 8192    # records per scan step in block mode
     # MXU dot precision for block mode: "float32" = bf16x3 (~f32-accurate —

@@ -479,3 +479,45 @@ def test_hybrid_grad_model_fit_matches_oracle(tmp_path):
                               lam=model_params.l2_reg_weight,
                               regularize_bias=model_params.regularize_bias)
     np.testing.assert_allclose(model.model_coefficients, oracle, atol=1e-6)
+
+
+def test_hybrid_adaptive_hot_size():
+    """hot_features=0 picks the hot-set size from the batch's own frequency
+    profile via the measured cost model: a steeper distribution must choose
+    a hot set no bigger than a flatter one's, the choice is a pow-2
+    candidate, and the split stays exact."""
+    from gdmix_tpu.ops.logistic import (_HYBRID_A_CANDIDATES,
+                                        build_hybrid_aux,
+                                        fixed_effect_value_and_grad_hybrid)
+    d, n, k = 300_000, 4096, 8
+    rng = np.random.RandomState(2)
+
+    def zipf_batch(s):
+        u = rng.rand(n, k)
+        a = 1.0 - s
+        idx = ((1.0 + u * (float(d) ** a - 1.0)) ** (1.0 / a)).astype(int)
+        idx = np.clip(idx - 1, 0, d - 1).astype(np.int32)
+        vals = rng.randn(n, k)
+        return _batch(idx, vals, 0.1 * rng.randn(n),
+                      rng.randint(0, 2, n).astype(float), np.ones(n))
+
+    steep = zipf_batch(1.6)
+    flat = zipf_batch(1.05)
+    aux_s = build_hybrid_aux(steep.indices, steep.values, d, hot_features=0,
+                             cold_max_frac=1.0)
+    aux_f = build_hybrid_aux(flat.indices, flat.values, d, hot_features=0,
+                             cold_max_frac=1.0)
+    assert aux_s is not None and aux_f is not None
+    a_s, a_f = aux_s.hot_ids.shape[0], aux_f.hot_ids.shape[0]
+    assert a_s in _HYBRID_A_CANDIDATES and a_f in _HYBRID_A_CANDIDATES
+    assert a_s <= a_f, (a_s, a_f)
+    # exactness is independent of the chosen size
+    x = jnp.asarray(np.random.RandomState(5).randn(d + 1) * 0.1)
+    v_ref, g_ref = fixed_effect_value_and_grad(
+        x, steep, d, regularize_bias=True, l2_reg_weight=0.0)
+    v_hy, g_hy = jax.jit(
+        lambda xx, bb, ax: fixed_effect_value_and_grad_hybrid(
+            xx, bb, ax, d, chunk=512))(x, steep, aux_s)
+    np.testing.assert_allclose(float(v_hy), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_hy), np.asarray(g_ref),
+                               atol=1e-9)
