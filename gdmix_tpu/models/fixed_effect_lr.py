@@ -36,6 +36,7 @@ from gdmix_tpu.io.metadata import DatasetMetadata
 from gdmix_tpu.models.api import Model
 from gdmix_tpu.ops.lbfgs import lbfgs
 from gdmix_tpu.ops.logistic import (HybridAux, SparseBatch, build_hybrid_aux,
+                                    extend_hybrid_aux_windowed,
                                     fixed_effect_value_and_grad,
                                     fixed_effect_value_and_grad_block,
                                     fixed_effect_value_and_grad_hybrid,
@@ -556,7 +557,8 @@ class FixedEffectLRModel(Model):
                         x, bb, ax, num_features, chunk=hy_chunk,
                         has_intercept=self.has_intercept,
                         model_type=self.model_type,
-                        precision=_PRECISIONS[p.block_precision])
+                        precision=_PRECISIONS[p.block_precision],
+                        interpret=interpret)
                 lv, lg = l2_value_and_grad(
                     x, self.l2_reg_weight, has_intercept=self.has_intercept,
                     regularize_bias=self.is_regularize_bias, intercept_at_end=True)
@@ -708,6 +710,18 @@ class FixedEffectLRModel(Model):
             shardings=(replicated(self.mesh),
                        batch_sharding(self.mesh, rank=2),
                        batch_sharding(self.mesh)))
+        platform = jax.devices()[0].platform
+        use_windowed = (p.hybrid_windowed_cold == "on"
+                        or (p.hybrid_windowed_cold == "auto" and ndev == 1
+                            and platform in ("tpu", "axon")))
+        if aux is not None and use_windowed:
+            # the layout's row-window span must cover the CHUNK-PADDED row
+            # count the objective runs with (same formula as _objective_fun)
+            n = batch.labels.shape[0]
+            hy_chunk = p.train_chunk_size or \
+                max(256, min(n, p.block_chunk_size))
+            aux = extend_hybrid_aux_windowed(
+                aux, self.num_features, pad_to_multiple(n, hy_chunk))
         if device_cache is not None:
             device_cache["hybrid_aux"] = aux
         return aux

@@ -355,6 +355,21 @@ class HybridAux(NamedTuple):
     cold_idx: jnp.ndarray  # [Mc] int32 global ids of cold entries (pad: 0)
     cold_row: jnp.ndarray  # [Mc] int32 source record ids (pad: 0)
     cold_val: jnp.ndarray  # [Mc] values (pad: 0.0 — inert)
+    # Optional WINDOWED cold layouts (extend_hybrid_aux_windowed): both
+    # scatters become sorted window-local one-hot matmuls in the pallas
+    # windowed_scatter kernel (~2 ns/entry vs XLA's ~7-10); the random
+    # gather halves stay XLA (the two scatters need opposite sort orders).
+    gs_idxl: Optional[jnp.ndarray] = None  # [Mg/16,16] id − win·W (id-sorted)
+    gs_val: Optional[jnp.ndarray] = None   # [Mg/16,16] values (pad 0)
+    gs_row: Optional[jnp.ndarray] = None   # [Mg/16,16] source record ids
+    gs_win: Optional[jnp.ndarray] = None   # [n_tiles_g] window per tile
+    zs_rowl: Optional[jnp.ndarray] = None  # [Mz/16,16] row − win·W (row-major)
+    zs_idx: Optional[jnp.ndarray] = None   # [Mz/16,16] global feature ids
+    zs_val: Optional[jnp.ndarray] = None   # [Mz/16,16] values (pad 0)
+    zs_win: Optional[jnp.ndarray] = None   # [n_tiles_z] window per tile
+    zs_nwin: Optional[jnp.ndarray] = None  # [n_windows_z] int8 zeros — the
+    #   row-window count rides as a SHAPE (the kernel needs it static, and
+    #   it is not recoverable from the other arrays)
 
 
 @functools.lru_cache(maxsize=None)
@@ -488,6 +503,70 @@ def build_hybrid_aux(indices, values, num_features: int, *,
     return build(indices, values, hot_ids)
 
 
+HYBRID_SCATTER_WINDOW = 4096
+HYBRID_SCATTER_TILE_ROWS = 128   # 2048 entries per kernel tile
+
+
+def _windowed_layout(key, idx, row, val, num_targets: int,
+                     window: int, tile_rows: int):
+    """Sort cold entries by `key`, group them into aligned target windows
+    with per-window padding to whole kernel tiles (every window gets at
+    least one tile — the kernel zero-initializes blocks only on visit).
+    Returns ([M/16,16] key_local, idx, row, val, [n_tiles] win) arrays."""
+    mc = key.shape[0]
+    order = jnp.argsort(key)           # padding (key 0, val 0) sorts first
+    skey = key[order]
+    sidx, srow, sval = idx[order], row[order], val[order]
+    nw = (num_targets + window - 1) // window
+    bounds = jnp.searchsorted(skey, jnp.arange(1, nw + 1) * window)
+    bounds_h = np.asarray(jax.device_get(bounds), np.int64)
+    counts = np.diff(np.concatenate([[0], bounds_h]))
+    tile_e = tile_rows * 16
+    padded = np.maximum((counts + tile_e - 1) // tile_e, 1) * tile_e
+    offs = np.concatenate([[0], np.cumsum(padded)])
+    m_pad = int(offs[-1])
+    win_of_tile = np.repeat(np.arange(nw, dtype=np.int32),
+                            (padded // tile_e).astype(np.int64))
+    starts = jnp.asarray(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                         jnp.int64)
+    offs_dev = jnp.asarray(offs[:-1], jnp.int64)
+    win_of_entry = (skey // window).astype(jnp.int64)
+    dest = (offs_dev[win_of_entry]
+            + (jnp.arange(mc, dtype=jnp.int64) - starts[win_of_entry]))
+    key_local = (skey - win_of_entry * window).astype(jnp.int32)
+
+    def place(a, dtype):
+        return jnp.zeros((m_pad,), dtype).at[dest].set(a.astype(dtype)) \
+            .reshape(m_pad // 16, 16)
+    return (place(key_local, jnp.int32), place(sidx, jnp.int32),
+            place(srow, jnp.int32), place(sval, jnp.float32),
+            jnp.asarray(win_of_tile))
+
+
+def extend_hybrid_aux_windowed(aux: HybridAux, num_features: int,
+                               num_rows: int, *,
+                               tile_rows: int = HYBRID_SCATTER_TILE_ROWS
+                               ) -> HybridAux:
+    window = HYBRID_SCATTER_WINDOW  # the objective derives tiles from
+    #                                 shapes but the WINDOW is this constant
+    """Attach the windowed cold layouts (see HybridAux fields) for the
+    pallas windowed-scatter kernel. SINGLE-DEVICE only (pallas_call is not
+    GSPMD-sharded; multi-chip meshes keep the XLA cold side). Built once
+    per fit from the flat cold arrays; one small host fetch of per-window
+    counts per layout."""
+    g_idxl, _, g_row, g_val, g_win = _windowed_layout(
+        aux.cold_idx, aux.cold_idx, aux.cold_row, aux.cold_val,
+        num_features, window, tile_rows)
+    z_rowl, z_idx, _, z_val, z_win = _windowed_layout(
+        aux.cold_row, aux.cold_idx, aux.cold_row, aux.cold_val,
+        num_rows, window, tile_rows)
+    nw_z = (num_rows + window - 1) // window
+    return aux._replace(gs_idxl=g_idxl, gs_val=g_val, gs_row=g_row,
+                        gs_win=g_win, zs_rowl=z_rowl, zs_idx=z_idx,
+                        zs_val=z_val, zs_win=z_win,
+                        zs_nwin=jnp.zeros((nw_z,), jnp.int8))
+
+
 def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
                                        batch: SparseBatch,
                                        aux: HybridAux,
@@ -497,7 +576,8 @@ def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
                                        has_intercept: bool = True,
                                        model_type: str = "logistic_regression",
                                        lane: int = 128,
-                                       precision=jax.lax.Precision.HIGHEST):
+                                       precision=jax.lax.Precision.HIGHEST,
+                                       interpret: bool = False):
     """Fixed-effect data term with the hot/cold split (see HybridAux).
 
     Forward: z = z_hot + z_cold + offset + b, where z_hot rides the compact
@@ -506,9 +586,12 @@ def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
     contribute nothing) and z_cold is a per-entry gather+row-scatter over
     the cold minority. Backward mirrors it: the compact [A]-gradient comes
     off the matmul scatter and lands in grad[hot_ids] (A unique indices);
-    cold entries scatter-add straight into grad[D]. Exact same math as
-    fixed_effect_value_and_grad with l2_reg_weight=0 — the caller adds the
-    λ-term once. Requires batch length divisible by `chunk`."""
+    cold entries scatter-add straight into grad[D]. When the aux carries
+    the windowed layouts (extend_hybrid_aux_windowed), both cold scatters
+    ride the pallas windowed_scatter kernel instead of XLA's ~7-10 ns/entry
+    walk. Exact same math as fixed_effect_value_and_grad with
+    l2_reg_weight=0 — the caller adds the λ-term once. Requires batch
+    length divisible by `chunk`."""
     dtype = x.dtype
     if has_intercept:
         w, b = x[:-1], x[-1]
@@ -532,8 +615,30 @@ def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
             .astype(jnp.bfloat16)
 
     # cold forward correction: fold into the offsets the scan consumes
-    z_cold = jnp.zeros((n,), dtype).at[aux.cold_row] \
-        .add(jnp.take(w, aux.cold_idx) * aux.cold_val.astype(dtype))
+    windowed = aux.zs_win is not None
+    if windowed:
+        from gdmix_tpu.ops.pallas.windowed_scatter import \
+            windowed_scatter_add_pallas
+        # window + tile geometry rides in the aux shapes (n_windows·W spans
+        # the padded target; rows/tiles gives the tile height)
+        nw_z = aux.zs_nwin.shape[0]
+        tile_rows_z = aux.zs_rowl.shape[0] // aux.zs_win.shape[0]
+        tile_rows_g = aux.gs_idxl.shape[0] // aux.gs_win.shape[0]
+        W = HYBRID_SCATTER_WINDOW
+        # cold forward: w-gather stays XLA; the row accumulation rides the
+        # windowed kernel over the row-major-sorted layout
+        wv = (jnp.take(w, aux.zs_idx) * aux.zs_val.astype(dtype)) \
+            .astype(jnp.float32)
+        # the layout's window count rides as zs_nwin's SHAPE; its span must
+        # cover every batch row (the builder was given the padded count)
+        assert nw_z * W >= n, (nw_z, W, n)
+        z_cold = windowed_scatter_add_pallas(
+            aux.zs_rowl, wv, aux.zs_win, num_windows=nw_z, window=W,
+            tile_rows=tile_rows_z,
+            interpret=interpret)[:n].astype(dtype)
+    else:
+        z_cold = jnp.zeros((n,), dtype).at[aux.cold_row] \
+            .add(jnp.take(w, aux.cold_idx) * aux.cold_val.astype(dtype))
     offsets2 = batch.offsets + z_cold
 
     def reshape(arr):
@@ -592,10 +697,20 @@ def fixed_effect_value_and_grad_hybrid(x: jnp.ndarray,
     (value, grad2), r_chunks = jax.lax.scan(body, init, chunks)
     r_full = r_chunks.reshape(n)
     grad_hot = grad2.reshape(a_pad)[:a_eff]
-    grad_w = jnp.zeros((num_features,), dtype) \
-        .at[aux.cold_idx].add(aux.cold_val.astype(dtype)
-                              * jnp.take(r_full, aux.cold_row)) \
-        .at[aux.hot_ids].add(grad_hot)
+    if windowed:
+        ce = (aux.gs_val.astype(dtype)
+              * jnp.take(r_full, aux.gs_row)).astype(jnp.float32)
+        nw_g = (num_features + W - 1) // W
+        grad_w = windowed_scatter_add_pallas(
+            aux.gs_idxl, ce, aux.gs_win, num_windows=nw_g, window=W,
+            tile_rows=tile_rows_g,
+            interpret=interpret)[:num_features].astype(dtype) \
+            .at[aux.hot_ids].add(grad_hot)
+    else:
+        grad_w = jnp.zeros((num_features,), dtype) \
+            .at[aux.cold_idx].add(aux.cold_val.astype(dtype)
+                                  * jnp.take(r_full, aux.cold_row)) \
+            .at[aux.hot_ids].add(grad_hot)
     grad = (jnp.concatenate([grad_w, jnp.sum(r_full)[None]])
             if has_intercept else grad_w)
     return value, grad

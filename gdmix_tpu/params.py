@@ -195,6 +195,10 @@ class FixedLRParams(LRParams):
     # 1.37 s, 3.4x; 8k/32k within 15%).
     hot_features: int = 0
     hybrid_cold_max_frac: float = 0.5
+    # windowed cold scatters (pallas windowed_scatter kernel over sorted
+    # layouts): "auto" = on for single-device TPU meshes (the kernel is not
+    # GSPMD-sharded; multi-chip keeps the XLA cold side), "on"/"off" force
+    hybrid_windowed_cold: str = "auto"
     block_chunk_size: int = 8192    # records per scan step in block mode
     # MXU dot precision for block mode: "float32" = bf16x3 (~f32-accurate —
     # measured identical objective to "highest" at N=5M/D=10k, 15% faster;

@@ -521,3 +521,57 @@ def test_hybrid_adaptive_hot_size():
     np.testing.assert_allclose(float(v_hy), float(v_ref), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g_hy), np.asarray(g_ref),
                                atol=1e-9)
+
+
+def test_hybrid_windowed_cold_matches_plain():
+    """The windowed cold layouts (sorted entries + pallas windowed_scatter,
+    interpret mode here) must reproduce the flat XLA cold side exactly —
+    the same objective with and without the layouts, and vs scatter."""
+    from gdmix_tpu.ops.logistic import (build_hybrid_aux,
+                                        extend_hybrid_aux_windowed,
+                                        fixed_effect_value_and_grad_hybrid)
+    rng = np.random.RandomState(0)
+    n, k, d, a = 2048, 6, 9000, 32
+    u = rng.rand(n, k)
+    idx = (np.minimum(np.exp(u * np.log(d)).astype(int), d) - 1) \
+        .astype(np.int32)
+    vals = rng.randn(n, k).astype(np.float32)
+    vals[rng.rand(n, k) < 0.2] = 0.0
+    batch = _batch(idx, vals, (0.1 * rng.randn(n)).astype(np.float32),
+                   (rng.rand(n) < 0.5).astype(np.float32),
+                   rng.rand(n).astype(np.float32))
+    aux = build_hybrid_aux(batch.indices, batch.values, d, hot_features=a,
+                           cold_max_frac=1.0)
+    auxw = extend_hybrid_aux_windowed(aux, d, n, tile_rows=8)
+    x = jnp.asarray(rng.randn(d + 1) * 0.1, jnp.float32)
+    v0, g0 = fixed_effect_value_and_grad_hybrid(x, batch, aux, d, chunk=256)
+    v1, g1 = fixed_effect_value_and_grad_hybrid(x, batch, auxw, d, chunk=256,
+                                                interpret=True)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    scale = float(np.max(np.abs(np.asarray(g0))))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               atol=1e-6 * scale)
+
+
+def test_hybrid_windowed_cold_model_fit(tmp_path):
+    """End-to-end FE fit with hybrid_windowed_cold=on (kernel in interpret
+    mode on CPU) equals the scipy oracle."""
+    from tests.test_fixed_effect_lr import (_make_dataset, _params,
+                                            _scipy_fe_oracle)
+    from gdmix_tpu.models.fixed_effect_lr import FixedEffectLRModel
+    from gdmix_tpu import constants
+    ds = _make_dataset(tmp_path, seed=47)
+    model_params, base_params = _params(ds, tmp_path, grad_mode="hybrid",
+                                        hot_features=6,
+                                        hybrid_cold_max_frac=1.0,
+                                        hybrid_windowed_cold="on",
+                                        block_chunk_size=32, dtype="float32",
+                                        lbfgs_pgtol=1e-6)
+    model = FixedEffectLRModel(model_params, base_params)
+    model.train(ds["train_dir"], None, ds["md_file"], model.checkpoint_path,
+                {constants.TASK_INDEX: 0, constants.NUM_WORKERS: 1,
+                 constants.IS_CHIEF: True}, base_params)
+    oracle = _scipy_fe_oracle(ds["X"], ds["y"], ds["offsets"], ds["weights"],
+                              lam=model_params.l2_reg_weight,
+                              regularize_bias=model_params.regularize_bias)
+    np.testing.assert_allclose(model.model_coefficients, oracle, atol=5e-3)
