@@ -24,8 +24,9 @@ Named sub-metrics in the same JSON line:
       round-1 one-hot baseline: 1.03 s/funcall)
   fe_wide_d_funcalls_per_sec — the same funcall at D=1M (past block's ~700k
       ceiling) on Zipf-1.2 power-law ids: auto resolves to the hot/cold
-      HYBRID (top-16k features through the compact block path, cold tail
-      per-entry; scripts/fe_hybrid_probe*.py — 3.4x over scatter)
+      HYBRID (adaptive top-A features through the compact block path, cold
+      tail via the windowed-scatter kernel; scripts/fe_hybrid_probe*.py —
+      4.4x over scatter on v5e)
   fe_wide_d_uniform_funcalls_per_sec — the same at uniform ids (no hot set):
       the hybrid builder declines and auto degrades to the r3/r4 scatter
       path (fallback continuity)

@@ -527,12 +527,14 @@ def _windowed_layout(key, idx, row, val, num_targets: int,
     m_pad = int(offs[-1])
     win_of_tile = np.repeat(np.arange(nw, dtype=np.int32),
                             (padded // tile_e).astype(np.int64))
+    # int32 positions: entry counts stay far below 2^31 (the padded COO
+    # itself is int32-indexed)
     starts = jnp.asarray(np.concatenate([[0], np.cumsum(counts)[:-1]]),
-                         jnp.int64)
-    offs_dev = jnp.asarray(offs[:-1], jnp.int64)
-    win_of_entry = (skey // window).astype(jnp.int64)
+                         jnp.int32)
+    offs_dev = jnp.asarray(offs[:-1], jnp.int32)
+    win_of_entry = skey // window
     dest = (offs_dev[win_of_entry]
-            + (jnp.arange(mc, dtype=jnp.int64) - starts[win_of_entry]))
+            + (jnp.arange(mc, dtype=jnp.int32) - starts[win_of_entry]))
     key_local = (skey - win_of_entry * window).astype(jnp.int32)
 
     def place(a, dtype):
