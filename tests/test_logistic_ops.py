@@ -575,3 +575,35 @@ def test_hybrid_windowed_cold_model_fit(tmp_path):
                               lam=model_params.l2_reg_weight,
                               regularize_bias=model_params.regularize_bias)
     np.testing.assert_allclose(model.model_coefficients, oracle, atol=5e-3)
+
+
+def test_windowed_layout_invariants():
+    """_windowed_layout contract: every entry lands exactly once at its
+    window-local position, every window owns at least one whole tile (the
+    kernel zero-initializes only blocks it visits), win_of_tile is
+    non-decreasing, and padding slots are inert (val 0)."""
+    from gdmix_tpu.ops.logistic import (_windowed_layout,
+                                        HYBRID_SCATTER_WINDOW)
+    rng = np.random.RandomState(9)
+    mc, targets = 5000, 3 * HYBRID_SCATTER_WINDOW
+    key = jnp.asarray(rng.randint(0, targets, mc), jnp.int32)
+    val = jnp.asarray(rng.randn(mc), jnp.float32)
+    row = jnp.asarray(rng.randint(0, 100, mc), jnp.int32)
+    tile_rows = 8
+    kl, ki, kr, kv, win = _windowed_layout(key, key, row, val, targets,
+                                           HYBRID_SCATTER_WINDOW, tile_rows)
+    kl, kv, win = np.asarray(kl), np.asarray(kv), np.asarray(win)
+    n_tiles = kl.shape[0] // tile_rows
+    assert win.shape == (n_tiles,)
+    assert np.all(np.diff(win) >= 0)                     # sorted windows
+    nw = targets // HYBRID_SCATTER_WINDOW
+    assert set(win.tolist()) == set(range(nw))           # full coverage
+    assert np.all(kl >= 0) and np.all(kl < HYBRID_SCATTER_WINDOW)
+    # reconstruct the scatter on host and compare against the direct one
+    table = np.zeros(targets)
+    win_of_slot = np.repeat(win, tile_rows * 16)
+    np.add.at(table, win_of_slot * HYBRID_SCATTER_WINDOW + kl.reshape(-1),
+              kv.reshape(-1).astype(np.float64))
+    ref = np.zeros(targets)
+    np.add.at(ref, np.asarray(key), np.asarray(val, np.float64))
+    np.testing.assert_allclose(table, ref, atol=1e-6)
