@@ -415,6 +415,11 @@ def get_fs(path) -> Tuple[FileSystem, str]:
         # instance would silently keep writing to the old root)
         root = os.environ.get("GDMIX_FAKEFS_ROOT")
         if root and os.path.abspath(root) != getattr(fs, "_root", None):
+            with _registry_lock:
+                # drop the stale instance so the construction below (which
+                # re-reads the registry under the lock) actually rebuilds
+                if _registry.get(scheme) is fs:
+                    del _registry[scheme]
             fs = None
     if fs is None:
         with _registry_lock:  # lose the construction race, not the instance

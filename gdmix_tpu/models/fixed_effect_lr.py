@@ -711,9 +711,21 @@ class FixedEffectLRModel(Model):
                        batch_sharding(self.mesh, rank=2),
                        batch_sharding(self.mesh)))
         platform = jax.devices()[0].platform
-        use_windowed = (p.hybrid_windowed_cold == "on"
-                        or (p.hybrid_windowed_cold == "auto" and ndev == 1
-                            and platform in ("tpu", "axon")))
+        # only the XLA `hybrid` objective consumes the windowed layouts;
+        # pallas_hybrid ignores them (building would be pure waste). The
+        # kernel is not GSPMD-sharded, so multi-device meshes keep the XLA
+        # cold side even under "on" (warned, not an opaque trace error).
+        use_windowed = (mode == "hybrid"
+                        and (p.hybrid_windowed_cold == "on"
+                             or (p.hybrid_windowed_cold == "auto"
+                                 and platform in ("tpu", "axon"))))
+        if use_windowed and ndev > 1:
+            if p.hybrid_windowed_cold == "on":
+                logger.warning(
+                    "hybrid_windowed_cold=on ignored: the windowed-scatter "
+                    "kernel is single-device; keeping the XLA cold side on "
+                    "this %d-device mesh", ndev)
+            use_windowed = False
         if aux is not None and use_windowed:
             # the layout's row-window span must cover the CHUNK-PADDED row
             # count the objective runs with (same formula as _objective_fun)

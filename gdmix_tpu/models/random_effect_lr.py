@@ -797,13 +797,20 @@ class RandomEffectLRModel(Model):
                         jnp.asarray(bucket.theta0[:b_ship], dt))
                     arrays["offsets"] = off
                     arrays["theta0"] = th0
-                # the WIRE is the [:b_ship] host slices — the expansion to
-                # [B, n_cap] happens on device (counting the expanded arrays
-                # would overstate the warm wire ~3x)
+                # the WIRE is what device_put shipped in dt: the full
+                # arrays on the sharded branch, the [:b_ship] slices (the
+                # on-device _expand_dyn re-creates the rest) otherwise —
+                # host buckets are float64, the wire is self.dtype
+                item = np.dtype(dt).itemsize
+                if ent["sharded"]:
+                    shipped_elems = (np.asarray(bucket.offsets).size
+                                     + np.asarray(bucket.theta0).size)
+                else:
+                    shipped_elems = (
+                        np.asarray(bucket.offsets[:b_ship]).size
+                        + np.asarray(bucket.theta0[:b_ship]).size)
                 self.last_fit_bytes_up = getattr(
-                    self, "last_fit_bytes_up", 0) + int(
-                    np.asarray(bucket.offsets[:b_ship]).nbytes
-                    + np.asarray(bucket.theta0[:b_ship]).nbytes)
+                    self, "last_fit_bytes_up", 0) + shipped_elems * item
                 return arrays
         if ndev == 1:
             shipped, spec = _compact_bucket_wire(bucket, b_ship, dt)

@@ -549,13 +549,14 @@ def extend_hybrid_aux_windowed(aux: HybridAux, num_features: int,
                                num_rows: int, *,
                                tile_rows: int = HYBRID_SCATTER_TILE_ROWS
                                ) -> HybridAux:
-    window = HYBRID_SCATTER_WINDOW  # the objective derives tiles from
-    #                                 shapes but the WINDOW is this constant
     """Attach the windowed cold layouts (see HybridAux fields) for the
     pallas windowed-scatter kernel. SINGLE-DEVICE only (pallas_call is not
     GSPMD-sharded; multi-chip meshes keep the XLA cold side). Built once
     per fit from the flat cold arrays; one small host fetch of per-window
-    counts per layout."""
+    counts per layout. The window size is the module constant (the
+    objective derives the tile geometry from the aux shapes but assumes
+    HYBRID_SCATTER_WINDOW)."""
+    window = HYBRID_SCATTER_WINDOW
     g_idxl, _, g_row, g_val, g_win = _windowed_layout(
         aux.cold_idx, aux.cold_idx, aux.cold_row, aux.cold_val,
         num_features, window, tile_rows)

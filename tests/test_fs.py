@@ -365,3 +365,24 @@ def test_dirfs_atomic_output_and_local_input(fakefs):
     assert fs.open("fakefs://bkt/up/model.avro", "rb").read() == b"model-bytes"
     with fs.local_input("fakefs://bkt/up/model.avro") as local:
         assert open(local, "rb").read() == b"model-bytes"
+
+
+def test_fakefs_rebuilds_on_env_root_change(tmp_path):
+    """A cached DirFS must not keep writing to a stale root after
+    GDMIX_FAKEFS_ROOT changes (the registry entry is invalidated)."""
+    import os as _os
+    fs._registry.pop("fakefs", None)
+    a, b = tmp_path / "rootA", tmp_path / "rootB"
+    try:
+        _os.environ["GDMIX_FAKEFS_ROOT"] = str(a)
+        with fs.open("fakefs://x/f.txt", "w") as f:
+            f.write("one")
+        assert (a / "x/f.txt").is_file()
+        _os.environ["GDMIX_FAKEFS_ROOT"] = str(b)
+        with fs.open("fakefs://x/f.txt", "w") as f:
+            f.write("two")
+        assert (b / "x/f.txt").is_file()
+        assert (a / "x/f.txt").read_text() == "one"  # untouched
+    finally:
+        _os.environ.pop("GDMIX_FAKEFS_ROOT", None)
+        fs._registry.pop("fakefs", None)
